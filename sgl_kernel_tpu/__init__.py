@@ -18,6 +18,17 @@ from .ops.activation import (  # noqa: F401
     silu_and_mul_clamp,
     swiglu_alpha_limit,
 )
+from .ops.gemm import (  # noqa: F401
+    awq_to_tpu_layout,
+    bmm_fp8,
+    fp8_blockwise_scaled_mm,
+    fp8_scaled_mm,
+    int8_scaled_mm,
+    qserve_w4a8_per_chn_gemm,
+    qserve_w4a8_per_group_gemm,
+    quantize_w4,
+    w4a16_gemm,
+)
 from .ops.quant import (  # noqa: F401
     awq_dequantize,
     mxfp4_dequantize,

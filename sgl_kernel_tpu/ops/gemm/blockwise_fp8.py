@@ -1,0 +1,86 @@
+"""FP8 blockwise-scaled GEMM (DeepSeek-style 1x128 / 128x128 scale blocks).
+
+TPU-native implementation of the reference's declared
+``fp8_blockwise_scaled_mm`` (include/sgl_kernel_ops.h:577-586; oracle
+tests/test_fp8_blockwise_gemm.py:23-81):
+
+    out[M, N] = sum_k (scale_a[m, k//128] * A[m, k]) * (scale_b[k//128, n//128] * B[k, n])
+
+A Pallas kernel with bk = bn = 128 makes each K-step's scales a column
+vector (scale_a) times a scalar (scale_b), applied to the f32 partial dot
+before accumulation — dequantized operands are never materialized in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils import pallas_interpret, round_up
+
+BLOCK = 128
+
+
+def _kernel(a_ref, b_ref, sa_ref, sb_ref, o_ref, acc_ref, *, n_k):
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    part = jax.lax.dot_general(
+        a_ref[...], b_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # scale_a: [bm, 1] column for this k-block; scale_b: scalar block scale.
+    acc_ref[...] += part * sa_ref[...] * sb_ref[0, 0]
+
+    @pl.when(k_idx == n_k - 1)
+    def _done():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "bm"))
+def fp8_blockwise_scaled_mm(a, b, scales_a, scales_b, out_dtype=jnp.bfloat16, *, bm: int = 128):
+    """A [M,K] fp8, B [K,N] fp8, scales_a [M, K/128] f32, scales_b [K/128, N/128] f32."""
+    m, k = a.shape
+    n = b.shape[1]
+    assert k % BLOCK == 0 and n % BLOCK == 0, (m, k, n)
+    assert scales_a.shape == (m, k // BLOCK)
+    assert scales_b.shape == (k // BLOCK, n // BLOCK)
+
+    bm = min(bm, round_up(m, 8))
+    mp = round_up(m, bm)
+    if mp != m:
+        a = jnp.pad(a, ((0, mp - m), (0, 0)))
+        scales_a = jnp.pad(scales_a, ((0, mp - m), (0, 0)))
+
+    n_k = k // BLOCK
+    grid = (n // BLOCK, mp // bm, n_k)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_k=n_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, BLOCK), lambda j, i, kk: (i, kk)),
+            pl.BlockSpec((BLOCK, BLOCK), lambda j, i, kk: (kk, j)),
+            pl.BlockSpec((bm, 1), lambda j, i, kk: (i, kk)),
+            pl.BlockSpec((1, 1), lambda j, i, kk: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, BLOCK), lambda j, i, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, BLOCK), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=mp * k + k * n + mp * n * 2,
+            transcendentals=0,
+        ),
+        interpret=pallas_interpret(),
+    )(a, b, scales_a, scales_b)
+    return out[:m] if mp != m else out

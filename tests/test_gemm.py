@@ -1,0 +1,202 @@
+"""Scaled / dequant-fused GEMM tests.
+
+Oracles are inline fp32 numpy implementations with the reference tests'
+tolerances (test_int8_gemm.py, test_fp8_blockwise_gemm.py,
+test_qserve_w4a8_*.py, test_moe_gemm.py bf16 1e-1/2e-2).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgl_kernel_tpu.ops import gemm, quant
+
+
+class TestInt8ScaledMM:
+    @pytest.mark.parametrize("mnk", [(32, 128, 256), (7, 512, 384), (1, 256, 128)])
+    @pytest.mark.parametrize("with_bias", [False, True])
+    def test_accuracy(self, rng, mnk, with_bias):
+        m, n, k = mnk
+        a = rng.integers(-128, 127, (m, k)).astype(np.int8)
+        b = rng.integers(-128, 127, (k, n)).astype(np.int8)
+        sa = (rng.random(m) * 0.01 + 0.001).astype(np.float32)
+        sb = (rng.random(n) * 0.01 + 0.001).astype(np.float32)
+        bias = rng.standard_normal(n).astype(np.float32) if with_bias else None
+        out = gemm.int8_scaled_mm(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(sa), jnp.asarray(sb),
+            out_dtype=jnp.float32, bias=None if bias is None else jnp.asarray(bias),
+        )
+        ref = (a.astype(np.float32) @ b.astype(np.float32)) * sa[:, None] * sb[None, :]
+        if bias is not None:
+            ref = ref + bias
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-3)
+
+
+class TestFp8ScaledMM:
+    def test_accuracy(self, rng):
+        m, n, k = 16, 256, 512
+        af = rng.standard_normal((m, k)).astype(np.float32)
+        bf = rng.standard_normal((k, n)).astype(np.float32)
+        aq, sa = quant.per_token_quant_fp8(jnp.asarray(af))
+        bqT, sb = quant.per_token_quant_fp8(jnp.asarray(bf.T))  # per-channel of B
+        out = gemm.fp8_scaled_mm(aq, bqT.T, sa[:, 0], sb[:, 0], out_dtype=jnp.float32)
+        ref = af @ bf
+        # fp8 e4m3 quant error ~6% relative per element
+        rel = np.abs(np.asarray(out) - ref) / np.maximum(np.abs(ref), 1e-2)
+        assert np.median(rel) < 0.05 and rel.mean() < 0.2
+
+    def test_bmm_fp8(self, rng):
+        b, m, n, k = 3, 8, 64, 128
+        a = rng.standard_normal((b, m, k)).astype(np.float32)
+        w = rng.standard_normal((b, k, n)).astype(np.float32)
+        aq, sa = quant.per_tensor_quant_fp8(jnp.asarray(a))
+        wq, sw = quant.per_tensor_quant_fp8(jnp.asarray(w))
+        out = gemm.bmm_fp8(aq, wq, sa[0], sw[0], out_dtype=jnp.float32)
+        ref = np.einsum("bmk,bkn->bmn", a, w)
+        rel = np.abs(np.asarray(out) - ref) / np.maximum(np.abs(ref), 1e-1)
+        assert np.median(rel) < 0.06
+
+
+class TestFp8Blockwise:
+    @pytest.mark.parametrize("mnk", [(16, 256, 256), (100, 128, 512), (1, 128, 128)])
+    def test_accuracy(self, rng, mnk):
+        m, n, k = mnk
+        a = (rng.standard_normal((m, k)) * 0.1).astype(np.float32)
+        b = (rng.standard_normal((k, n)) * 0.1).astype(np.float32)
+        aq = np.asarray(jnp.asarray(a).astype(jnp.float8_e4m3fn))
+        bq = np.asarray(jnp.asarray(b).astype(jnp.float8_e4m3fn))
+        sa = (rng.random((m, k // 128)) * 0.001 + 1e-4).astype(np.float32)
+        sb = (rng.random((k // 128, n // 128)) * 0.001 + 1e-4).astype(np.float32)
+        out = gemm.fp8_blockwise_scaled_mm(
+            jnp.asarray(aq, jnp.float8_e4m3fn), jnp.asarray(bq, jnp.float8_e4m3fn),
+            jnp.asarray(sa), jnp.asarray(sb), out_dtype=jnp.float32,
+        )
+        # fp32 oracle mirroring tests/test_fp8_blockwise_gemm.py:23-61
+        sa_full = np.repeat(sa, 128, axis=1)
+        sb_full = np.repeat(np.repeat(sb, 128, axis=0), 128, axis=1)
+        ref = (aq.astype(np.float32) * sa_full) @ (bq.astype(np.float32) * sb_full)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-2, atol=1e-4)
+
+
+class TestW4A16:
+    @pytest.mark.parametrize("mnk", [(16, 256, 512), (1, 512, 1024), (200, 256, 512)])
+    @pytest.mark.parametrize("group_size", [64, 128])
+    def test_int4_symmetric(self, rng, mnk, group_size):
+        m, n, k = mnk
+        a = rng.standard_normal((m, k)).astype(np.float32)
+        wf = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
+        codes, scales, _ = gemm.quantize_w4(jnp.asarray(wf), group_size=group_size)
+        wd = np.asarray(gemm.dequant_w4(codes, scales, group_size=group_size, dtype=jnp.float32))
+        out = gemm.w4a16_gemm(
+            jnp.asarray(a, jnp.bfloat16), codes, scales, group_size=group_size, out_dtype=jnp.float32
+        )
+        ref = a @ wd.T
+        # bf16 activations + f32 accum: reference MoE bf16 tolerance 1e-1/2e-2
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=1e-1 * np.abs(ref).std() + 1e-2)
+
+    def test_int4_asymmetric_zeros(self, rng):
+        m, n, k, g = 8, 256, 512, 128
+        a = rng.standard_normal((m, k)).astype(np.float32)
+        wf = (rng.standard_normal((n, k)) * 0.05 + 0.02).astype(np.float32)
+        codes, scales, zeros = gemm.quantize_w4(jnp.asarray(wf), group_size=g, symmetric=False)
+        wd = np.asarray(gemm.dequant_w4(codes, scales, zeros, group_size=g, dtype=jnp.float32))
+        out = gemm.w4a16_gemm(
+            jnp.asarray(a, jnp.bfloat16), codes, scales, zeros, group_size=g, out_dtype=jnp.float32
+        )
+        ref = a @ wd.T
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=1e-1 * np.abs(ref).std() + 1e-2)
+        # quantization itself must be faithful
+        np.testing.assert_allclose(wd, wf, atol=np.abs(wf).max() / 14)
+
+    def test_mxfp4(self, rng):
+        m, n, k = 8, 256, 512
+        a = rng.standard_normal((m, k)).astype(np.float32)
+        wf = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
+        q, s = quant.per_token_group_quant_fp4(jnp.asarray(wf))
+        codes, sbytes = gemm.mxfp4_to_tpu_layout(q, s)
+        wd = np.asarray(gemm.dequant_w4(codes, sbytes, fmt="mxfp4", group_size=32, dtype=jnp.float32))
+        np.testing.assert_allclose(wd, np.asarray(quant.mxfp4_dequantize(q, s)), atol=1e-6)
+        out = gemm.w4a16_gemm(
+            jnp.asarray(a, jnp.bfloat16), codes, sbytes, group_size=32, fmt="mxfp4", out_dtype=jnp.float32
+        )
+        ref = a @ wd.T
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=1e-1 * np.abs(ref).std() + 1e-2)
+
+    def test_bias(self, rng):
+        m, n, k, g = 4, 256, 256, 128
+        a = rng.standard_normal((m, k)).astype(np.float32)
+        wf = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
+        bias = rng.standard_normal(n).astype(np.float32)
+        codes, scales, _ = gemm.quantize_w4(jnp.asarray(wf), group_size=g)
+        wd = np.asarray(gemm.dequant_w4(codes, scales, group_size=g, dtype=jnp.float32))
+        out = gemm.w4a16_gemm(
+            jnp.asarray(a, jnp.bfloat16), codes, scales, bias=jnp.asarray(bias),
+            group_size=g, out_dtype=jnp.float32,
+        )
+        ref = a @ wd.T + bias
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=1e-1 * np.abs(ref).std() + 1e-2)
+
+    def test_awq_layout_roundtrip(self, rng):
+        k, n, g = 256, 128, 128
+        from sgl_kernel_tpu.ops.quant import formats
+
+        codes_kn = rng.integers(0, 16, (k, n)).astype(np.uint8)
+        zeros_gn = rng.integers(0, 16, (k // g, n)).astype(np.uint8)
+        scales = (rng.random((k // g, n)) * 0.1).astype(np.float32)
+        qweight = formats.awq_pack_int32(jnp.asarray(codes_kn))
+        qzeros = formats.awq_pack_int32(jnp.asarray(zeros_gn))
+        w, s, z = gemm.awq_to_tpu_layout(qweight, jnp.asarray(scales), qzeros)
+        ref = np.asarray(quant.awq_dequantize(qweight, jnp.asarray(scales), qzeros, out_dtype=jnp.float32))
+        wd = np.asarray(gemm.dequant_w4(w, s, z, group_size=g, dtype=jnp.float32))
+        np.testing.assert_allclose(wd, ref.T, rtol=1e-3, atol=1e-5)
+
+
+class TestQServe:
+    def _quant_act(self, a):
+        s = np.abs(a).max(-1, keepdims=True) / 127.0
+        q = np.clip(np.round(a / s), -128, 127).astype(np.int8)
+        return q, s.astype(np.float32)
+
+    def test_per_chn(self, rng):
+        m, n, k = 16, 256, 512
+        a = (rng.standard_normal((m, k)) * 0.01).astype(np.float32)
+        b = (rng.standard_normal((n, k)) * 0.01).astype(np.float32)
+        aq, sa = self._quant_act(a)
+        bmin, bmax = b.min(-1, keepdims=True), b.max(-1, keepdims=True)
+        sw = ((bmax - bmin) / 15).astype(np.float32)
+        zw = -np.round(bmin / sw)
+        bq = np.clip(np.round(b / sw) + zw, 0, 15).astype(np.uint8)
+        out = gemm.qserve_w4a8_per_chn_gemm(
+            jnp.asarray(aq), jnp.asarray(bq).astype(jnp.uint4),
+            jnp.asarray(sw[:, 0]), jnp.asarray(sa[:, 0]),
+            jnp.asarray((zw * sw)[:, 0]), jnp.asarray(a.sum(-1)),
+            out_dtype=jnp.float32,
+        )
+        ref = (aq.astype(np.float32) @ (bq.astype(np.float32) - zw).T) * sa * sw[:, 0][None, :]
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-2)
+
+    def test_per_group(self, rng):
+        m, n, k, g = 16, 256, 512, 128
+        a = (rng.standard_normal((m, k)) * 0.01).astype(np.float32)
+        b = (rng.standard_normal((n, k)) * 0.01).astype(np.float32)
+        aq, sa = self._quant_act(a)
+        # progressive group quant (test_qserve_w4a8_per_group_gemm.py:96-126)
+        chn_scale = np.abs(b).max(-1, keepdims=True) / 119
+        b_i8 = np.clip(np.round(b / chn_scale), -119, 119)
+        bg = b_i8.reshape(-1, g)
+        s2 = np.round((bg.max(-1, keepdims=True) - bg.min(-1, keepdims=True)) / 15)
+        s2 = np.maximum(s2, 1.0)
+        z2 = -np.round(bg.min(-1, keepdims=True) / s2)
+        bq = np.clip(np.round(bg / s2) + z2, 0, 15).reshape(n, k).astype(np.uint8)
+        s2 = s2.reshape(n, k // g).astype(np.int8)
+        z2 = z2.reshape(n, k // g).astype(np.float32)
+        out = gemm.qserve_w4a8_per_group_gemm(
+            jnp.asarray(aq), jnp.asarray(bq).astype(jnp.uint4),
+            jnp.asarray(z2 * s2), jnp.asarray(s2),
+            jnp.asarray(chn_scale[:, 0].astype(np.float32)), jnp.asarray(sa[:, 0]),
+            group_size=g, out_dtype=jnp.float32,
+        )
+        b_dq = (bq.reshape(-1, g).astype(np.float32) - z2.reshape(-1, 1)) * s2.reshape(-1, 1).astype(np.float32)
+        b_dq = b_dq.reshape(n, k) * chn_scale
+        ref = (aq.astype(np.float32) @ b_dq.T) * sa
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-2)
