@@ -1,0 +1,184 @@
+"""Rotary position embedding family.
+
+TPU-native equivalents of the reference's RoPE kernels (src/sycl/Rope.cpp,
+MRope.cpp, FusedQKRope.cpp, FusedQKNormRope.cpp): plain neox/interleaved
+rotary_embedding over a cos-sin cache, multimodal mrope with sections, and
+the fused per-head QK-RMSNorm + RoPE over packed QKV (llama3-style scaling
+supported through the cache builder).
+
+Layout convention: cos_sin_cache [max_pos, rot_dim] = [cos | sin] halves,
+matching the reference cache contract (Rope.cpp). Elementwise — XLA fuses;
+pure jnp.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .norm import rmsnorm
+
+
+def compute_cos_sin_cache(
+    rotary_dim: int,
+    max_position: int,
+    base: float = 10000.0,
+    *,
+    scaling_factor: float = 1.0,
+    low_freq_factor: Optional[float] = None,
+    high_freq_factor: Optional[float] = None,
+    original_max_position: Optional[int] = None,
+    attention_factor: float = 1.0,
+    dtype=jnp.float32,
+):
+    """Build [max_position, rotary_dim] cache = [cos | sin].
+
+    With low/high_freq_factor set, applies llama3-style frequency scaling
+    (the reference plumbs the same three factors through
+    fused_qk_norm_rope, torch_extension_sycl.cc:398-437).
+    """
+    inv_freq = 1.0 / (base ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim))
+    if low_freq_factor is not None:
+        # llama3 rope scaling
+        omax = float(original_max_position or max_position)
+        low_wl = omax / low_freq_factor
+        high_wl = omax / high_freq_factor
+        wavelen = 2.0 * jnp.pi / inv_freq
+        smooth = (omax / wavelen - low_freq_factor) / (high_freq_factor - low_freq_factor)
+        scaled = jnp.where(
+            wavelen < high_wl,
+            inv_freq,
+            jnp.where(wavelen > low_wl, inv_freq / scaling_factor, (1 - smooth) * inv_freq / scaling_factor + smooth * inv_freq),
+        )
+        inv_freq = scaled
+    elif scaling_factor != 1.0:
+        inv_freq = inv_freq / scaling_factor
+    t = jnp.arange(max_position, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)
+    return jnp.concatenate([jnp.cos(freqs) * attention_factor, jnp.sin(freqs) * attention_factor], axis=-1).astype(dtype)
+
+
+def _rotate(x, cos, sin, interleaved: bool):
+    """Apply rotation to the first rot_dim dims of x [..., D].
+
+    cos/sin: [..., rot_dim//2] broadcastable against x's leading dims.
+    """
+    rot = 2 * cos.shape[-1]
+    xr, xp = x[..., :rot], x[..., rot:]
+    xf = xr.astype(jnp.float32)
+    if interleaved:
+        x1, x2 = xf[..., 0::2], xf[..., 1::2]
+        o1 = x1 * cos - x2 * sin
+        o2 = x2 * cos + x1 * sin
+        out = jnp.stack([o1, o2], axis=-1).reshape(xf.shape)
+    else:
+        half = rot // 2
+        x1, x2 = xf[..., :half], xf[..., half:]
+        o1 = x1 * cos - x2 * sin
+        o2 = x2 * cos + x1 * sin
+        out = jnp.concatenate([o1, o2], axis=-1)
+    return jnp.concatenate([out.astype(x.dtype), xp], axis=-1) if xp.shape[-1] else out.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("head_size", "is_neox"))
+def rotary_embedding(
+    positions,
+    query,
+    key,
+    head_size: int,
+    cos_sin_cache,
+    is_neox: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Apply RoPE to query/key at given positions.
+
+    positions [T]; query [T, Hq*head_size] or [T, Hq, head_size]; key
+    likewise. Returns rotated (query, key) with the input shapes.
+    Reference: rotary_embedding (Rope.cpp; neox vs interleaved variants).
+    """
+    rot_dim = cos_sin_cache.shape[-1]
+    cs = cos_sin_cache[positions].astype(jnp.float32)  # [T, rot_dim]
+    cos, sin = cs[..., : rot_dim // 2], cs[..., rot_dim // 2 :]
+    cos = cos[:, None, :]
+    sin = sin[:, None, :]
+
+    def apply(x):
+        if x is None:
+            return None
+        shp = x.shape
+        xh = x.reshape(shp[0], -1, head_size)
+        out = _rotate(xh, cos, sin, interleaved=not is_neox)
+        return out.reshape(shp)
+
+    return apply(query), apply(key)
+
+
+@functools.partial(jax.jit, static_argnames=("head_size", "is_neox", "mrope_sections"))
+def mrope_rotary_embedding(
+    positions,
+    query,
+    key,
+    head_size: int,
+    cos_sin_cache,
+    mrope_sections: Tuple[int, ...],
+    is_neox: bool = True,
+):
+    """Multimodal RoPE (MRope.cpp): positions [3, T] (t/h/w channels); the
+    rot_dim/2 frequency slots are split into ``mrope_sections`` consuming
+    the matching position channel."""
+    rot_dim = cos_sin_cache.shape[-1]
+    half = rot_dim // 2
+    assert sum(mrope_sections) == half
+    cs = cos_sin_cache[positions].astype(jnp.float32)  # [3, T, rot_dim]
+    cos3, sin3 = cs[..., :half], cs[..., half:]
+    idx = []
+    for sec_i, sec in enumerate(mrope_sections):
+        idx += [sec_i] * sec
+    sel = jnp.asarray(idx)
+    ar = jnp.arange(half)
+    cos = cos3[sel, :, ar].T[:, None, :]  # [T, 1, half]
+    sin = sin3[sel, :, ar].T[:, None, :]
+
+    def apply(x):
+        if x is None:
+            return None
+        shp = x.shape
+        xh = x.reshape(shp[0], -1, head_size)
+        return _rotate(xh, cos, sin, interleaved=not is_neox).reshape(shp)
+
+    return apply(query), apply(key)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads_q", "num_heads_k", "num_heads_v", "head_dim", "is_neox", "eps"),
+)
+def fused_qk_norm_rope(
+    qkv,
+    num_heads_q: int,
+    num_heads_k: int,
+    num_heads_v: int,
+    head_dim: int,
+    q_weight,
+    k_weight,
+    positions,
+    cos_sin_cache,
+    *,
+    eps: float = 1e-6,
+    is_neox: bool = True,
+):
+    """Per-head RMSNorm on Q/K + RoPE over packed QKV [T, (Hq+Hk+Hv)*D].
+
+    Functional form of the reference's in-place fused op
+    (FusedQKNormRope.cpp; torch_extension_sycl.cc:398-437). Returns the
+    updated qkv tensor.
+    """
+    t = qkv.shape[0]
+    nq, nk, nv = num_heads_q, num_heads_k, num_heads_v
+    q, k, v = jnp.split(qkv, [nq * head_dim, (nq + nk) * head_dim], axis=-1)
+    q = rmsnorm(q.reshape(t, nq, head_dim), q_weight, eps).reshape(t, -1)
+    k = rmsnorm(k.reshape(t, nk, head_dim), k_weight, eps).reshape(t, -1)
+    q, k = rotary_embedding(positions, q, k, head_dim, cos_sin_cache, is_neox)
+    return jnp.concatenate([q, k, v], axis=-1)
