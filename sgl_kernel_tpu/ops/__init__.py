@@ -1,3 +1,3 @@
 """Kernel families (quant, gemm, attention, moe, norm, rope, activation, ...)."""
 
-from . import activation, gemm, quant  # noqa: F401
+from . import activation, attention, gemm, norm, quant, rope  # noqa: F401

@@ -1,0 +1,5 @@
+"""Attention kernels: flash prefill, paged decode, state merge (MLA in mla.py)."""
+
+from .flash_prefill import flash_attention  # noqa: F401
+from .merge_state import merge_state, merge_state_v2, merge_states  # noqa: F401
+from .paged_decode import paged_attention_decode  # noqa: F401

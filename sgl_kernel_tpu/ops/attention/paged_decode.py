@@ -1,0 +1,244 @@
+"""Paged-KV decode attention kernel (Pallas TPU).
+
+TPU-native replacement for the reference's FMHA decode path
+(src/sycl/flash_attention.cpp `decode::mha_fwd` + FmhaDecodeRunner): one
+query token per sequence attends to a paged KV cache.
+
+Design: the KV pools stay in HBM as [num_pages, page_size, Hkv, D]; the
+grid walks (batch, kv_head, kv_block) and the *page table is scalar-
+prefetched* so each KV block's BlockSpec index_map resolves the physical
+page id before the block is fetched — Pallas's pipeline then double-buffers
+the page DMAs against compute automatically (the idiomatic TPU version of
+the reference's per-page async-copy machinery).
+
+GQA: the Hq = G * Hkv query heads that share a KV head are packed into the
+matmul's M dimension ([G, D] @ [page, D]^T), the standard TPU decode trick.
+
+FP8 KV cache: per-tensor descales fold outside the kernel — k_scale into q
+(q @ (c*K)^T == (c*q) @ K^T) and v_scale into the output — so the kernel
+reads fp8 pages at half bandwidth with zero epilogue cost.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils import cdiv, pallas_interpret, round_up
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+LOG2E = 1.4426950408889634
+
+
+def _kernel(
+    lens_ref,  # [B] scalar prefetch
+    pt_ref,  # [B, n_blocks] scalar prefetch page table
+    q_ref,  # [1, 1, Gp, D]
+    k_ref,  # [1, page, 1, D]
+    v_ref,  # [1, page, 1, D]
+    sink_ref,  # [1, Gp] or None
+    o_ref,  # [1, 1, Gp, D]
+    lse_ref,  # [1, 1, Gp] or None
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    sm_scale: float,
+    window: Optional[int],
+    soft_cap: Optional[float],
+    page: int,
+    n_blocks: int,
+    has_sink: bool,
+    has_lse: bool,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+    length = lens_ref[b]
+
+    @pl.when(i == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -1e30)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(i * page < length)
+    def _body():
+        q = q_ref[0, 0]  # [Gp, D]
+        k = k_ref[:, :, 0, :].reshape(page, -1).astype(q.dtype)  # fp8 pages upcast losslessly
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s * sm_scale  # [Gp, page]
+        if soft_cap is not None:
+            s = soft_cap * jnp.tanh(s / soft_cap)
+
+        pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * page
+        mask = pos < length
+        if window is not None:
+            mask = jnp.logical_and(mask, pos > length - 1 - window)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        v = v_ref[:, :, 0, :].reshape(page, -1).astype(q_ref.dtype)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(i == n_blocks - 1)
+    def _finalize():
+        m = m_scr[:, :1]
+        l = l_scr[:, :1]
+        if has_sink:
+            l = l + jnp.exp(sink_ref[0, :].reshape(-1, 1) - m)
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        if has_lse:
+            lse_ref[0, 0] = ((m + jnp.log(jnp.maximum(l, 1e-38))) * LOG2E)[:, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "sliding_window", "logit_soft_cap", "return_lse"),
+)
+def paged_attention_decode(
+    q,
+    k_pages,
+    v_pages,
+    lengths,
+    page_table,
+    sinks=None,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
+    *,
+    sm_scale: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+    logit_soft_cap: Optional[float] = None,
+    return_lse: bool = False,
+):
+    """Decode attention over a paged KV cache.
+
+    q: [B, Hq, D]; k_pages/v_pages: [P, page_size, Hkv, D] (bf16 or fp8);
+    lengths: [B] valid token counts (incl. current token); page_table:
+    [B, max_pages_per_seq] physical page ids (pad with 0).
+    k_scale/v_scale: optional scalar fp8 descales.
+    Returns out [B, Hq, D] (+ lse [B, Hq] base-2 when return_lse).
+    """
+    b, hq, d = q.shape
+    n_pages, page, hkv, _ = k_pages.shape
+    assert hq % hkv == 0
+    group = hq // hkv
+    gp = round_up(group, 8)
+    sm_scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
+    n_blocks = page_table.shape[1]
+
+    qh = q.reshape(b, hkv, group, d).astype(jnp.float32)
+    if k_scale is not None:
+        qh = qh * jnp.asarray(k_scale, jnp.float32)
+    if gp != group:
+        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
+    qh = qh.astype(jnp.bfloat16 if q.dtype == jnp.bfloat16 else q.dtype)
+
+    has_sink = sinks is not None
+    inputs = [qh, k_pages, v_pages]
+    in_specs = [
+        pl.BlockSpec((1, 1, gp, d), lambda bb, h, i, lens, pt: (bb, h, 0, 0)),
+        pl.BlockSpec((1, page, 1, d), lambda bb, h, i, lens, pt: (pt[bb, i], 0, h, 0)),
+        pl.BlockSpec((1, page, 1, d), lambda bb, h, i, lens, pt: (pt[bb, i], 0, h, 0)),
+    ]
+    if has_sink:
+        sink_arr = jnp.pad(sinks.astype(jnp.float32).reshape(hkv, group), ((0, 0), (0, gp - group)))
+        in_specs.append(pl.BlockSpec((1, gp), lambda bb, h, i, lens, pt: (h, 0)))
+        inputs.append(sink_arr)
+
+    out_shapes = [jax.ShapeDtypeStruct((b, hkv, gp, d), q.dtype)]
+    out_specs = [pl.BlockSpec((1, 1, gp, d), lambda bb, h, i, lens, pt: (bb, h, 0, 0))]
+    if return_lse:
+        out_shapes.append(jax.ShapeDtypeStruct((b, hkv, gp), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, gp), lambda bb, h, i, lens, pt: (bb, h, 0)))
+
+    kernel = functools.partial(
+        _kernel_entry,
+        sm_scale=sm_scale,
+        window=sliding_window,
+        soft_cap=logit_soft_cap,
+        page=page,
+        n_blocks=n_blocks,
+        has_sink=has_sink,
+        has_lse=return_lse,
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, hkv, n_blocks),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((gp, 128), jnp.float32),
+                pltpu.VMEM((gp, 128), jnp.float32),
+                pltpu.VMEM((gp, d), jnp.float32),
+            ],
+        ),
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * n_blocks * page * d,
+            bytes_accessed=2 * b * n_blocks * page * hkv * d * k_pages.dtype.itemsize,
+            transcendentals=b * hq * n_blocks * page,
+        ),
+        interpret=pallas_interpret(),
+    )(lengths.astype(jnp.int32), page_table.astype(jnp.int32), *inputs)
+
+    out = outs[0][:, :, :group].reshape(b, hq, d)
+    if v_scale is not None:
+        out = (out.astype(jnp.float32) * jnp.asarray(v_scale, jnp.float32)).astype(q.dtype)
+    if return_lse:
+        return out, outs[1][:, :, :group].reshape(b, hq)
+    return out
+
+
+def _kernel_entry(lens_ref, pt_ref, *refs, sm_scale, window, soft_cap, page, n_blocks, has_sink, has_lse):
+    q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
+    idx = 3
+    sink_ref = refs[idx] if has_sink else None
+    idx += int(has_sink)
+    o_ref = refs[idx]
+    idx += 1
+    lse_ref = refs[idx] if has_lse else None
+    idx += int(has_lse)
+    m_scr, l_scr, acc_scr = refs[idx], refs[idx + 1], refs[idx + 2]
+    _kernel(
+        lens_ref,
+        pt_ref,
+        q_ref,
+        k_ref,
+        v_ref,
+        sink_ref,
+        o_ref,
+        lse_ref,
+        m_scr,
+        l_scr,
+        acc_scr,
+        sm_scale=sm_scale,
+        window=window,
+        soft_cap=soft_cap,
+        page=page,
+        n_blocks=n_blocks,
+        has_sink=has_sink,
+        has_lse=has_lse,
+    )

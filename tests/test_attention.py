@@ -1,0 +1,231 @@
+"""Flash attention (prefill + paged decode) and merge_state tests.
+
+Tolerances follow the reference FA-style dynamic tolerance idea
+(test_flash_attention.py:1844-1881) simplified: fp32 inputs on CPU
+interpret-mode vs a numpy fp64 oracle at rtol/atol 2e-2 (bf16-grade) or
+2e-3 (f32-grade).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from ref_attention import ref_attention
+
+from sgl_kernel_tpu.ops import attention
+
+
+class TestMergeState:
+    def test_matches_direct_softmax(self, rng):
+        # split a full softmax attention into two halves and merge
+        t, h, d, s = 8, 4, 64, 256
+        q = rng.standard_normal((t, h, d)).astype(np.float32)
+        k = rng.standard_normal((s, h, d)).astype(np.float32)
+        v = rng.standard_normal((s, h, d)).astype(np.float32)
+
+        def part(ks, vs):
+            o = np.zeros((t, h, d))
+            lse = np.zeros((t, h))
+            for hh in range(h):
+                sc = q[:, hh] @ ks[:, hh].T / np.sqrt(d)
+                m = sc.max(-1, keepdims=True)
+                p = np.exp(sc - m)
+                l = p.sum(-1, keepdims=True)
+                o[:, hh] = p @ vs[:, hh] / l
+                lse[:, hh] = ((m + np.log(l)) * np.log2(np.e))[:, 0]
+            return o, lse
+
+        oa, sa = part(k[: s // 2], v[: s // 2])
+        ob, sb = part(k[s // 2 :], v[s // 2 :])
+        om, sm = attention.merge_state(
+            jnp.asarray(oa, jnp.float32), jnp.asarray(sa, jnp.float32),
+            jnp.asarray(ob, jnp.float32), jnp.asarray(sb, jnp.float32),
+        )
+        ofull, sfull = part(k, v)
+        np.testing.assert_allclose(np.asarray(om), ofull, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(sm), sfull, rtol=1e-4, atol=1e-4)
+
+    def test_merge_states_stack(self, rng):
+        n, t, h, d = 4, 8, 2, 32
+        v = rng.standard_normal((n, t, h, d)).astype(np.float32)
+        s = rng.standard_normal((n, t, h)).astype(np.float32)
+        vm, sm = attention.merge_states(jnp.asarray(v), jnp.asarray(s))
+        # fold pairwise as oracle
+        va, sa = v[0], s[0]
+        for i in range(1, n):
+            va, sa = attention.merge_state(jnp.asarray(va), jnp.asarray(sa), jnp.asarray(v[i]), jnp.asarray(s[i]))
+            va, sa = np.asarray(va), np.asarray(sa)
+        np.testing.assert_allclose(np.asarray(vm), va, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(sm), sa, rtol=1e-4, atol=1e-4)
+
+
+class TestFlashPrefill:
+    @pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 2)])
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_basic(self, rng, hq, hkv, causal):
+        b, s, d = 2, 256, 64
+        q = rng.standard_normal((b, s, hq, d)).astype(np.float32)
+        k = rng.standard_normal((b, s, hkv, d)).astype(np.float32)
+        v = rng.standard_normal((b, s, hkv, d)).astype(np.float32)
+        out = attention.flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=causal)
+        for bb in range(b):
+            ref, _ = ref_attention(q[bb], k[bb], v[bb], causal=causal)
+            np.testing.assert_allclose(np.asarray(out)[bb], ref, rtol=2e-3, atol=2e-3)
+
+    def test_varlen_and_extend_offset(self, rng):
+        # chunked prefill: q is the last q_len tokens of a kv_len-long context
+        b, sq, skv, h, d = 2, 128, 384, 2, 64
+        q = rng.standard_normal((b, sq, h, d)).astype(np.float32)
+        k = rng.standard_normal((b, skv, h, d)).astype(np.float32)
+        v = rng.standard_normal((b, skv, h, d)).astype(np.float32)
+        q_lens = np.array([128, 70], np.int32)
+        kv_lens = np.array([384, 200], np.int32)
+        out = attention.flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(q_lens), jnp.asarray(kv_lens), causal=True,
+        )
+        for bb in range(b):
+            ref, _ = ref_attention(
+                q[bb, : q_lens[bb]], k[bb], v[bb], causal=True,
+                q_len=int(q_lens[bb]), kv_len=int(kv_lens[bb]),
+            )
+            np.testing.assert_allclose(np.asarray(out)[bb, : q_lens[bb]], ref, rtol=2e-3, atol=2e-3)
+
+    def test_sliding_window(self, rng):
+        b, s, h, d = 1, 256, 2, 64
+        q = rng.standard_normal((b, s, h, d)).astype(np.float32)
+        k = rng.standard_normal((b, s, h, d)).astype(np.float32)
+        v = rng.standard_normal((b, s, h, d)).astype(np.float32)
+        out = attention.flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True, sliding_window=64
+        )
+        ref, _ = ref_attention(q[0], k[0], v[0], causal=True, window=64)
+        np.testing.assert_allclose(np.asarray(out)[0], ref, rtol=2e-3, atol=2e-3)
+
+    def test_softcap_and_sinks(self, rng):
+        b, s, h, d = 1, 128, 4, 64
+        q = rng.standard_normal((b, s, h, d)).astype(np.float32)
+        k = rng.standard_normal((b, s, h, d)).astype(np.float32)
+        v = rng.standard_normal((b, s, h, d)).astype(np.float32)
+        sinks = rng.standard_normal(h).astype(np.float32)
+        out = attention.flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), sinks=jnp.asarray(sinks),
+            causal=True, logit_soft_cap=30.0,
+        )
+        ref, _ = ref_attention(q[0], k[0], v[0], causal=True, soft_cap=30.0, sinks=sinks)
+        np.testing.assert_allclose(np.asarray(out)[0], ref, rtol=2e-3, atol=2e-3)
+
+    def test_lse_output(self, rng):
+        b, s, h, d = 1, 128, 2, 64
+        q = rng.standard_normal((b, s, h, d)).astype(np.float32)
+        k = rng.standard_normal((b, s, h, d)).astype(np.float32)
+        v = rng.standard_normal((b, s, h, d)).astype(np.float32)
+        out, lse = attention.flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True, return_lse=True
+        )
+        ref, ref_lse = ref_attention(q[0], k[0], v[0], causal=True)
+        np.testing.assert_allclose(np.asarray(lse)[0], ref_lse, rtol=1e-3, atol=1e-3)
+
+    def test_merge_of_chunks_equals_full(self, rng):
+        # the split-KV contract: attend to two KV chunks separately (non-causal)
+        # and merge with merge_state == full attention
+        b, s, h, d = 1, 128, 2, 64
+        q = rng.standard_normal((b, s, h, d)).astype(np.float32)
+        k = rng.standard_normal((b, 2 * s, h, d)).astype(np.float32)
+        v = rng.standard_normal((b, 2 * s, h, d)).astype(np.float32)
+        o1, s1 = attention.flash_attention(
+            jnp.asarray(q), jnp.asarray(k[:, :s]), jnp.asarray(v[:, :s]), causal=False, return_lse=True
+        )
+        o2, s2 = attention.flash_attention(
+            jnp.asarray(q), jnp.asarray(k[:, s:]), jnp.asarray(v[:, s:]), causal=False, return_lse=True
+        )
+        om, _ = attention.merge_state(
+            o1[0], jnp.swapaxes(s1[0], 0, 1), o2[0], jnp.swapaxes(s2[0], 0, 1)
+        )
+        ref, _ = ref_attention(q[0], k[0], v[0], causal=False)
+        np.testing.assert_allclose(np.asarray(om), ref, rtol=2e-3, atol=2e-3)
+
+
+def make_paged(rng, b, hkv, d, page, lengths, n_pages):
+    """Scatter per-seq KV into a paged pool; returns pool + page table + flat kv."""
+    max_blocks = (max(lengths) + page - 1) // page
+    k_pages = np.zeros((n_pages, page, hkv, d), np.float32)
+    v_pages = np.zeros((n_pages, page, hkv, d), np.float32)
+    table = np.zeros((b, max_blocks), np.int32)
+    ks, vs = [], []
+    next_page = 1  # page 0 kept as the pad page
+    for bb in range(b):
+        kk = rng.standard_normal((lengths[bb], hkv, d)).astype(np.float32)
+        vv = rng.standard_normal((lengths[bb], hkv, d)).astype(np.float32)
+        ks.append(kk)
+        vs.append(vv)
+        nb = (lengths[bb] + page - 1) // page
+        for i in range(nb):
+            pid = next_page
+            next_page += 1
+            table[bb, i] = pid
+            chunk = kk[i * page : (i + 1) * page]
+            k_pages[pid, : len(chunk)] = chunk
+            v_pages[pid, : len(chunk)] = vv[i * page : (i + 1) * page]
+    return k_pages, v_pages, table, ks, vs
+
+
+class TestPagedDecode:
+    @pytest.mark.parametrize("hq,hkv", [(8, 8), (32, 8), (4, 1)])
+    def test_basic(self, rng, hq, hkv):
+        b, d, page = 3, 64, 64
+        lengths = [170, 64, 33]
+        k_pages, v_pages, table, ks, vs = make_paged(rng, b, hkv, d, page, lengths, n_pages=16)
+        q = rng.standard_normal((b, hq, d)).astype(np.float32)
+        out = attention.paged_attention_decode(
+            jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+            jnp.asarray(lengths, jnp.int32), jnp.asarray(table),
+        )
+        for bb in range(b):
+            ref, _ = ref_attention(q[bb][None], ks[bb], vs[bb], causal=False)
+            np.testing.assert_allclose(np.asarray(out)[bb], ref[0], rtol=2e-2, atol=2e-2)
+
+    def test_fp8_kv_with_descale(self, rng):
+        b, hq, hkv, d, page = 2, 8, 4, 64, 64
+        lengths = [100, 60]
+        k_pages, v_pages, table, ks, vs = make_paged(rng, b, hkv, d, page, lengths, n_pages=8)
+        k_scale, v_scale = 0.06, 0.04
+        kq = jnp.asarray(k_pages / k_scale).astype(jnp.float8_e4m3fn)
+        vq = jnp.asarray(v_pages / v_scale).astype(jnp.float8_e4m3fn)
+        q = rng.standard_normal((b, hq, d)).astype(np.float32)
+        out = attention.paged_attention_decode(
+            jnp.asarray(q, jnp.bfloat16), kq, vq,
+            jnp.asarray(lengths, jnp.int32), jnp.asarray(table),
+            k_scale=k_scale, v_scale=v_scale,
+        )
+        for bb in range(b):
+            ref, _ = ref_attention(q[bb][None], ks[bb], vs[bb], causal=False)
+            np.testing.assert_allclose(np.asarray(out, np.float32)[bb], ref[0], rtol=0.12, atol=0.12)
+
+    def test_sliding_window_and_sinks(self, rng):
+        b, hq, hkv, d, page = 1, 4, 2, 64, 64
+        lengths = [200]
+        k_pages, v_pages, table, ks, vs = make_paged(rng, b, hkv, d, page, lengths, n_pages=8)
+        q = rng.standard_normal((b, hq, d)).astype(np.float32)
+        sinks = rng.standard_normal(hq).astype(np.float32)
+        out = attention.paged_attention_decode(
+            jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+            jnp.asarray(lengths, jnp.int32), jnp.asarray(table),
+            sinks=jnp.asarray(sinks), sliding_window=64,
+        )
+        ref, _ = ref_attention(
+            q[0][None], ks[0], vs[0], causal=False, window=64, sinks=sinks,
+            q_len=1, kv_len=lengths[0],
+        )
+        np.testing.assert_allclose(np.asarray(out)[0], ref[0], rtol=2e-2, atol=2e-2)
+
+    def test_lse(self, rng):
+        b, hq, hkv, d, page = 1, 2, 2, 64, 64
+        lengths = [90]
+        k_pages, v_pages, table, ks, vs = make_paged(rng, b, hkv, d, page, lengths, n_pages=4)
+        q = rng.standard_normal((b, hq, d)).astype(np.float32)
+        out, lse = attention.paged_attention_decode(
+            jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+            jnp.asarray(lengths, jnp.int32), jnp.asarray(table), return_lse=True,
+        )
+        ref, ref_lse = ref_attention(q[0][None], ks[0], vs[0], causal=False)
+        np.testing.assert_allclose(np.asarray(lse)[0], ref_lse[:, 0], rtol=1e-3, atol=1e-3)
