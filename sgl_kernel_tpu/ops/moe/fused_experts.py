@@ -1,0 +1,133 @@
+"""fused_experts: the full MoE layer forward.
+
+TPU-native re-design of the reference's orchestration (moe.py:403-867):
+
+    route -> align/sort by expert -> grouped GEMM1 -> activation
+          -> grouped GEMM2 -> weighted combine
+
+BF16 weights run on jax.lax.ragged_dot (XLA grouped GEMM); quantized
+int4/mxfp4 weights run on the Pallas block-aligned grouped kernel
+(grouped_gemm.w4a16_grouped_mm). The activation between the GEMMs follows
+the reference activation map (silu / gelu / silu_clamp / swiglu_gpt_oss).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...utils import round_up
+from ..activation import ACTIVATIONS
+from .align import MoeAlignment, apply_shuffle_mul_sum, moe_align_block_size, scatter_tokens_to_experts
+from .grouped_gemm import ragged_grouped_mm, w4a16_grouped_mm
+
+
+class MoeWeights(NamedTuple):
+    """Expert weights for one MoE layer.
+
+    w1: [E, H, 2I] (gate|up concatenated on the output dim) bf16, or int4
+        codes [E, 2I, H] for the quantized path.
+    w2: [E, I, H] bf16, or int4 codes [E, H, I].
+    Optional per-group quant metadata mirrors ops/gemm/w4a16.py.
+    """
+
+    w1: jax.Array
+    w2: jax.Array
+    w1_scales: Optional[jax.Array] = None
+    w2_scales: Optional[jax.Array] = None
+    w1_zeros: Optional[jax.Array] = None
+    w2_zeros: Optional[jax.Array] = None
+    group_size: int = 128
+    fmt: str = "bf16"  # bf16 | int4 | mxfp4
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("activation", "block_size", "gemm1_alpha", "gemm1_limit", "fmt", "group_size"),
+)
+def _fused_experts_impl(
+    hidden,
+    w1,
+    w2,
+    topk_weights,
+    topk_ids,
+    w1_scales,
+    w2_scales,
+    w1_zeros,
+    w2_zeros,
+    *,
+    activation: str,
+    block_size: int,
+    gemm1_alpha: float,
+    gemm1_limit: float,
+    fmt: str,
+    group_size: int,
+):
+    t, h = hidden.shape
+    e = w1.shape[0]
+    act_fn = ACTIVATIONS[activation]
+
+    align = moe_align_block_size(topk_ids, topk_weights, e, block_size)
+    x = scatter_tokens_to_experts(hidden, align)  # [cap, H]
+
+    if fmt == "bf16":
+        # ragged_dot wants true group sizes over *sorted* rows; our rows are
+        # block-aligned with zero pads inside each expert segment, so use the
+        # padded per-expert sizes (pads multiply real weights, produce rows
+        # that the combine drops via zero pair_weight).
+        padded_sizes = jnp.bincount(align.block_expert_ids, length=e) * block_size
+        inter = ragged_grouped_mm(x, w1, padded_sizes)  # [cap, 2I]
+        if activation in ("silu_clamp", "swiglu_gpt_oss"):
+            a = act_fn(inter, gemm1_limit) if activation == "silu_clamp" else act_fn(inter, gemm1_alpha, gemm1_limit)
+        else:
+            a = act_fn(inter)
+        out_sorted = ragged_grouped_mm(a, w2, padded_sizes)  # [cap, H]
+    else:
+        inter = w4a16_grouped_mm(
+            x, w1, w1_scales, align.block_expert_ids, w1_zeros,
+            group_size=group_size, fmt=fmt, bm=block_size,
+        )
+        if activation in ("silu_clamp", "swiglu_gpt_oss"):
+            a = act_fn(inter, gemm1_limit) if activation == "silu_clamp" else act_fn(inter, gemm1_alpha, gemm1_limit)
+        else:
+            a = act_fn(inter)
+        out_sorted = w4a16_grouped_mm(
+            a, w2, w2_scales, align.block_expert_ids, w2_zeros,
+            group_size=group_size, fmt=fmt, bm=block_size,
+        )
+
+    return apply_shuffle_mul_sum(out_sorted, align, t)
+
+
+def fused_experts(
+    hidden,
+    weights: MoeWeights,
+    topk_weights,
+    topk_ids,
+    *,
+    activation: str = "silu",
+    block_size: int = 128,
+    gemm1_alpha: float = 1.702,
+    gemm1_limit: float = 7.0,
+):
+    """MoE layer forward. hidden [T, H]; topk_weights/ids [T, K]."""
+    return _fused_experts_impl(
+        hidden,
+        weights.w1,
+        weights.w2,
+        topk_weights,
+        topk_ids,
+        weights.w1_scales,
+        weights.w2_scales,
+        weights.w1_zeros,
+        weights.w2_zeros,
+        activation=activation,
+        block_size=block_size,
+        gemm1_alpha=gemm1_alpha,
+        gemm1_limit=gemm1_limit,
+        fmt=weights.fmt,
+        group_size=weights.group_size,
+    )
