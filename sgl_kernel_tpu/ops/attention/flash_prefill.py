@@ -41,9 +41,9 @@ def _kernel(
     q_ref,  # [1, 1, bq, D]
     k_ref,  # [1, 1, bkv, D]
     v_ref,  # [1, 1, bkv, D]
-    sink_ref,  # [1, 1] SMEM or None
+    sink_ref,  # [1, 1, 1] or None
     o_ref,  # [1, 1, bq, D]
-    lse_ref,  # [1, 1, bq] or None
+    lse_ref,  # [1, 8, bq] or None
     m_scr,  # [bq, 128] f32
     l_scr,  # [bq, 128] f32
     acc_scr,  # [bq, D] f32
@@ -121,12 +121,12 @@ def _kernel(
         m = m_scr[:, :1]
         l = l_scr[:, :1]
         if has_sink:
-            l = l + jnp.exp(sink_ref[0, 0] - m)
+            l = l + jnp.exp(sink_ref[0, 0, 0] - m)
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
         if has_lse:
-            lse = (m + jnp.log(jnp.maximum(l, 1e-38))) * LOG2E
-            lse_ref[0, 0] = lse[:, 0]
+            lse = ((m + jnp.log(jnp.maximum(l, 1e-38))) * LOG2E)[:, 0]  # [bq]
+            lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
 
 
 @functools.partial(
@@ -200,14 +200,16 @@ def flash_attention(
     inputs = [qt, kt, vt]
     has_sink = sinks is not None
     if has_sink:
-        in_specs.append(pl.BlockSpec((1, 1), lambda bb, h, iq, ikv, lens: (h, 0), memory_space=pltpu.SMEM))
-        inputs.append(sinks.astype(jnp.float32).reshape(hq, 1))
+        # [Hq, 1, 1] with block (1, 1, 1): last-two dims equal the array's
+        in_specs.append(pl.BlockSpec((1, 1, 1), lambda bb, h, iq, ikv, lens: (h, 0, 0)))
+        inputs.append(sinks.astype(jnp.float32).reshape(hq, 1, 1))
 
     out_shapes = [jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype)]
     out_specs = [pl.BlockSpec((1, 1, bq, d), lambda bb, h, iq, ikv, lens: (bb, h, iq, 0))]
     if return_lse:
-        out_shapes.append(jax.ShapeDtypeStruct((b, hq, sq_p), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 1, bq), lambda bb, h, iq, ikv, lens: (bb, h, iq)))
+        # [B*Hq, 8, Sq] with an 8-row broadcast per tile (Mosaic block rule)
+        out_shapes.append(jax.ShapeDtypeStruct((b * hq, 8, sq_p), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 8, bq), lambda bb, h, iq, ikv, lens, _hq=hq: (bb * _hq + h, 0, iq)))
 
     kernel = functools.partial(
         _kernel_entry,
@@ -249,7 +251,7 @@ def flash_attention(
 
     out = jnp.swapaxes(outs[0], 1, 2)[:, :sq]
     if return_lse:
-        return out, outs[1][:, :, :sq]
+        return out, outs[1][:, 0, :sq].reshape(b, hq, sq_p)[:, :, :sq]
     return out
 
 

@@ -4,7 +4,8 @@ TPU-native replacement for the reference's FMHA decode path
 (src/sycl/flash_attention.cpp `decode::mha_fwd` + FmhaDecodeRunner): one
 query token per sequence attends to a paged KV cache.
 
-Design: the KV pools stay in HBM as [num_pages, page_size, Hkv, D]; the
+Design: the KV pools stay in HBM head-major as [Hkv, num_pages, page_size,
+D] (head outside the last-two tiled dims, per the Mosaic block rule); the
 grid walks (batch, kv_head, kv_block) and the *page table is scalar-
 prefetched* so each KV block's BlockSpec index_map resolves the physical
 page id before the block is fetched — Pallas's pipeline then double-buffers
@@ -39,11 +40,11 @@ def _kernel(
     lens_ref,  # [B] scalar prefetch
     pt_ref,  # [B, n_blocks] scalar prefetch page table
     q_ref,  # [1, 1, Gp, D]
-    k_ref,  # [1, page, 1, D]
-    v_ref,  # [1, page, 1, D]
-    sink_ref,  # [1, Gp] or None
+    k_ref,  # [1, 1, page, D]
+    v_ref,  # [1, 1, page, D]
+    sink_ref,  # [1, 1, Gp] or None
     o_ref,  # [1, 1, Gp, D]
-    lse_ref,  # [1, 1, Gp] or None
+    lse_ref,  # [1, 1, 8, Gp] or None
     m_scr,
     l_scr,
     acc_scr,
@@ -69,7 +70,7 @@ def _kernel(
     @pl.when(i * page < length)
     def _body():
         q = q_ref[0, 0]  # [Gp, D]
-        k = k_ref[:, :, 0, :].reshape(page, -1).astype(q.dtype)  # fp8 pages upcast losslessly
+        k = k_ref[0, 0].astype(q.dtype)  # [page, D]; fp8 pages upcast losslessly
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         s = s * sm_scale  # [Gp, page]
         if soft_cap is not None:
@@ -91,7 +92,7 @@ def _kernel(
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
 
-        v = v_ref[:, :, 0, :].reshape(page, -1).astype(q_ref.dtype)
+        v = v_ref[0, 0].astype(q_ref.dtype)
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
@@ -101,11 +102,12 @@ def _kernel(
         m = m_scr[:, :1]
         l = l_scr[:, :1]
         if has_sink:
-            l = l + jnp.exp(sink_ref[0, :].reshape(-1, 1) - m)
+            l = l + jnp.exp(sink_ref[0].reshape(-1, 1) - m)
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
         if has_lse:
-            lse_ref[0, 0] = ((m + jnp.log(jnp.maximum(l, 1e-38))) * LOG2E)[:, 0]
+            lse = ((m + jnp.log(jnp.maximum(l, 1e-38))) * LOG2E)[:, 0]  # [Gp]
+            lse_ref[0, 0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[2:])
 
 
 @functools.partial(
@@ -129,14 +131,14 @@ def paged_attention_decode(
 ):
     """Decode attention over a paged KV cache.
 
-    q: [B, Hq, D]; k_pages/v_pages: [P, page_size, Hkv, D] (bf16 or fp8);
+    q: [B, Hq, D]; k_pages/v_pages: [Hkv, P, page_size, D] (bf16 or fp8);
     lengths: [B] valid token counts (incl. current token); page_table:
     [B, max_pages_per_seq] physical page ids (pad with 0).
     k_scale/v_scale: optional scalar fp8 descales.
     Returns out [B, Hq, D] (+ lse [B, Hq] base-2 when return_lse).
     """
     b, hq, d = q.shape
-    n_pages, page, hkv, _ = k_pages.shape
+    hkv, n_pages, page, _ = k_pages.shape
     assert hq % hkv == 0
     group = hq // hkv
     gp = round_up(group, 8)
@@ -154,19 +156,20 @@ def paged_attention_decode(
     inputs = [qh, k_pages, v_pages]
     in_specs = [
         pl.BlockSpec((1, 1, gp, d), lambda bb, h, i, lens, pt: (bb, h, 0, 0)),
-        pl.BlockSpec((1, page, 1, d), lambda bb, h, i, lens, pt: (pt[bb, i], 0, h, 0)),
-        pl.BlockSpec((1, page, 1, d), lambda bb, h, i, lens, pt: (pt[bb, i], 0, h, 0)),
+        pl.BlockSpec((1, 1, page, d), lambda bb, h, i, lens, pt: (h, pt[bb, i], 0, 0)),
+        pl.BlockSpec((1, 1, page, d), lambda bb, h, i, lens, pt: (h, pt[bb, i], 0, 0)),
     ]
     if has_sink:
-        sink_arr = jnp.pad(sinks.astype(jnp.float32).reshape(hkv, group), ((0, 0), (0, gp - group)))
-        in_specs.append(pl.BlockSpec((1, gp), lambda bb, h, i, lens, pt: (h, 0)))
+        sink_arr = jnp.pad(sinks.astype(jnp.float32).reshape(hkv, 1, group), ((0, 0), (0, 0), (0, gp - group)))
+        in_specs.append(pl.BlockSpec((1, 1, gp), lambda bb, h, i, lens, pt: (h, 0, 0)))
         inputs.append(sink_arr)
 
     out_shapes = [jax.ShapeDtypeStruct((b, hkv, gp, d), q.dtype)]
     out_specs = [pl.BlockSpec((1, 1, gp, d), lambda bb, h, i, lens, pt: (bb, h, 0, 0))]
     if return_lse:
-        out_shapes.append(jax.ShapeDtypeStruct((b, hkv, gp), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 1, gp), lambda bb, h, i, lens, pt: (bb, h, 0)))
+        # 8-row broadcast satisfies the (x8, x128|full) block rule; sliced after
+        out_shapes.append(jax.ShapeDtypeStruct((b, hkv, 8, gp), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, 8, gp), lambda bb, h, i, lens, pt: (bb, h, 0, 0)))
 
     kernel = functools.partial(
         _kernel_entry,
@@ -208,7 +211,7 @@ def paged_attention_decode(
     if v_scale is not None:
         out = (out.astype(jnp.float32) * jnp.asarray(v_scale, jnp.float32)).astype(q.dtype)
     if return_lse:
-        return out, outs[1][:, :, :group].reshape(b, hq)
+        return out, outs[1][:, :, 0, :group].reshape(b, hq)
     return out
 
 

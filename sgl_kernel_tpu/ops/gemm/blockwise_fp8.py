@@ -36,7 +36,7 @@ def _kernel(a_ref, b_ref, sa_ref, sb_ref, o_ref, acc_ref, *, n_k):
         a_ref[...], b_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     # scale_a: [bm, 1] column for this k-block; scale_b: scalar block scale.
-    acc_ref[...] += part * sa_ref[...] * sb_ref[0, 0]
+    acc_ref[...] += part * sa_ref[0] * sb_ref[0, 0, 0, 0]
 
     @pl.when(k_idx == n_k - 1)
     def _done():
@@ -60,6 +60,9 @@ def fp8_blockwise_scaled_mm(a, b, scales_a, scales_b, out_dtype=jnp.bfloat16, *,
 
     n_k = k // BLOCK
     grid = (n // BLOCK, mp // bm, n_k)
+    # [K/128, M, 1] layout satisfies the Mosaic block rule (last dim == 1)
+    sa_t = jnp.swapaxes(scales_a, 0, 1)[..., None]
+    sb4 = scales_b[..., None, None]  # trailing (1, 1) == array dims
 
     out = pl.pallas_call(
         functools.partial(_kernel, n_k=n_k),
@@ -67,8 +70,8 @@ def fp8_blockwise_scaled_mm(a, b, scales_a, scales_b, out_dtype=jnp.bfloat16, *,
         in_specs=[
             pl.BlockSpec((bm, BLOCK), lambda j, i, kk: (i, kk)),
             pl.BlockSpec((BLOCK, BLOCK), lambda j, i, kk: (kk, j)),
-            pl.BlockSpec((bm, 1), lambda j, i, kk: (i, kk)),
-            pl.BlockSpec((1, 1), lambda j, i, kk: (kk, j)),
+            pl.BlockSpec((1, bm, 1), lambda j, i, kk: (kk, i, 0)),
+            pl.BlockSpec((1, 1, 1, 1), lambda j, i, kk: (kk, j, 0, 0)),
         ],
         out_specs=pl.BlockSpec((bm, BLOCK), lambda j, i, kk: (i, j)),
         out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
@@ -82,5 +85,5 @@ def fp8_blockwise_scaled_mm(a, b, scales_a, scales_b, out_dtype=jnp.bfloat16, *,
             transcendentals=0,
         ),
         interpret=pallas_interpret(),
-    )(a, b, scales_a, scales_b)
+    )(a, b, sa_t, sb4)
     return out[:m] if mp != m else out

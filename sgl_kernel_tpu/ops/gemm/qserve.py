@@ -43,7 +43,7 @@ def _per_group_kernel(a_ref, w_ref, s2_ref, z2_ref, o_ref, acc_ref, *, group_siz
     w = w_ref[...].astype(jnp.float32).reshape(bn, ng, group_size)
     # (code * s2 - z2s2): z2_ref already holds zero*s2 (reference packs
     # zeros pre-multiplied by the group scale, test_qserve_w4a8_per_group_gemm.py:82-90)
-    w = w * s2_ref[...].astype(jnp.float32)[..., None] - z2_ref[...].astype(jnp.float32)[..., None]
+    w = w * s2_ref[..., 0][..., None] - z2_ref[..., 0][..., None]
     wf = w.reshape(bn, bk).astype(jnp.bfloat16)
     # int8 activations are exactly representable in bf16; accumulate f32.
     acc_ref[...] += jax.lax.dot_general(
@@ -76,13 +76,16 @@ def qserve_w4a8_per_group_gemm(
     m, k = a_q.shape
     n = w_q.shape[0]
     bm = min(bm, round_up(m, 8))
-    bk = min(bk, k)
+    bk = min(max(bk, 8 * group_size), k)
     bn = min(bn, n)
     assert k % bk == 0 and bk % group_size == 0 and n % bn == 0
+    assert (bk // group_size) % 8 == 0 or bk == k, (bk, group_size)
     mp = round_up(m, bm)
     if mp != m:
         a_q = jnp.pad(a_q, ((0, mp - m), (0, 0)))
 
+    s2_f = scales_i8.astype(jnp.float32)[..., None]
+    z2_f = zeros_x_s2.astype(jnp.float32)[..., None]
     ng = bk // group_size
     out = pl.pallas_call(
         functools.partial(_per_group_kernel, group_size=group_size, n_k=k // bk),
@@ -90,8 +93,8 @@ def qserve_w4a8_per_group_gemm(
         in_specs=[
             pl.BlockSpec((bm, bk), lambda j, i, kk: (i, kk)),
             pl.BlockSpec((bn, bk), lambda j, i, kk: (j, kk)),
-            pl.BlockSpec((bn, ng), lambda j, i, kk: (j, kk)),
-            pl.BlockSpec((bn, ng), lambda j, i, kk: (j, kk)),
+            pl.BlockSpec((bn, ng, 1), lambda j, i, kk: (j, kk, 0)),
+            pl.BlockSpec((bn, ng, 1), lambda j, i, kk: (j, kk, 0)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda j, i, kk: (i, j)),
         out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
@@ -100,7 +103,7 @@ def qserve_w4a8_per_group_gemm(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=pallas_interpret(),
-    )(a_q, w_q, scales_i8, zeros_x_s2)
+    )(a_q, w_q, s2_f, z2_f)
     out = out[:m]
     out = out * ascales.astype(jnp.float32).reshape(-1, 1) * wscales.astype(jnp.float32).reshape(1, -1)
     return out.astype(out_dtype)

@@ -1,0 +1,150 @@
+"""KV-cache management: paged store + hierarchical-cache transfer ops.
+
+TPU-native equivalents of the reference's cache kernels:
+
+  - store_cache (src/sycl/KVCache.cpp): scatter new K/V rows into the paged
+    pools at flat slot indices.
+  - the KVCacheIO transfer family (src/sycl/KVCacheIO.cpp:19-31): token
+    gather/scatter between pools in three layouts —
+      lf = layer-first  [num_layers][num_tokens, item]   (device pools)
+      pf = page-first   [num_tokens, num_layers, item]   (host staging pool)
+      ph = page-head    [num_pages, heads, page, num_layers, head_dim]
+    On TPU the host pools are arrays placed with
+    ``jax.device_put(..., memory_kind="pinned_host")`` and the transfers are
+    donated gather/scatter jit programs, which XLA turns into async DMA over
+    the host fabric — the role the reference's device-addressing-pinned-host
+    kernels play.
+
+All functions are functional (return the updated pool); callers use JAX
+donation to make them in-place.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# store
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def store_cache(k, v, k_pool, v_pool, loc):
+    """Scatter k/v [T, H, D] into head-major paged pools [H, P, page, D] at
+    flat slot indices loc [T] (slot = page_id * page_size + offset; the
+    pool layout matches ops/attention/paged_decode). loc < 0 skips."""
+    h, p, page, d = k_pool.shape
+    flat_k = k_pool.reshape(h, p * page, d)
+    flat_v = v_pool.reshape(h, p * page, d)
+    safe = jnp.where(loc >= 0, loc, p * page)  # OOB drops (scatter mode "drop")
+    flat_k = flat_k.at[:, safe].set(jnp.swapaxes(k, 0, 1).astype(k_pool.dtype), mode="drop")
+    flat_v = flat_v.at[:, safe].set(jnp.swapaxes(v, 0, 1).astype(v_pool.dtype), mode="drop")
+    return flat_k.reshape(k_pool.shape), flat_v.reshape(v_pool.shape)
+
+
+@jax.jit
+def store_cache_mla(kv, pool, loc):
+    """MLA single-pool variant: kv [T, D_ckv] into pool [P, page, D_ckv]."""
+    p, page, d = pool.shape
+    flat = pool.reshape(p * page, d)
+    safe = jnp.where(loc >= 0, loc, p * page)
+    return flat.at[safe].set(kv.astype(pool.dtype), mode="drop").reshape(pool.shape)
+
+
+# ---------------------------------------------------------------------------
+# layout-transfer family (HiCache / PD-disaggregation data plane)
+# ---------------------------------------------------------------------------
+
+
+def _gather_tokens(pool_flat, indices):
+    return pool_flat[indices]
+
+
+@jax.jit
+def transfer_kv_per_layer(src_k, src_v, dst_k, dst_v, src_indices, dst_indices):
+    """lf -> lf, one layer: move token rows between two [T, ...] pools."""
+    dst_k = dst_k.at[dst_indices].set(src_k[src_indices])
+    dst_v = dst_v.at[dst_indices].set(src_v[src_indices])
+    return dst_k, dst_v
+
+
+@jax.jit
+def transfer_kv_per_layer_mla(src, dst, src_indices, dst_indices):
+    return dst.at[dst_indices].set(src[src_indices])
+
+
+@jax.jit
+def transfer_kv_all_layer(src_k_layers, src_v_layers, dst_k_layers, dst_v_layers, src_indices, dst_indices):
+    """lf -> lf, all layers: src/dst stacked [L, T, ...]."""
+    dst_k_layers = dst_k_layers.at[:, dst_indices].set(src_k_layers[:, src_indices])
+    dst_v_layers = dst_v_layers.at[:, dst_indices].set(src_v_layers[:, src_indices])
+    return dst_k_layers, dst_v_layers
+
+
+@jax.jit
+def transfer_kv_all_layer_mla(src_layers, dst_layers, src_indices, dst_indices):
+    return dst_layers.at[:, dst_indices].set(src_layers[:, src_indices])
+
+
+@jax.jit
+def transfer_kv_all_layer_lf_pf(src_k_layers, src_v_layers, dst_pf, src_indices, dst_indices):
+    """lf [L, T, item] (x2 for k/v) -> pf [T, 2L, item] staging pool."""
+    l = src_k_layers.shape[0]
+    kv = jnp.concatenate([src_k_layers[:, src_indices], src_v_layers[:, src_indices]], axis=0)  # [2L, n, item]
+    return dst_pf.at[dst_indices].set(jnp.swapaxes(kv, 0, 1).astype(dst_pf.dtype))
+
+
+@jax.jit
+def transfer_kv_per_layer_pf_lf(src_pf, dst_k, dst_v, src_indices, dst_indices, layer_id: jax.Array):
+    """pf [T, 2L, item] -> lf one layer."""
+    rows = src_pf[src_indices]  # [n, 2L, item]
+    l = src_pf.shape[1] // 2
+    k_rows = jnp.take_along_axis(rows, jnp.full((rows.shape[0], 1, 1), layer_id), axis=1)[:, 0]
+    v_rows = jnp.take_along_axis(rows, jnp.full((rows.shape[0], 1, 1), layer_id + l), axis=1)[:, 0]
+    return dst_k.at[dst_indices].set(k_rows.astype(dst_k.dtype)), dst_v.at[dst_indices].set(v_rows.astype(dst_v.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("page_size",))
+def transfer_kv_all_layer_lf_ph(src_k_layers, src_v_layers, dst_ph, src_page_ids, dst_page_ids, page_size: int):
+    """lf [L, T, H, D] (x2) -> ph [P, H, page, 2L, D] page-head pool, whole pages."""
+    l, _, h, d = src_k_layers.shape
+    # gather page token rows: [L, n_pages, page, H, D]
+    tok = (src_page_ids[:, None] * page_size + jnp.arange(page_size)[None, :]).reshape(-1)
+    k = src_k_layers[:, tok].reshape(l, -1, page_size, h, d)
+    v = src_v_layers[:, tok].reshape(l, -1, page_size, h, d)
+    kv = jnp.concatenate([k, v], axis=0)  # [2L, n, page, H, D]
+    ph = jnp.transpose(kv, (1, 3, 2, 0, 4))  # [n, H, page, 2L, D]
+    return dst_ph.at[dst_page_ids].set(ph.astype(dst_ph.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("page_size",))
+def transfer_kv_per_layer_ph_lf(src_ph, dst_k, dst_v, src_page_ids, dst_page_ids, layer_id: jax.Array, page_size: int):
+    """ph [P, H, page, 2L, D] -> lf one layer [T, H, D] (x2), whole pages."""
+    l2 = src_ph.shape[3]
+    pages = src_ph[src_page_ids]  # [n, H, page, 2L, D]
+    sel_k = jnp.take_along_axis(pages, jnp.full(pages.shape[:3] + (1, 1), layer_id), axis=3)[..., 0, :]
+    sel_v = jnp.take_along_axis(pages, jnp.full(pages.shape[:3] + (1, 1), layer_id + l2 // 2), axis=3)[..., 0, :]
+    k_rows = jnp.swapaxes(sel_k, 1, 2).reshape(-1, pages.shape[1], pages.shape[-1])  # [n*page, H, D]
+    v_rows = jnp.swapaxes(sel_v, 1, 2).reshape(-1, pages.shape[1], pages.shape[-1])
+    tok = (dst_page_ids[:, None] * page_size + jnp.arange(page_size)[None, :]).reshape(-1)
+    return dst_k.at[tok].set(k_rows.astype(dst_k.dtype)), dst_v.at[tok].set(v_rows.astype(dst_v.dtype))
+
+
+def to_host(x):
+    """Move an array to pinned host memory (HiCache staging tier)."""
+    try:
+        return jax.device_put(x, jax.sharding.SingleDeviceSharding(jax.devices()[0], memory_kind="pinned_host"))
+    except Exception:  # CPU backend has no pinned_host memory space
+        return jax.device_put(x)
+
+
+def to_device(x):
+    try:
+        return jax.device_put(x, jax.sharding.SingleDeviceSharding(jax.devices()[0], memory_kind="device"))
+    except Exception:
+        return jax.device_put(x)

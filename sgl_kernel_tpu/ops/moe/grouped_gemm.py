@@ -22,7 +22,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...utils import pallas_interpret
-from ..gemm.w4a16 import _dequant_tile
+from ..gemm.w4a16 import _dequant_tile, pack_block_size
 
 
 def ragged_grouped_mm(x_sorted, weights, group_sizes):
@@ -34,7 +34,7 @@ def ragged_grouped_mm(x_sorted, weights, group_sizes):
 def _w4_kernel(
     expert_ids_ref,  # [n_blocks] scalar prefetch
     a_ref,  # [bm, bk]
-    w_ref,  # [1, bn, bk]
+    w_ref,  # [1, bn, bk//2] packed
     s_ref,  # [1, bn, bk//G]
     z_ref,  # [1, bn, bk//G] or None
     o_ref,  # [bm, bn]
@@ -51,7 +51,7 @@ def _w4_kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     wf = _dequant_tile(
-        w_ref[0], s_ref[0], z_ref[0] if z_ref is not None else None, fmt, group_size
+        w_ref[0], s_ref[0, ..., 0], z_ref[0, ..., 0] if z_ref is not None else None, fmt, group_size
     )
     acc_ref[...] += jax.lax.dot_general(
         a_ref[...], wf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -81,29 +81,38 @@ def w4a16_grouped_mm(
 
     x_sorted: [cap, K] activations in expert-sorted block-aligned order
       (cap multiple of bm — from moe_align_block_size(block_size=bm)).
-    w: [E, N, K] int4/uint4 codes; scales [E, N, K//G]; zeros opt [E, N, K//G].
+    w: [E, N, K//2] packed uint8 (pack_w4_tpu layout); scales [E, N, K//G];
+      zeros opt [E, N, K//G].
     block_expert_ids: [cap // bm] expert id per row-block (scalar-prefetched).
     Returns [cap, N].
     """
     cap, k = x_sorted.shape
-    e, n, _ = w.shape
+    e, n = w.shape[0], w.shape[1]
+    assert w.shape[2] == k // 2 and w.dtype == jnp.uint8, (w.shape, w.dtype)
     assert cap % bm == 0
     bn = min(bn, n)
-    bk = min(bk, k)
-    assert n % bn == 0 and k % bk == 0 and bk % group_size == 0
+    # the K tile must equal the stored pack block (block-half nibble layout)
+    bk = pack_block_size(k, group_size)
+    assert n % bn == 0
     out_dtype = out_dtype or x_sorted.dtype
     ngb = bk // group_size
     n_k = k // bk
 
+    if fmt == "mxfp4":
+        scales_f = jnp.exp2(scales.astype(jnp.float32) - 127.0)[..., None]
+    else:
+        scales_f = scales.astype(jnp.float32)[..., None]
+    zeros_f = zeros.astype(jnp.float32)[..., None] if zeros is not None else None
+
     in_specs = [
         pl.BlockSpec((bm, bk), lambda i, j, kk, eids: (i, kk)),
-        pl.BlockSpec((1, bn, bk), lambda i, j, kk, eids: (eids[i], j, kk)),
-        pl.BlockSpec((1, bn, ngb), lambda i, j, kk, eids: (eids[i], j, kk)),
+        pl.BlockSpec((1, bn, bk // 2), lambda i, j, kk, eids: (eids[i], j, kk)),
+        pl.BlockSpec((1, bn, ngb, 1), lambda i, j, kk, eids: (eids[i], j, kk, 0)),
     ]
-    inputs = [x_sorted, w, scales]
+    inputs = [x_sorted, w, scales_f]
     if zeros is not None:
-        in_specs.append(pl.BlockSpec((1, bn, ngb), lambda i, j, kk, eids: (eids[i], j, kk)))
-        inputs.append(zeros)
+        in_specs.append(pl.BlockSpec((1, bn, ngb, 1), lambda i, j, kk, eids: (eids[i], j, kk, 0)))
+        inputs.append(zeros_f)
 
     kernel = functools.partial(
         _w4_kernel_entry,

@@ -148,8 +148,8 @@ class TestFlashPrefill:
 def make_paged(rng, b, hkv, d, page, lengths, n_pages):
     """Scatter per-seq KV into a paged pool; returns pool + page table + flat kv."""
     max_blocks = (max(lengths) + page - 1) // page
-    k_pages = np.zeros((n_pages, page, hkv, d), np.float32)
-    v_pages = np.zeros((n_pages, page, hkv, d), np.float32)
+    k_pages = np.zeros((hkv, n_pages, page, d), np.float32)
+    v_pages = np.zeros((hkv, n_pages, page, d), np.float32)
     table = np.zeros((b, max_blocks), np.int32)
     ks, vs = [], []
     next_page = 1  # page 0 kept as the pad page
@@ -164,8 +164,8 @@ def make_paged(rng, b, hkv, d, page, lengths, n_pages):
             next_page += 1
             table[bb, i] = pid
             chunk = kk[i * page : (i + 1) * page]
-            k_pages[pid, : len(chunk)] = chunk
-            v_pages[pid, : len(chunk)] = vv[i * page : (i + 1) * page]
+            k_pages[:, pid, : len(chunk)] = chunk.transpose(1, 0, 2)
+            v_pages[:, pid, : len(chunk)] = vv[i * page : (i + 1) * page].transpose(1, 0, 2)
     return k_pages, v_pages, table, ks, vs
 
 
