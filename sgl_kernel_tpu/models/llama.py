@@ -1,0 +1,200 @@
+"""Llama-family model built on the op library (bf16 or W4A16 int4).
+
+The serving-side model the reference delegates to SGLang: decoder-only
+transformer with RMSNorm + RoPE + GQA attention over a paged KV cache +
+SwiGLU MLP. Weights live in a flat pytree with layer-stacked arrays so the
+whole forward is one ``lax.scan`` over layers (O(1) compile time in depth).
+
+Two entry points:
+  - ``prefill``: flash-attention over the prompt, writes KV into the paged
+    pools, returns last-token logits.
+  - ``decode_step``: one token per sequence against the paged cache
+    (ops.attention.paged_attention_decode), the serving hot loop.
+
+Quantization: ``quant="w4a16"`` stores every linear as the packed int4
+layout of ops/gemm/w4a16.py and runs the dequant-fused Pallas GEMM — the
+BASELINE.json north-star configuration (W4A16 Llama-8B decode).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.activation import silu_and_mul
+from ..ops.attention import flash_attention, paged_attention_decode
+from ..ops.gemm.w4a16 import quantize_w4, w4a16_gemm
+from ..ops.kvcache import store_cache
+from ..ops.norm import rmsnorm
+from ..ops.rope import compute_cos_sin_cache, rotary_embedding
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rope_theta: float = 500000.0
+    rms_eps: float = 1e-5
+    max_position: int = 8192
+    dtype: Any = jnp.bfloat16
+    quant: Optional[str] = None  # None | "w4a16"
+    group_size: int = 128
+
+    @staticmethod
+    def llama3_8b(**kw):
+        return LlamaConfig(
+            vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+            num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128, **kw
+        )
+
+    @staticmethod
+    def tiny(**kw):
+        return LlamaConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+            max_position=256, dtype=jnp.float32, **kw
+        )
+
+
+def init_weights(cfg: LlamaConfig, key) -> Dict[str, Any]:
+    """Random weights (layer-stacked pytree) for benchmarking/testing."""
+    h, d = cfg.hidden_size, cfg.head_dim
+    nq, nkv, l = cfg.num_heads, cfg.num_kv_heads, cfg.num_layers
+    qkv_out = (nq + 2 * nkv) * d
+    keys = jax.random.split(key, 8)
+
+    def w(key, shape, scale=None):
+        scale = scale if scale is not None else (1.0 / (shape[-1] ** 0.5))
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(cfg.dtype)
+
+    params = {
+        "embed": w(keys[0], (cfg.vocab_size, h), 0.02),
+        "final_norm": jnp.ones((h,), cfg.dtype),
+        "lm_head": w(keys[1], (cfg.vocab_size, h)),
+        "layers": {
+            "input_norm": jnp.ones((l, h), cfg.dtype),
+            "post_norm": jnp.ones((l, h), cfg.dtype),
+            "qkv": w(keys[2], (l, qkv_out, h)),
+            "o": w(keys[3], (l, h, nq * d)),
+            "gate_up": w(keys[4], (l, 2 * cfg.intermediate_size, h)),
+            "down": w(keys[5], (l, h, cfg.intermediate_size)),
+        },
+    }
+    if cfg.quant == "w4a16":
+        params["layers"] = _quantize_layers(params["layers"], cfg)
+        params["lm_head"] = _quantize_matrix(params["lm_head"], cfg)
+    return params
+
+
+def _quantize_matrix(wm, cfg):
+    packed, scales, _ = quantize_w4(wm, group_size=cfg.group_size)
+    return {"packed": packed, "scales": scales}
+
+
+def _quantize_layers(layers, cfg):
+    out = dict(layers)
+    for name in ("qkv", "o", "gate_up", "down"):
+        wm = layers[name]
+        packed, scales = jax.vmap(lambda x: quantize_w4(x, group_size=cfg.group_size)[:2])(wm)
+        out[name] = {"packed": packed, "scales": scales}
+    return out
+
+
+def _linear(x, w, cfg: LlamaConfig):
+    if isinstance(w, dict):
+        return w4a16_gemm(x, w["packed"], w["scales"], group_size=cfg.group_size, out_dtype=cfg.dtype)
+    return jnp.dot(x, w.T, preferred_element_type=jnp.float32).astype(cfg.dtype)
+
+
+def make_caches(cfg: LlamaConfig, num_pages: int, page_size: int, kv_dtype=None):
+    """Stacked per-layer paged pools [L, Hkv, P, page, D] (x2 for K and V)."""
+    kv_dtype = kv_dtype or cfg.dtype
+    shape = (cfg.num_layers, cfg.num_kv_heads, num_pages, page_size, cfg.head_dim)
+    return jnp.zeros(shape, kv_dtype), jnp.zeros(shape, kv_dtype)
+
+
+def _split_qkv(qkv, cfg, n_tokens):
+    nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = qkv[:, : nq * d].reshape(n_tokens, nq, d)
+    k = qkv[:, nq * d : (nq + nkv) * d].reshape(n_tokens, nkv, d)
+    v = qkv[:, (nq + nkv) * d :].reshape(n_tokens, nkv, d)
+    return q, k, v
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
+def decode_step(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, page_tables, lengths, slot_loc, rope_cache):
+    """One decode step. tokens/positions/lengths/slot_loc: [B];
+    page_tables [B, max_pages]. Returns (logits [B, V], k_cache, v_cache)."""
+    b = tokens.shape[0]
+    x = params["embed"][tokens].astype(cfg.dtype)
+
+    lw = params["layers"]
+
+    def layer_fn(x, layer):
+        weights, kp, vp = layer
+        h = rmsnorm(x, weights["input_norm"], cfg.rms_eps)
+        qkv = _linear(h, weights["qkv"], cfg)
+        q, k, v = _split_qkv(qkv, cfg, b)
+        q, k = rotary_embedding(positions, q, k, cfg.head_dim, rope_cache)
+        kp, vp = store_cache(k, v, kp, vp, slot_loc)
+        attn = paged_attention_decode(q, kp, vp, lengths, page_tables)
+        x = x + _linear(attn.reshape(b, -1), weights["o"], cfg)
+        h2 = rmsnorm(x, weights["post_norm"], cfg.rms_eps)
+        mlp = _linear(silu_and_mul(_linear(h2, weights["gate_up"], cfg)), weights["down"], cfg)
+        return x + mlp, (kp, vp)
+
+    x, (k_cache, v_cache) = jax.lax.scan(layer_fn, x, (lw, k_cache, v_cache))
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    logits = _linear(x, params["lm_head"], cfg).astype(jnp.float32)
+    return logits, k_cache, v_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
+def prefill(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, q_lens, slot_loc, rope_cache):
+    """Prefill a padded batch. tokens/positions [B, S]; q_lens [B];
+    slot_loc [B, S] flat cache slots per token (−1 beyond q_len).
+    Returns (last-token logits [B, V], k_cache, v_cache)."""
+    b, s = tokens.shape
+    x = params["embed"][tokens.reshape(-1)].astype(cfg.dtype)  # [B*S, H]
+
+    lw = params["layers"]
+
+    def layer_fn(x, layer):
+        weights, kp, vp = layer
+        h = rmsnorm(x, weights["input_norm"], cfg.rms_eps)
+        qkv = _linear(h, weights["qkv"], cfg)
+        q, k, v = _split_qkv(qkv, cfg, b * s)
+        q, k = rotary_embedding(positions.reshape(-1), q, k, cfg.head_dim, rope_cache)
+        kp, vp = store_cache(k, v, kp, vp, slot_loc.reshape(-1))
+        attn = flash_attention(
+            q.reshape(b, s, cfg.num_heads, cfg.head_dim),
+            k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
+            v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
+            q_lens, q_lens, causal=True,
+        ).reshape(b * s, -1)
+        x = x + _linear(attn, weights["o"], cfg)
+        h2 = rmsnorm(x, weights["post_norm"], cfg.rms_eps)
+        mlp = _linear(silu_and_mul(_linear(h2, weights["gate_up"], cfg)), weights["down"], cfg)
+        return x + mlp, (kp, vp)
+
+    x, (k_cache, v_cache) = jax.lax.scan(layer_fn, x, (lw, k_cache, v_cache))
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    # gather last valid token per sequence
+    x = x.reshape(b, s, -1)
+    last = jnp.clip(q_lens - 1, 0, s - 1)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    logits = _linear(x_last, params["lm_head"], cfg).astype(jnp.float32)
+    return logits, k_cache, v_cache
+
+
+def build_rope_cache(cfg: LlamaConfig):
+    return compute_cos_sin_cache(cfg.head_dim, cfg.max_position, cfg.rope_theta)

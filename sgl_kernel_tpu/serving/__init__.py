@@ -1,0 +1,3 @@
+"""Minimal continuous-batching serving loop (scheduler + paged KV allocator)."""
+
+from .engine import Engine, Request  # noqa: F401

@@ -1,0 +1,191 @@
+"""Continuous-batching serving engine.
+
+The thin serving loop the north star requires (the reference delegates this
+to SGLang; SURVEY §7 makes it part of this framework): a paged-KV page
+allocator (free list), a prefill/decode scheduler, and a step loop that
+feeds the jitted model functions. Host-side logic is deliberately tiny —
+all compute is inside the jitted prefill/decode_step programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+from ..ops.sampling import sample_tokens
+from ..utils import cdiv
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: List[int]
+    max_new_tokens: int = 32
+    temperature: float = 0.0
+    output: List[int] = dataclasses.field(default_factory=list)
+    pages: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+    @property
+    def seq_len(self) -> int:
+        return len(self.prompt) + len(self.output)
+
+
+class PageAllocator:
+    """Free-list page allocator over the paged KV pool (page 0 reserved as
+    the pad page, mirroring the decode kernel's padding convention)."""
+
+    def __init__(self, num_pages: int):
+        self.free = list(range(num_pages - 1, 0, -1))
+
+    def alloc(self, n: int) -> Optional[List[int]]:
+        if len(self.free) < n:
+            return None
+        return [self.free.pop() for _ in range(n)]
+
+    def release(self, pages: List[int]):
+        self.free.extend(pages)
+
+
+class Engine:
+    """Continuous batching over a single chip (multi-chip via parallel/)."""
+
+    def __init__(
+        self,
+        cfg: llama.LlamaConfig,
+        params=None,
+        *,
+        max_batch: int = 8,
+        num_pages: int = 512,
+        page_size: int = 64,
+        max_pages_per_seq: Optional[int] = None,
+        prefill_bucket: int = 128,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.page_size = page_size
+        self.max_batch = max_batch
+        self.max_pages_per_seq = max_pages_per_seq or cdiv(cfg.max_position, page_size)
+        self.prefill_bucket = prefill_bucket
+        if params is None:
+            params = llama.init_weights(cfg, jax.random.PRNGKey(seed))
+        self.params = params
+        self.rope_cache = llama.build_rope_cache(cfg)
+        self.k_cache, self.v_cache = llama.make_caches(cfg, num_pages, page_size)
+        self.allocator = PageAllocator(num_pages)
+        self.waiting: List[Request] = []
+        self.running: List[Request] = []
+        self.finished: Dict[int, Request] = {}
+        self._next_rid = 0
+        self._key = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------------
+    def add_request(self, prompt: List[int], max_new_tokens: int = 32, temperature: float = 0.0) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        self.waiting.append(Request(rid, list(prompt), max_new_tokens, temperature))
+        return rid
+
+    def _slot(self, req: Request, pos: int) -> int:
+        return req.pages[pos // self.page_size] * self.page_size + pos % self.page_size
+
+    def _page_table(self, req: Request) -> np.ndarray:
+        pt = np.zeros(self.max_pages_per_seq, np.int32)
+        pt[: len(req.pages)] = req.pages
+        return pt
+
+    # ------------------------------------------------------------------
+    def _admit(self):
+        while self.waiting and len(self.running) < self.max_batch:
+            req = self.waiting[0]
+            need = cdiv(req.seq_len + req.max_new_tokens, self.page_size)
+            pages = self.allocator.alloc(need)
+            if pages is None:
+                break
+            req.pages = pages
+            self.waiting.pop(0)
+            self._prefill(req)
+            self.running.append(req)
+
+    def _prefill(self, req: Request):
+        s = len(req.prompt)
+        bucket = max(self.prefill_bucket, 1 << (s - 1).bit_length())
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, :s] = req.prompt
+        positions = np.zeros((1, bucket), np.int32)
+        positions[0, :s] = np.arange(s)
+        slot_loc = np.full((1, bucket), -1, np.int32)
+        slot_loc[0, :s] = [self._slot(req, p) for p in range(s)]
+        logits, self.k_cache, self.v_cache = llama.prefill(
+            self.params, self.cfg, self.k_cache, self.v_cache,
+            jnp.asarray(tokens), jnp.asarray(positions),
+            jnp.asarray([s], jnp.int32), jnp.asarray(slot_loc), self.rope_cache,
+        )
+        self._append_token(req, logits[0])
+
+    def _append_token(self, req: Request, logits):
+        self._key, sub = jax.random.split(self._key)
+        if req.temperature == 0.0:
+            tok = int(jnp.argmax(logits))
+        else:
+            tok = int(sample_tokens(logits[None], sub, temperature=req.temperature)[0])
+        req.output.append(tok)
+        if len(req.output) >= req.max_new_tokens:
+            req.done = True
+
+    def _decode_batch(self):
+        reqs = [r for r in self.running if not r.done]
+        if not reqs:
+            return
+        b = len(reqs)
+        bp = self.max_batch  # pad to fixed batch for stable compilation
+        tokens = np.zeros(bp, np.int32)
+        positions = np.zeros(bp, np.int32)
+        lengths = np.zeros(bp, np.int32)
+        slot_loc = np.full(bp, -1, np.int32)
+        tables = np.zeros((bp, self.max_pages_per_seq), np.int32)
+        for i, r in enumerate(reqs):
+            pos = r.seq_len - 1  # position of the token being fed
+            tokens[i] = r.output[-1] if r.output else r.prompt[-1]
+            positions[i] = pos
+            lengths[i] = r.seq_len
+            slot_loc[i] = self._slot(r, pos)
+            tables[i] = self._page_table(r)
+        logits, self.k_cache, self.v_cache = llama.decode_step(
+            self.params, self.cfg, self.k_cache, self.v_cache,
+            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
+            jnp.asarray(lengths), jnp.asarray(slot_loc), self.rope_cache,
+        )
+        logits_np = logits[:b]
+        for i, r in enumerate(reqs):
+            self._append_token(r, logits_np[i])
+
+    def _retire(self):
+        still = []
+        for r in self.running:
+            if r.done:
+                self.allocator.release(r.pages)
+                r.pages = []
+                self.finished[r.rid] = r
+            else:
+                still.append(r)
+        self.running = still
+
+    # ------------------------------------------------------------------
+    def step(self):
+        """One scheduler iteration: admit+prefill, one decode step, retire."""
+        self._admit()
+        self._decode_batch()
+        self._retire()
+
+    def run_until_done(self, max_steps: int = 10_000):
+        steps = 0
+        while (self.waiting or self.running) and steps < max_steps:
+            self.step()
+            steps += 1
+        return self.finished

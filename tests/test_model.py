@@ -1,0 +1,158 @@
+"""End-to-end Llama model + engine tests against a pure-numpy oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgl_kernel_tpu.models import llama
+from sgl_kernel_tpu.serving import Engine
+
+
+def np_forward(params, cfg, tokens):
+    """Pure numpy full-attention transformer forward; returns logits [S, V]."""
+
+    def rms(x, w, eps=None):
+        eps = cfg.rms_eps if eps is None else eps
+        return x / np.sqrt((x**2).mean(-1, keepdims=True) + eps) * w
+
+    def rope(x, pos):
+        s, h, d = x.shape
+        inv = 1.0 / (cfg.rope_theta ** (np.arange(0, d, 2) / d))
+        f = np.outer(pos, inv)
+        cos, sin = np.cos(f)[:, None, :], np.sin(f)[:, None, :]
+        x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+        return np.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+
+    p = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
+    s = len(tokens)
+    x = p["embed"][tokens]
+    nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    pos = np.arange(s)
+    for li in range(cfg.num_layers):
+        lw = {k: v[li] for k, v in p["layers"].items()}
+        h = rms(x, lw["input_norm"])
+        qkv = h @ lw["qkv"].T
+        q = rope(qkv[:, : nq * d].reshape(s, nq, d), pos)
+        k = rope(qkv[:, nq * d : (nq + nkv) * d].reshape(s, nkv, d), pos)
+        v = qkv[:, (nq + nkv) * d :].reshape(s, nkv, d)
+        attn = np.zeros((s, nq, d))
+        g = nq // nkv
+        for hh in range(nq):
+            sc = q[:, hh] @ k[:, hh // g].T / np.sqrt(d)
+            mask = np.tril(np.ones((s, s), bool))
+            sc = np.where(mask, sc, -np.inf)
+            w = np.exp(sc - sc.max(-1, keepdims=True))
+            w /= w.sum(-1, keepdims=True)
+            attn[:, hh] = w @ v[:, hh // g]
+        x = x + attn.reshape(s, -1) @ lw["o"].T
+        h2 = rms(x, lw["post_norm"])
+        gu = h2 @ lw["gate_up"].T
+        inter = gu.shape[-1] // 2
+        act = gu[:, :inter] / (1 + np.exp(-gu[:, :inter])) * gu[:, inter:]
+        x = x + act @ lw["down"].T
+    x = rms(x, p["final_norm"])
+    return x @ p["lm_head"].T
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_weights(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+class TestLlama:
+    def test_prefill_matches_oracle(self, tiny_model, rng):
+        cfg, params = tiny_model
+        s = 10
+        tokens = rng.integers(0, cfg.vocab_size, s).astype(np.int32)
+        kc, vc = llama.make_caches(cfg, num_pages=8, page_size=16)
+        rope_cache = llama.build_rope_cache(cfg)
+        pad = 16
+        tok_pad = np.zeros((1, pad), np.int32)
+        tok_pad[0, :s] = tokens
+        pos_pad = np.zeros((1, pad), np.int32)
+        pos_pad[0, :s] = np.arange(s)
+        slots = np.full((1, pad), -1, np.int32)
+        slots[0, :s] = 16 + np.arange(s)  # page 1
+        logits, kc, vc = llama.prefill(
+            params, cfg, kc, vc, jnp.asarray(tok_pad), jnp.asarray(pos_pad),
+            jnp.asarray([s], jnp.int32), jnp.asarray(slots), rope_cache,
+        )
+        ref = np_forward(params, cfg, tokens)
+        np.testing.assert_allclose(np.asarray(logits)[0], ref[-1], rtol=2e-2, atol=2e-2)
+
+    def test_decode_continues_prefill(self, tiny_model, rng):
+        cfg, params = tiny_model
+        s = 10
+        tokens = rng.integers(0, cfg.vocab_size, s + 3).astype(np.int32)
+        kc, vc = llama.make_caches(cfg, num_pages=8, page_size=16)
+        rope_cache = llama.build_rope_cache(cfg)
+        pad = 16
+        tok_pad = np.zeros((1, pad), np.int32)
+        tok_pad[0, :s] = tokens[:s]
+        pos_pad = np.zeros((1, pad), np.int32)
+        pos_pad[0, :s] = np.arange(s)
+        slots = np.full((1, pad), -1, np.int32)
+        slots[0, :s] = 16 + np.arange(s)
+        _, kc, vc = llama.prefill(
+            params, cfg, kc, vc, jnp.asarray(tok_pad), jnp.asarray(pos_pad),
+            jnp.asarray([s], jnp.int32), jnp.asarray(slots), rope_cache,
+        )
+        # teacher-forced decode of tokens s..s+2 (pages 1,2 -> table [1, 2])
+        table = np.zeros((1, 4), np.int32)
+        table[0, :2] = [1, 2]
+        for i in range(3):
+            pos = s + i
+            logits, kc, vc = llama.decode_step(
+                params, cfg, kc, vc,
+                jnp.asarray([tokens[pos]], jnp.int32), jnp.asarray([pos], jnp.int32),
+                jnp.asarray(table), jnp.asarray([pos + 1], jnp.int32),
+                jnp.asarray([16 + pos], jnp.int32), rope_cache,
+            )
+            ref = np_forward(params, cfg, tokens[: pos + 1])
+            np.testing.assert_allclose(np.asarray(logits)[0], ref[-1], rtol=3e-2, atol=3e-2)
+
+    def test_w4a16_model_runs(self, rng):
+        cfg = llama.LlamaConfig.tiny(quant="w4a16", group_size=32)
+        params = llama.init_weights(cfg, jax.random.PRNGKey(1))
+        kc, vc = llama.make_caches(cfg, num_pages=8, page_size=16)
+        rope_cache = llama.build_rope_cache(cfg)
+        tok = np.zeros((1, 16), np.int32)
+        tok[0, :4] = [1, 2, 3, 4]
+        slots = np.full((1, 16), -1, np.int32)
+        slots[0, :4] = 16 + np.arange(4)
+        logits, kc, vc = llama.prefill(
+            params, cfg, kc, vc, jnp.asarray(tok),
+            jnp.asarray(np.arange(16)[None].astype(np.int32) * (np.arange(16) < 4)[None]),
+            jnp.asarray([4], jnp.int32), jnp.asarray(slots), rope_cache,
+        )
+        assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestEngine:
+    def test_greedy_generation_consistent(self, tiny_model, rng):
+        cfg, params = tiny_model
+        eng = Engine(cfg, params, max_batch=2, num_pages=32, page_size=16, prefill_bucket=16)
+        prompt = rng.integers(0, cfg.vocab_size, 7).tolist()
+        rid = eng.add_request(prompt, max_new_tokens=5)
+        eng.run_until_done(max_steps=50)
+        out = eng.finished[rid].output
+        assert len(out) == 5
+        # teacher-forced oracle: greedy continuation with full numpy forward
+        seq = list(prompt)
+        for _ in range(5):
+            ref_logits = np_forward(params, cfg, np.asarray(seq, np.int32))
+            nxt = int(ref_logits[-1].argmax())
+            seq.append(nxt)
+        assert out == seq[len(prompt):], (out, seq[len(prompt):])
+
+    def test_multiple_requests_batched(self, tiny_model, rng):
+        cfg, params = tiny_model
+        eng = Engine(cfg, params, max_batch=3, num_pages=64, page_size=16, prefill_bucket=16)
+        rids = [eng.add_request(rng.integers(0, cfg.vocab_size, 5 + i).tolist(), max_new_tokens=4) for i in range(3)]
+        eng.run_until_done(max_steps=50)
+        assert all(len(eng.finished[r].output) == 4 for r in rids)
+        # pages all released
+        assert len(eng.allocator.free) == 63

@@ -1,0 +1,126 @@
+"""Sampling + KV-cache op tests (oracle pattern per reference
+tests/test_sampling.py golden semantics and test_kvcacheio.py round-trips)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgl_kernel_tpu.ops import kvcache, sampling
+
+
+class TestSampling:
+    def test_top_k_renorm(self, rng):
+        t, v = 8, 128
+        probs = rng.random((t, v)).astype(np.float32)
+        probs /= probs.sum(-1, keepdims=True)
+        out = np.asarray(sampling.top_k_renorm_probs(jnp.asarray(probs), 10))
+        for tt in range(t):
+            kept = np.argsort(-probs[tt])[:10]
+            assert np.count_nonzero(out[tt]) == 10
+            assert set(np.nonzero(out[tt])[0]) == set(kept)
+        np.testing.assert_allclose(out.sum(-1), 1.0, rtol=1e-5)
+
+    def test_top_p_renorm(self, rng):
+        t, v = 4, 64
+        probs = rng.random((t, v)).astype(np.float32)
+        probs /= probs.sum(-1, keepdims=True)
+        out = np.asarray(sampling.top_p_renorm_probs(jnp.asarray(probs), 0.7))
+        for tt in range(t):
+            order = np.argsort(-probs[tt])
+            csum = np.cumsum(probs[tt][order])
+            n_keep = int(np.searchsorted(csum, 0.7) + 1)
+            kept = set(order[:n_keep])
+            assert set(np.nonzero(out[tt])[0]) == kept
+        np.testing.assert_allclose(out.sum(-1), 1.0, rtol=1e-5)
+
+    def test_min_p_filter(self, rng):
+        t, v = 4, 64
+        probs = rng.random((t, v)).astype(np.float32)
+        probs /= probs.sum(-1, keepdims=True)
+        out = np.asarray(sampling.min_p_filter_probs(jnp.asarray(probs), 0.5))
+        for tt in range(t):
+            thresh = 0.5 * probs[tt].max()
+            assert set(np.nonzero(out[tt])[0]) == set(np.nonzero(probs[tt] >= thresh)[0])
+
+    def test_sampling_distribution(self):
+        probs = jnp.asarray([[0.1, 0.6, 0.3, 0.0]] * 512, jnp.float32)
+        toks = np.asarray(sampling.sampling_from_probs(probs, jax.random.PRNGKey(0)))
+        counts = np.bincount(toks, minlength=4) / len(toks)
+        assert counts[3] == 0.0
+        np.testing.assert_allclose(counts[:3], [0.1, 0.6, 0.3], atol=0.08)
+
+    def test_greedy(self, rng):
+        logits = rng.standard_normal((4, 32)).astype(np.float32)
+        out = sampling.sample_tokens(jnp.asarray(logits), jax.random.PRNGKey(0), temperature_is_zero=True)
+        np.testing.assert_array_equal(np.asarray(out), logits.argmax(-1))
+
+    def test_deterministic(self, rng):
+        probs = rng.random((8, 100)).astype(np.float32)
+        probs /= probs.sum(-1, keepdims=True)
+        a = sampling.top_k_top_p_sampling_from_probs(jnp.asarray(probs), jax.random.PRNGKey(7), 20, 0.9)
+        b = sampling.top_k_top_p_sampling_from_probs(jnp.asarray(probs), jax.random.PRNGKey(7), 20, 0.9)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestKvCache:
+    def test_store_cache_roundtrip(self, rng):
+        h, p, page, d, t = 2, 4, 8, 16, 5
+        kp = jnp.zeros((h, p, page, d))
+        vp = jnp.zeros((h, p, page, d))
+        k = rng.standard_normal((t, h, d)).astype(np.float32)
+        v = rng.standard_normal((t, h, d)).astype(np.float32)
+        loc = jnp.asarray([0, 3, 8, 17, 31], jnp.int32)  # pages 0,0,1,2,3
+        kp2, vp2 = kvcache.store_cache(jnp.asarray(k), jnp.asarray(v), kp, vp, loc)
+        flat = np.asarray(kp2).reshape(h, p * page, d)
+        for i, l in enumerate([0, 3, 8, 17, 31]):
+            np.testing.assert_allclose(flat[:, l], k[i].reshape(h, d), rtol=1e-6)
+
+    def test_store_cache_negative_skips(self, rng):
+        h, p, page, d = 1, 2, 4, 8
+        kp = jnp.ones((h, p, page, d))
+        vp = jnp.ones((h, p, page, d))
+        k = rng.standard_normal((2, h, d)).astype(np.float32)
+        kp2, _ = kvcache.store_cache(jnp.asarray(k), jnp.asarray(k), kp, vp, jnp.asarray([-1, 2]))
+        flat = np.asarray(kp2).reshape(h, p * page, d)
+        assert np.all(flat[:, 0] == 1.0)  # loc -1 dropped
+        np.testing.assert_allclose(flat[:, 2], k[1].reshape(h, d), rtol=1e-6)
+
+    def test_transfer_per_layer(self, rng):
+        src_k = jnp.asarray(rng.standard_normal((16, 2, 8)), jnp.float32)
+        src_v = jnp.asarray(rng.standard_normal((16, 2, 8)), jnp.float32)
+        dst_k = jnp.zeros((16, 2, 8))
+        dst_v = jnp.zeros((16, 2, 8))
+        si = jnp.asarray([1, 5, 9], jnp.int32)
+        di = jnp.asarray([0, 1, 2], jnp.int32)
+        dk, dv = kvcache.transfer_kv_per_layer(src_k, src_v, dst_k, dst_v, si, di)
+        np.testing.assert_allclose(np.asarray(dk)[:3], np.asarray(src_k)[np.asarray(si)], rtol=1e-6)
+
+    def test_lf_pf_roundtrip(self, rng):
+        l, t, item = 3, 16, 8
+        src_k = jnp.asarray(rng.standard_normal((l, t, item)), jnp.float32)
+        src_v = jnp.asarray(rng.standard_normal((l, t, item)), jnp.float32)
+        pf = jnp.zeros((t, 2 * l, item))
+        si = jnp.asarray([2, 7], jnp.int32)
+        di = jnp.asarray([0, 1], jnp.int32)
+        pf2 = kvcache.transfer_kv_all_layer_lf_pf(src_k, src_v, pf, si, di)
+        # back to lf layer 1
+        dk = jnp.zeros((t, item))
+        dv = jnp.zeros((t, item))
+        dk2, dv2 = kvcache.transfer_kv_per_layer_pf_lf(pf2, dk, dv, di, jnp.asarray([4, 5], jnp.int32), jnp.int32(1))
+        np.testing.assert_allclose(np.asarray(dk2)[4], np.asarray(src_k)[1, 2], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(dv2)[5], np.asarray(src_v)[1, 7], rtol=1e-6)
+
+    def test_lf_ph_roundtrip(self, rng):
+        l, t, h, d, page = 2, 32, 2, 8, 4
+        src_k = jnp.asarray(rng.standard_normal((l, t, h, d)), jnp.float32)
+        src_v = jnp.asarray(rng.standard_normal((l, t, h, d)), jnp.float32)
+        ph = jnp.zeros((4, h, page, 2 * l, d))
+        src_pages = jnp.asarray([1, 3], jnp.int32)
+        dst_pages = jnp.asarray([0, 2], jnp.int32)
+        ph2 = kvcache.transfer_kv_all_layer_lf_ph(src_k, src_v, ph, src_pages, dst_pages, page)
+        dk = jnp.zeros((t, h, d))
+        dv = jnp.zeros((t, h, d))
+        dk2, dv2 = kvcache.transfer_kv_per_layer_ph_lf(ph2, dk, dv, dst_pages, jnp.asarray([0, 1], jnp.int32), jnp.int32(0), page)
+        # page 1 of src layer 0 should land at dst page 0 (tokens 0..3)
+        np.testing.assert_allclose(np.asarray(dk2)[:page], np.asarray(src_k)[0, page : 2 * page], rtol=1e-6)
