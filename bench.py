@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Headline benchmark: W4A16 Llama-3-8B decode tokens/s on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the fraction of the per-chip HBM-bandwidth roofline
+achieved (BASELINE.json north star: >= 0.85 on the dequant-GEMM path) —
+decode is bandwidth-bound, so roofline tokens/s = B / (bytes_touched / BW).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from sgl_kernel_tpu.models import llama
+from sgl_kernel_tpu.ops.gemm.w4a16 import quantize_w4
+
+BATCH = 16
+CTX = 1024
+PAGE = 64
+STEPS = 32
+
+# v5e (TPU v5 lite) HBM bandwidth, bytes/s
+HBM_BW = {"v5": 819e9, "v5e": 819e9, "v6e": 1640e9, "v4": 1228e9}
+
+
+def device_bw():
+    kind = str(jax.devices()[0].device_kind).lower()
+    for key, bw in HBM_BW.items():
+        if key in kind:
+            return bw
+    return 819e9
+
+
+def build_weights(cfg):
+    """Quantize one layer's matrices and tile across layers (distinct HBM
+    buffers, so the bandwidth measurement is honest)."""
+    key = jax.random.PRNGKey(0)
+    h, d = cfg.hidden_size, cfg.head_dim
+    nq, nkv, l = cfg.num_heads, cfg.num_kv_heads, cfg.num_layers
+
+    def qmat(key, n, k):
+        w = jax.random.normal(key, (n, k), jnp.bfloat16) * 0.02
+        packed, scales, _ = quantize_w4(w, group_size=cfg.group_size)
+        return packed, scales
+
+    ks = jax.random.split(key, 9)
+    names = {
+        "q": (nq * d, h), "k": (nkv * d, h), "v": (nkv * d, h), "o": (h, nq * d),
+        "gate": (cfg.intermediate_size, h), "up": (cfg.intermediate_size, h),
+        "down": (h, cfg.intermediate_size),
+    }
+    layers = {
+        "input_norm": jnp.ones((l, h), cfg.dtype),
+        "post_norm": jnp.ones((l, h), cfg.dtype),
+    }
+    for i, (name, (n, k)) in enumerate(names.items()):
+        packed, scales = qmat(ks[i], n, k)
+        layers[name] = {
+            "packed": jnp.tile(packed[None], (l, 1, 1)),
+            "scales": jnp.tile(scales[None], (l, 1, 1)),
+        }
+    lm_packed, lm_scales = qmat(ks[7], cfg.vocab_size, h)
+    params = {
+        "embed": jax.random.normal(ks[8], (cfg.vocab_size, h), jnp.bfloat16) * 0.02,
+        "final_norm": jnp.ones((h,), cfg.dtype),
+        "lm_head": {"packed": lm_packed, "scales": lm_scales},
+        "layers": layers,
+    }
+    return params
+
+
+def main():
+    cfg = llama.LlamaConfig.llama3_8b(quant="w4a16", group_size=128)
+    params = build_weights(cfg)
+
+    num_pages = BATCH * (CTX // PAGE) + 1
+    kc, vc = llama.make_caches(cfg, num_pages, PAGE)
+    rope_cache = llama.build_rope_cache(cfg)
+
+    tables = np.zeros((BATCH, CTX // PAGE), np.int32)
+    pid = 1
+    for b in range(BATCH):
+        for j in range(CTX // PAGE):
+            tables[b, j] = pid
+            pid += 1
+    lengths = jnp.full((BATCH,), CTX, jnp.int32)
+    positions = jnp.full((BATCH,), CTX - 1, jnp.int32)
+    slots = jnp.asarray(tables[:, -1] * PAGE + (CTX - 1) % PAGE, jnp.int32)
+    tables = jnp.asarray(tables)
+    tokens = jnp.zeros((BATCH,), jnp.int32)
+
+    def step(kc, vc):
+        return llama.decode_step(
+            params, cfg, kc, vc, tokens, positions, tables, lengths, slots, rope_cache
+        )
+
+    # warmup / compile
+    logits, kc, vc = step(kc, vc)
+    logits.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        logits, kc, vc = step(kc, vc)
+    logits.block_until_ready()
+    dt = time.perf_counter() - t0
+    toks_per_s = BATCH * STEPS / dt
+
+    # ---- roofline: bytes touched per decode step ----
+    def nbytes(tree):
+        return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
+
+    weight_bytes = nbytes(params["layers"]) + nbytes(params["lm_head"]) + nbytes(params["final_norm"])
+    # embed: only BATCH rows read
+    weight_bytes += BATCH * cfg.hidden_size * 2
+    kv_bytes = 2 * cfg.num_layers * BATCH * CTX * cfg.num_kv_heads * cfg.head_dim * kc.dtype.itemsize
+    bytes_per_step = weight_bytes + kv_bytes
+    roofline_tps = BATCH / (bytes_per_step / device_bw())
+
+    print(
+        json.dumps(
+            {
+                "metric": "decode_tokens_per_s_w4a16_llama3_8b_b16_ctx1024",
+                "value": round(toks_per_s, 1),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round(toks_per_s / roofline_tps, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,6 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.activation import silu_and_mul
 from ..ops.attention import flash_attention, paged_attention_decode
 from ..ops.gemm.w4a16 import quantize_w4, w4a16_gemm
 from ..ops.kvcache import store_cache
@@ -69,8 +68,7 @@ def init_weights(cfg: LlamaConfig, key) -> Dict[str, Any]:
     """Random weights (layer-stacked pytree) for benchmarking/testing."""
     h, d = cfg.hidden_size, cfg.head_dim
     nq, nkv, l = cfg.num_heads, cfg.num_kv_heads, cfg.num_layers
-    qkv_out = (nq + 2 * nkv) * d
-    keys = jax.random.split(key, 8)
+    keys = jax.random.split(key, 10)
 
     def w(key, shape, scale=None):
         scale = scale if scale is not None else (1.0 / (shape[-1] ** 0.5))
@@ -80,13 +78,18 @@ def init_weights(cfg: LlamaConfig, key) -> Dict[str, Any]:
         "embed": w(keys[0], (cfg.vocab_size, h), 0.02),
         "final_norm": jnp.ones((h,), cfg.dtype),
         "lm_head": w(keys[1], (cfg.vocab_size, h)),
+        # separate projections (not fused) so tensor parallelism can shard
+        # each on its head/intermediate axis with contiguous slices
         "layers": {
             "input_norm": jnp.ones((l, h), cfg.dtype),
             "post_norm": jnp.ones((l, h), cfg.dtype),
-            "qkv": w(keys[2], (l, qkv_out, h)),
-            "o": w(keys[3], (l, h, nq * d)),
-            "gate_up": w(keys[4], (l, 2 * cfg.intermediate_size, h)),
-            "down": w(keys[5], (l, h, cfg.intermediate_size)),
+            "q": w(keys[2], (l, nq * d, h)),
+            "k": w(keys[3], (l, nkv * d, h)),
+            "v": w(keys[4], (l, nkv * d, h)),
+            "o": w(keys[5], (l, h, nq * d)),
+            "gate": w(keys[6], (l, cfg.intermediate_size, h)),
+            "up": w(keys[7], (l, cfg.intermediate_size, h)),
+            "down": w(keys[8], (l, h, cfg.intermediate_size)),
         },
     }
     if cfg.quant == "w4a16":
@@ -102,7 +105,7 @@ def _quantize_matrix(wm, cfg):
 
 def _quantize_layers(layers, cfg):
     out = dict(layers)
-    for name in ("qkv", "o", "gate_up", "down"):
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
         wm = layers[name]
         packed, scales = jax.vmap(lambda x: quantize_w4(x, group_size=cfg.group_size)[:2])(wm)
         out[name] = {"packed": packed, "scales": scales}
@@ -122,18 +125,33 @@ def make_caches(cfg: LlamaConfig, num_pages: int, page_size: int, kv_dtype=None)
     return jnp.zeros(shape, kv_dtype), jnp.zeros(shape, kv_dtype)
 
 
-def _split_qkv(qkv, cfg, n_tokens):
+def _qkv(h, weights, cfg, n_tokens):
     nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = qkv[:, : nq * d].reshape(n_tokens, nq, d)
-    k = qkv[:, nq * d : (nq + nkv) * d].reshape(n_tokens, nkv, d)
-    v = qkv[:, (nq + nkv) * d :].reshape(n_tokens, nkv, d)
+    q = _linear(h, weights["q"], cfg).reshape(n_tokens, nq, d)
+    k = _linear(h, weights["k"], cfg).reshape(n_tokens, nkv, d)
+    v = _linear(h, weights["v"], cfg).reshape(n_tokens, nkv, d)
     return q, k, v
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
-def decode_step(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, page_tables, lengths, slot_loc, rope_cache):
+def _mlp(h2, weights, cfg):
+    gate = _linear(h2, weights["gate"], cfg).astype(jnp.float32)
+    up = _linear(h2, weights["up"], cfg).astype(jnp.float32)
+    act = (gate * jax.nn.sigmoid(gate) * up).astype(cfg.dtype)
+    return _linear(act, weights["down"], cfg)
+
+
+def _maybe_psum(x, tp_axis):
+    return jax.lax.psum(x, tp_axis) if tp_axis else x
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tp_axis"), donate_argnums=(2, 3))
+def decode_step(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, page_tables, lengths, slot_loc, rope_cache, *, tp_axis=None):
     """One decode step. tokens/positions/lengths/slot_loc: [B];
-    page_tables [B, max_pages]. Returns (logits [B, V], k_cache, v_cache)."""
+    page_tables [B, max_pages]. Returns (logits [B, V], k_cache, v_cache).
+
+    ``tp_axis``: mesh axis name when running inside shard_map under tensor
+    parallelism — cfg then describes the per-shard (local) head counts and
+    the row-parallel projections (o, down) psum over the axis."""
     b = tokens.shape[0]
     x = params["embed"][tokens].astype(cfg.dtype)
 
@@ -142,14 +160,13 @@ def decode_step(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, p
     def layer_fn(x, layer):
         weights, kp, vp = layer
         h = rmsnorm(x, weights["input_norm"], cfg.rms_eps)
-        qkv = _linear(h, weights["qkv"], cfg)
-        q, k, v = _split_qkv(qkv, cfg, b)
+        q, k, v = _qkv(h, weights, cfg, b)
         q, k = rotary_embedding(positions, q, k, cfg.head_dim, rope_cache)
         kp, vp = store_cache(k, v, kp, vp, slot_loc)
         attn = paged_attention_decode(q, kp, vp, lengths, page_tables)
-        x = x + _linear(attn.reshape(b, -1), weights["o"], cfg)
+        x = x + _maybe_psum(_linear(attn.reshape(b, -1), weights["o"], cfg), tp_axis)
         h2 = rmsnorm(x, weights["post_norm"], cfg.rms_eps)
-        mlp = _linear(silu_and_mul(_linear(h2, weights["gate_up"], cfg)), weights["down"], cfg)
+        mlp = _maybe_psum(_mlp(h2, weights, cfg), tp_axis)
         return x + mlp, (kp, vp)
 
     x, (k_cache, v_cache) = jax.lax.scan(layer_fn, x, (lw, k_cache, v_cache))
@@ -158,8 +175,8 @@ def decode_step(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, p
     return logits, k_cache, v_cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
-def prefill(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, q_lens, slot_loc, rope_cache):
+@functools.partial(jax.jit, static_argnames=("cfg", "tp_axis"), donate_argnums=(2, 3))
+def prefill(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, q_lens, slot_loc, rope_cache, *, tp_axis=None):
     """Prefill a padded batch. tokens/positions [B, S]; q_lens [B];
     slot_loc [B, S] flat cache slots per token (−1 beyond q_len).
     Returns (last-token logits [B, V], k_cache, v_cache)."""
@@ -171,8 +188,7 @@ def prefill(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, q_len
     def layer_fn(x, layer):
         weights, kp, vp = layer
         h = rmsnorm(x, weights["input_norm"], cfg.rms_eps)
-        qkv = _linear(h, weights["qkv"], cfg)
-        q, k, v = _split_qkv(qkv, cfg, b * s)
+        q, k, v = _qkv(h, weights, cfg, b * s)
         q, k = rotary_embedding(positions.reshape(-1), q, k, cfg.head_dim, rope_cache)
         kp, vp = store_cache(k, v, kp, vp, slot_loc.reshape(-1))
         attn = flash_attention(
@@ -181,9 +197,9 @@ def prefill(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, q_len
             v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
             q_lens, q_lens, causal=True,
         ).reshape(b * s, -1)
-        x = x + _linear(attn, weights["o"], cfg)
+        x = x + _maybe_psum(_linear(attn, weights["o"], cfg), tp_axis)
         h2 = rmsnorm(x, weights["post_norm"], cfg.rms_eps)
-        mlp = _linear(silu_and_mul(_linear(h2, weights["gate_up"], cfg)), weights["down"], cfg)
+        mlp = _maybe_psum(_mlp(h2, weights, cfg), tp_axis)
         return x + mlp, (kp, vp)
 
     x, (k_cache, v_cache) = jax.lax.scan(layer_fn, x, (lw, k_cache, v_cache))

@@ -37,7 +37,7 @@ LOG2E = 1.4426950408889634
 
 
 def _kernel(
-    lens_ref,  # scalar prefetch [B, 2] (q_len, kv_len)
+    lens_ref,  # scalar prefetch [B, 4] (q_len, kv_len, q_start, kv_start)
     q_ref,  # [1, 1, bq, D]
     k_ref,  # [1, 1, bkv, D]
     v_ref,  # [1, 1, bkv, D]
@@ -64,7 +64,8 @@ def _kernel(
 
     q_len = lens_ref[b, 0]
     kv_len = lens_ref[b, 1]
-    off = kv_len - q_len  # chunked-prefill alignment offset
+    q_start = lens_ref[b, 2]  # global position of q row 0
+    kv_start0 = lens_ref[b, 3]  # global position of kv row 0
 
     @pl.when(ikv == 0)
     def _init():
@@ -73,13 +74,13 @@ def _kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     # --- tile relevance (skip fully-masked KV tiles) ---
-    kv_start = ikv * bkv
+    kv_tile = ikv * bkv
     q_end = jnp.minimum((iq + 1) * bq, q_len)
-    run = kv_start < kv_len
+    run = kv_tile < kv_len
     if causal:
-        run = jnp.logical_and(run, kv_start <= off + q_end - 1)
+        run = jnp.logical_and(run, kv_start0 + kv_tile <= q_start + q_end - 1)
     if window is not None:
-        run = jnp.logical_and(run, kv_start + bkv - 1 >= off + iq * bq - window + 1)
+        run = jnp.logical_and(run, kv_start0 + kv_tile + bkv - 1 >= q_start + iq * bq - window + 1)
 
     @pl.when(run)
     def _body():
@@ -91,13 +92,14 @@ def _kernel(
             s = soft_cap * jnp.tanh(s / soft_cap)
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0) + iq * bq
-        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1) + kv_start
-        q_pos = rows + off
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1) + kv_tile
+        q_pos = rows + q_start
+        kv_pos = cols + kv_start0
         mask = cols < kv_len
         if causal:
-            mask = jnp.logical_and(mask, cols <= q_pos)
+            mask = jnp.logical_and(mask, kv_pos <= q_pos)
         if window is not None:
-            mask = jnp.logical_and(mask, cols > q_pos - window)
+            mask = jnp.logical_and(mask, kv_pos > q_pos - window)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[:, :1]
@@ -148,6 +150,8 @@ def flash_attention(
     q_lens=None,
     kv_lens=None,
     sinks=None,
+    q_start=None,
+    kv_start=None,
     *,
     causal: bool = True,
     sm_scale: Optional[float] = None,
@@ -160,8 +164,12 @@ def flash_attention(
     """Batched (optionally ragged) flash attention.
 
     q: [B, Sq, Hq, D]; k, v: [B, Skv, Hkv, D]; q_lens/kv_lens: [B] int32.
-    sinks: optional [Hq] f32. Returns out [B, Sq, Hq, D] (+ lse [B, Hq, Sq]
-    in base-2 when return_lse).
+    sinks: optional [Hq] f32.
+    q_start/kv_start: optional [B] *global* positions of q row 0 / kv row 0
+    for causal/window masking across chunks (ring attention, chunked
+    prefill against a remote KV shard). Defaults: q_start = kv_len - q_len
+    (self-extend: q is the last q_len tokens of the context), kv_start = 0.
+    Returns out [B, Sq, Hq, D] (+ lse [B, Hq, Sq] base-2 when return_lse).
     """
     b, sq, hq, d = q.shape
     skv, hkv = k.shape[1], k.shape[2]
@@ -187,7 +195,13 @@ def flash_attention(
         q_lens = jnp.full((b,), sq, jnp.int32)
     if kv_lens is None:
         kv_lens = jnp.full((b,), skv, jnp.int32)
-    lens = jnp.stack([q_lens.astype(jnp.int32), kv_lens.astype(jnp.int32)], axis=1)
+    q_lens = q_lens.astype(jnp.int32)
+    kv_lens = kv_lens.astype(jnp.int32)
+    if q_start is None:
+        q_start = kv_lens - q_lens
+    if kv_start is None:
+        kv_start = jnp.zeros((b,), jnp.int32)
+    lens = jnp.stack([q_lens, kv_lens, q_start.astype(jnp.int32), kv_start.astype(jnp.int32)], axis=1)
 
     n_kv = skv_p // bkv
     grid = (b, hq, sq_p // bq, n_kv)

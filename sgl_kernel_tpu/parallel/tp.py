@@ -1,0 +1,125 @@
+"""Tensor/data-parallel model execution via shard_map.
+
+Replaces the reference's implicit-TP contract (kernels take pre-sharded
+head counts, sharding done by the host framework) with an explicit TPU
+design: shard_map over a ("dp", "tp") mesh; each shard runs the *local*
+llama step (local heads / local intermediate, per-shard KV pages) and the
+row-parallel projections psum over "tp" inside the step, letting XLA
+schedule the collectives on ICI against the Pallas kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models import llama
+
+
+def local_config(cfg: llama.LlamaConfig, tp: int) -> llama.LlamaConfig:
+    assert cfg.num_heads % tp == 0 and cfg.num_kv_heads % tp == 0 and cfg.intermediate_size % tp == 0
+    return dataclasses.replace(
+        cfg,
+        num_heads=cfg.num_heads // tp,
+        num_kv_heads=cfg.num_kv_heads // tp,
+        intermediate_size=cfg.intermediate_size // tp,
+    )
+
+
+def _cache_spec():
+    # [L, Hkv, P, page, D]: heads on tp, pages on dp
+    return P(None, "tp", "dp", None, None)
+
+
+def _param_specs(params):
+    def linear(name, v):
+        row = name in ("o", "down")
+        if isinstance(v, dict):
+            if row:
+                return {"packed": P(None, None, "tp"), "scales": P(None, None, "tp")}
+            return {"packed": P(None, "tp", None), "scales": P(None, "tp", None)}
+        return P(None, None, "tp") if row else P(None, "tp", None)
+
+    return {
+        "embed": P(None, None),
+        "final_norm": P(None),
+        "lm_head": (
+            {"packed": P(None, None), "scales": P(None, None)}
+            if isinstance(params["lm_head"], dict)
+            else P(None, None)
+        ),
+        "layers": {
+            name: (
+                linear(name, v)
+                if name in ("q", "k", "v", "o", "gate", "up", "down")
+                else P(None, None)
+            )
+            for name, v in params["layers"].items()
+        },
+    }
+
+
+def make_parallel_decode_step(cfg: llama.LlamaConfig, mesh: Mesh, params):
+    """Build a mesh-parallel decode step: dp shards the batch and the page
+    pool; tp shards heads + intermediate. Data args are per-shard
+    concatenated along batch (standard NamedSharding on axis 0)."""
+    tp = mesh.shape["tp"]
+    cfg_local = local_config(cfg, tp)
+    pspecs = _param_specs(params)
+
+    def step(params, k_cache, v_cache, tokens, positions, page_tables, lengths, slot_loc, rope_cache):
+        return llama.decode_step(
+            params, cfg_local, k_cache, v_cache, tokens, positions,
+            page_tables, lengths, slot_loc, rope_cache, tp_axis="tp",
+        )
+
+    return shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            pspecs,
+            _cache_spec(),
+            _cache_spec(),
+            P("dp"),
+            P("dp"),
+            P("dp", None),
+            P("dp"),
+            P("dp"),
+            P(None, None),
+        ),
+        out_specs=(P("dp", None), _cache_spec(), _cache_spec()),
+        check_rep=False,
+    )
+
+
+def make_parallel_prefill(cfg: llama.LlamaConfig, mesh: Mesh, params):
+    tp = mesh.shape["tp"]
+    cfg_local = local_config(cfg, tp)
+
+    def run(params, k_cache, v_cache, tokens, positions, q_lens, slot_loc, rope_cache):
+        return llama.prefill(
+            params, cfg_local, k_cache, v_cache, tokens, positions, q_lens,
+            slot_loc, rope_cache, tp_axis="tp",
+        )
+
+    return shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(
+            _param_specs(params),
+            _cache_spec(),
+            _cache_spec(),
+            P("dp", None),
+            P("dp", None),
+            P("dp"),
+            P("dp", None),
+            P(None, None),
+        ),
+        out_specs=(P("dp", None), _cache_spec(), _cache_spec()),
+        check_rep=False,
+    )

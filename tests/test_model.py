@@ -32,10 +32,9 @@ def np_forward(params, cfg, tokens):
     for li in range(cfg.num_layers):
         lw = {k: v[li] for k, v in p["layers"].items()}
         h = rms(x, lw["input_norm"])
-        qkv = h @ lw["qkv"].T
-        q = rope(qkv[:, : nq * d].reshape(s, nq, d), pos)
-        k = rope(qkv[:, nq * d : (nq + nkv) * d].reshape(s, nkv, d), pos)
-        v = qkv[:, (nq + nkv) * d :].reshape(s, nkv, d)
+        q = rope((h @ lw["q"].T).reshape(s, nq, d), pos)
+        k = rope((h @ lw["k"].T).reshape(s, nkv, d), pos)
+        v = (h @ lw["v"].T).reshape(s, nkv, d)
         attn = np.zeros((s, nq, d))
         g = nq // nkv
         for hh in range(nq):
@@ -47,9 +46,9 @@ def np_forward(params, cfg, tokens):
             attn[:, hh] = w @ v[:, hh // g]
         x = x + attn.reshape(s, -1) @ lw["o"].T
         h2 = rms(x, lw["post_norm"])
-        gu = h2 @ lw["gate_up"].T
-        inter = gu.shape[-1] // 2
-        act = gu[:, :inter] / (1 + np.exp(-gu[:, :inter])) * gu[:, inter:]
+        gate = h2 @ lw["gate"].T
+        up = h2 @ lw["up"].T
+        act = gate / (1 + np.exp(-gate)) * up
         x = x + act @ lw["down"].T
     x = rms(x, p["final_norm"])
     return x @ p["lm_head"].T
