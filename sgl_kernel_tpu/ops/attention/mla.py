@@ -1,0 +1,200 @@
+"""DeepSeek MLA (multi-head latent attention) kernels.
+
+TPU-native replacement for the reference's MLA stack (src/sycl/mla_decode.cpp,
+mla_prefill.cpp, kernels/mla/): attention against a compressed latent KV
+cache with the DeepSeek shape contract (python/sgl_kernel/attention.py:77-81):
+
+    D_latent = 512 (kv_c, doubles as V), D_rope = 64, D_ckv = 576
+    q = [q_nope (512) | q_pe (64)]  per head;  cache row = [kv_c | k_pe]
+
+Decode is a dedicated Pallas kernel: all H query heads share the single
+latent "KV head" (MQA structure), so the heads pack into the matmul M dim
+and each 576-wide cache row is read ONCE from HBM and used as both K and V
+— the bandwidth saving that motivates MLA. The page table is scalar-
+prefetched exactly like ops/attention/paged_decode.
+
+Prefill reuses the flash kernel: latent treated as a 1-head MQA KV with V
+zero-padded from 512 to 576 lanes (sliced back after) — the padding costs
+~12% MXU on a compute-bound path, zero extra HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils import pallas_interpret, round_up
+from .flash_prefill import flash_attention
+
+D_LATENT = 512
+D_ROPE = 64
+D_CKV = 576
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+LOG2E = 1.4426950408889634
+
+
+def _decode_kernel(
+    lens_ref,
+    pt_ref,
+    q_ref,  # [1, Hp, D_CKV]
+    kv_ref,  # [1, page, D_CKV]
+    o_ref,  # [1, Hp, D_LATENT]
+    lse_ref,  # [1, 8, Hp] or None
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    sm_scale: float,
+    page: int,
+    n_blocks: int,
+    has_lse: bool,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    length = lens_ref[b]
+
+    @pl.when(i == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -1e30)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(i * page < length)
+    def _body():
+        q = q_ref[0]  # [Hp, D_CKV]
+        kv = kv_ref[0].astype(q.dtype)  # [page, D_CKV]
+        s = jax.lax.dot_general(q, kv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s * sm_scale  # [Hp, page]
+        pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * page
+        s = jnp.where(pos < length, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        v = kv[:, :D_LATENT]  # latent doubles as V — no second HBM read
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(i == n_blocks - 1)
+    def _fin():
+        m = m_scr[:, :1]
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        if has_lse:
+            lse = ((m + jnp.log(jnp.maximum(l, 1e-38))) * LOG2E)[:, 0]
+            lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "return_lse"))
+def mla_decode(
+    q_nope,
+    q_pe,
+    kv_cache,
+    lengths,
+    page_table,
+    *,
+    sm_scale: Optional[float] = None,
+    return_lse: bool = False,
+):
+    """MLA paged decode (flash_mla_decode semantics, attention.py:54-132).
+
+    q_nope: [B, H, 512] (already projected into latent space);
+    q_pe: [B, H, 64]; kv_cache: [P, page, 576] = [kv_c | k_pe];
+    lengths [B]; page_table [B, max_pages]. Returns out [B, H, 512]
+    (+ base-2 lse [B, H]).
+    """
+    b, h, _ = q_nope.shape
+    n_pages, page, dck = kv_cache.shape
+    assert dck == D_CKV and q_nope.shape[2] == D_LATENT and q_pe.shape[2] == D_ROPE
+    hp = round_up(h, 8)
+    sm_scale = sm_scale if sm_scale is not None else 1.0 / (D_CKV**0.5)
+    n_blocks = page_table.shape[1]
+
+    q = jnp.concatenate([q_nope, q_pe], axis=-1)  # [B, H, 576]
+    if hp != h:
+        q = jnp.pad(q, ((0, 0), (0, hp - h), (0, 0)))
+
+    out_shapes = [jax.ShapeDtypeStruct((b, hp, D_LATENT), q_nope.dtype)]
+    out_specs = [pl.BlockSpec((1, hp, D_LATENT), lambda bb, i, lens, pt: (bb, 0, 0))]
+    if return_lse:
+        out_shapes.append(jax.ShapeDtypeStruct((b, 8, hp), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 8, hp), lambda bb, i, lens, pt: (bb, 0, 0)))
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _decode_kernel, sm_scale=sm_scale, page=page, n_blocks=n_blocks, has_lse=return_lse
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, n_blocks),
+            in_specs=[
+                pl.BlockSpec((1, hp, D_CKV), lambda bb, i, lens, pt: (bb, 0, 0)),
+                pl.BlockSpec((1, page, D_CKV), lambda bb, i, lens, pt: (pt[bb, i], 0, 0)),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((hp, 128), jnp.float32),
+                pltpu.VMEM((hp, 128), jnp.float32),
+                pltpu.VMEM((hp, D_LATENT), jnp.float32),
+            ],
+        ),
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * n_blocks * page * (D_CKV + D_LATENT),
+            bytes_accessed=b * n_blocks * page * D_CKV * kv_cache.dtype.itemsize,
+            transcendentals=b * h * n_blocks * page,
+        ),
+        interpret=pallas_interpret(),
+    )(lengths.astype(jnp.int32), page_table.astype(jnp.int32), q, kv_cache)
+
+    out = outs[0][:, :h]
+    if return_lse:
+        return out, outs[1][:, 0, :h]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "causal"))
+def mla_prefill(
+    q_nope,
+    q_pe,
+    kv,
+    q_lens=None,
+    kv_lens=None,
+    *,
+    sm_scale: Optional[float] = None,
+    causal: bool = True,
+):
+    """MLA ragged prefill (flash_mla_prefill semantics).
+
+    q_nope [B, S, H, 512], q_pe [B, S, H, 64], kv [B, Skv, 576] (the
+    latent sequence, pre-cache layout). Returns [B, S, H, 512].
+    """
+    b, s, h, _ = q_nope.shape
+    skv = kv.shape[1]
+    sm_scale = sm_scale if sm_scale is not None else 1.0 / (D_CKV**0.5)
+    q = jnp.concatenate([q_nope, q_pe], axis=-1)  # [B, S, H, 576]
+    k = kv[:, :, None, :]  # 1-head MQA
+    v = jnp.pad(kv[:, :, None, :D_LATENT], ((0, 0), (0, 0), (0, 0), (0, D_ROPE)))
+    out = flash_attention(
+        q, k.astype(q.dtype), v.astype(q.dtype), q_lens, kv_lens,
+        causal=causal, sm_scale=sm_scale,
+    )
+    return out[..., :D_LATENT]

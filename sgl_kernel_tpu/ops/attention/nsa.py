@@ -1,0 +1,110 @@
+"""NSA / DSv3.2 sparse-attention indexer + sparse MLA.
+
+TPU-native equivalents of the reference's sparse pipeline (SURVEY §5):
+fp8 MQA logits (src/sycl/Fp8MqaLogitsXe20.cpp + python nsa.py), fast radix
+top-k with fixed k=2048 (src/sycl/TopKTransform.cpp; python top_k.py:27-33),
+and top-k-indexed sparse MLA attention (src/sycl/mla_sparse_decode.cpp).
+
+Design follows the reference's own default: the 2-stage gather->dense
+scheme (src/CMakeLists.txt:19-23 chooses gather as the default over the
+fused single-pass variant) — XLA's native gather pulls the selected latent
+rows at HBM speed, then dense attention runs over the gathered block.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .mla import D_CKV, D_LATENT, D_ROPE
+
+FAST_TOPK_K = 2048  # reference contract: fixed topk (top_k.py:27-33)
+
+
+@functools.partial(jax.jit, static_argnames=("topk",))
+def fp8_paged_mqa_logits(q, kv_pages, weights, lengths, page_table, *, topk: Optional[int] = None):
+    """Indexer scoring: logits[b, t] = sum_h w[h] * relu(q[b,h] . k[t]).
+
+    q: [B, H, D] (fp8 or bf16); kv_pages: [P, page, D]; weights: [H];
+    lengths [B]; page_table [B, max_pages]. Returns logits [B, max_tokens]
+    with -inf beyond length (reference contract: fp8_paged_mqa_logits,
+    torch_extension_sycl.cc:489-493; pure-torch prefill oracle nsa.py).
+    """
+    b, h, d = q.shape
+    n_pages, page, _ = kv_pages.shape
+    max_tokens = page_table.shape[1] * page
+    # gather pages -> [B, max_tokens, D]
+    k = kv_pages[page_table].reshape(b, max_tokens, d)
+    qk = jnp.einsum(
+        "bhd,btd->bht", q.astype(jnp.float32), k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    logits = jnp.einsum("bht,h->bt", jax.nn.relu(qk), weights.astype(jnp.float32))
+    pos = jnp.arange(max_tokens)[None, :]
+    return jnp.where(pos < lengths[:, None], logits, -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("topk",))
+def fast_topk(logits, lengths, topk: int = FAST_TOPK_K):
+    """Top-k token indices per row (fixed k; short rows pad with -1).
+
+    Reference: fast_topk (TopKTransform.cpp; radix select on Xe — on TPU a
+    single fused sort is bandwidth-optimal)."""
+    b, t = logits.shape
+    k = min(topk, t)
+    _, idx = jax.lax.top_k(logits, k)
+    rank = jnp.arange(k)[None, :]
+    valid = rank < jnp.minimum(lengths, k)[:, None]
+    idx = jnp.where(valid, idx, -1)
+    if k < topk:
+        idx = jnp.pad(idx, ((0, 0), (0, topk - k)), constant_values=-1)
+    return idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "topk"))
+def fast_topk_transform_fused(logits, lengths, src_page_table, page_size: int, topk: int = FAST_TOPK_K):
+    """fast_topk fused with page-table transform: returns the *flat slot
+    ids* of the selected tokens (src page table applied), the layout the
+    sparse MLA gather consumes (reference fast_topk_transform_fused writes
+    the dst page table directly)."""
+    idx = fast_topk(logits, lengths, topk)  # token positions or -1
+    pages = src_page_table[jnp.arange(idx.shape[0])[:, None], jnp.maximum(idx, 0) // page_size]
+    slots = pages * page_size + jnp.maximum(idx, 0) % page_size
+    return jnp.where(idx >= 0, slots, -1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale",))
+def sparse_mla_decode(q_nope, q_pe, kv_pool_flat, slot_indices, *, sm_scale: Optional[float] = None):
+    """Sparse MLA decode over top-k selected latent rows.
+
+    q_nope [B, H, 512]; q_pe [B, H, 64]; kv_pool_flat [num_slots, 576]
+    (the paged latent pool viewed flat); slot_indices [B, K] flat slots
+    from fast_topk_transform_fused (-1 = invalid). Returns [B, H, 512].
+    Reference: flash_mla_sparse_decode (2-stage gather->dense default).
+    """
+    b, h, _ = q_nope.shape
+    kk = slot_indices.shape[1]
+    sm_scale = sm_scale if sm_scale is not None else 1.0 / (D_CKV**0.5)
+    kv = kv_pool_flat[jnp.maximum(slot_indices, 0)]  # [B, K, 576]
+    q = jnp.concatenate([q_nope, q_pe], axis=-1).astype(jnp.float32)  # [B, H, 576]
+    s = jnp.einsum("bhd,bkd->bhk", q, kv.astype(jnp.float32)) * sm_scale
+    s = jnp.where((slot_indices >= 0)[:, None, :], s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    m = jnp.maximum(m, -1e30)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bhk,bkd->bhd", p, kv[..., :D_LATENT].astype(jnp.float32))
+    return (out / jnp.maximum(l, 1e-38)).astype(q_nope.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale",))
+def sparse_mla_prefill(q_nope, q_pe, kv_pool_flat, slot_indices, *, sm_scale: Optional[float] = None):
+    """Ragged-prefill variant: per-token index sets.
+
+    q_nope [T, H, 512]; q_pe [T, H, 64]; slot_indices [T, K].
+    Returns [T, H, 512]. (Same math as decode — per-token index sets make
+    prefill and decode identical after the gather.)"""
+    return sparse_mla_decode(q_nope, q_pe, kv_pool_flat, slot_indices, sm_scale=sm_scale)

@@ -1,0 +1,84 @@
+"""MLA (DeepSeek latent attention) tests vs numpy oracle.
+
+Shape contract from the reference (attention.py:77-81): D_latent=512,
+D_rope=64, D_ckv=576; latent doubles as V.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgl_kernel_tpu.ops.attention import mla
+
+
+def ref_mla(q_nope, q_pe, kv, sm_scale, causal=False, q_len=None):
+    """q_nope [S,H,512], q_pe [S,H,64], kv [T,576] -> [S,H,512]."""
+    s, h, _ = q_nope.shape
+    t = kv.shape[0]
+    out = np.zeros((s, h, 512))
+    lse = np.zeros((s, h))
+    off = t - (q_len if q_len is not None else s)
+    for hh in range(h):
+        q = np.concatenate([q_nope[:, hh], q_pe[:, hh]], -1).astype(np.float64)
+        sc = q @ kv.T.astype(np.float64) * sm_scale
+        if causal:
+            cols = np.arange(t)[None, :]
+            rows = np.arange(s)[:, None]
+            sc = np.where(cols <= rows + off, sc, -np.inf)
+        m = sc.max(-1, keepdims=True)
+        p = np.exp(sc - m)
+        l = p.sum(-1, keepdims=True)
+        out[:, hh] = p @ kv[:, :512].astype(np.float64) / l
+        lse[:, hh] = ((m + np.log(l)) * np.log2(np.e))[:, 0]
+    return out, lse
+
+
+class TestMlaDecode:
+    @pytest.mark.parametrize("h", [8, 16])
+    def test_basic(self, rng, h):
+        b, page = 2, 64
+        lengths = [150, 80]
+        n_pages = 8
+        kv_pool = np.zeros((n_pages, page, 576), np.float32)
+        kvs = []
+        table = np.zeros((b, 3), np.int32)
+        nxt = 1
+        for bb in range(b):
+            kv = (rng.standard_normal((lengths[bb], 576)) * 0.3).astype(np.float32)
+            kvs.append(kv)
+            for i in range((lengths[bb] + page - 1) // page):
+                table[bb, i] = nxt
+                chunk = kv[i * page : (i + 1) * page]
+                kv_pool[nxt, : len(chunk)] = chunk
+                nxt += 1
+        q_nope = rng.standard_normal((b, h, 512)).astype(np.float32) * 0.3
+        q_pe = rng.standard_normal((b, h, 64)).astype(np.float32) * 0.3
+        sm = 1.0 / np.sqrt(576)
+        out, lse = mla.mla_decode(
+            jnp.asarray(q_nope), jnp.asarray(q_pe), jnp.asarray(kv_pool),
+            jnp.asarray(lengths, jnp.int32), jnp.asarray(table), return_lse=True,
+        )
+        for bb in range(b):
+            ref, ref_lse = ref_mla(q_nope[bb][None], q_pe[bb][None], kvs[bb], sm)
+            np.testing.assert_allclose(np.asarray(out)[bb], ref[0], rtol=2e-2, atol=2e-2)
+            np.testing.assert_allclose(np.asarray(lse)[bb], ref_lse[0], rtol=1e-3, atol=1e-3)
+
+
+class TestMlaPrefill:
+    def test_causal(self, rng):
+        b, s, h = 1, 64, 4
+        q_nope = rng.standard_normal((b, s, h, 512)).astype(np.float32) * 0.3
+        q_pe = rng.standard_normal((b, s, h, 64)).astype(np.float32) * 0.3
+        kv = rng.standard_normal((b, s, 576)).astype(np.float32) * 0.3
+        out = mla.mla_prefill(jnp.asarray(q_nope), jnp.asarray(q_pe), jnp.asarray(kv))
+        ref, _ = ref_mla(q_nope[0], q_pe[0], kv[0], 1.0 / np.sqrt(576), causal=True)
+        np.testing.assert_allclose(np.asarray(out)[0], ref, rtol=2e-2, atol=2e-2)
+
+    def test_extend_against_longer_kv(self, rng):
+        b, s, skv, h = 1, 32, 96, 2
+        q_nope = rng.standard_normal((b, s, h, 512)).astype(np.float32) * 0.3
+        q_pe = rng.standard_normal((b, s, h, 64)).astype(np.float32) * 0.3
+        kv = rng.standard_normal((b, skv, 576)).astype(np.float32) * 0.3
+        out = mla.mla_prefill(jnp.asarray(q_nope), jnp.asarray(q_pe), jnp.asarray(kv))
+        ref, _ = ref_mla(q_nope[0], q_pe[0], kv[0], 1.0 / np.sqrt(576), causal=True, q_len=s)
+        np.testing.assert_allclose(np.asarray(out)[0], ref, rtol=2e-2, atol=2e-2)
