@@ -7,8 +7,9 @@ Two paths, replacing the reference's CUTLASS grouped mainloops:
   - W4A16 (int4/MXFP4): a Pallas kernel over block-aligned expert segments
     (moe_align_block_size guarantees every bm-row block maps to exactly one
     expert, whose id is scalar-prefetched to index the weight/scale fetch) —
-    replaces GroupGemmW4A16Xe20.cpp with the same dequant contracts as
-    ops/gemm/w4a16.py.
+    replaces GroupGemmW4A16Xe20.cpp. Uses the same fast design as
+    ops/gemm/w4a16.py: N-paired int4 bitcast decode + per-group partial
+    dots with output-side scaling.
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...utils import pallas_interpret
-from ..gemm.w4a16 import _dequant_tile, pack_block_size
+from ..gemm.w4a16 import GROUPS_PER_KTILE, _decode_tile
 
 
 def ragged_grouped_mm(x_sorted, weights, group_sizes):
@@ -34,28 +35,38 @@ def ragged_grouped_mm(x_sorted, weights, group_sizes):
 def _w4_kernel(
     expert_ids_ref,  # [n_blocks] scalar prefetch
     a_ref,  # [bm, bk]
-    w_ref,  # [1, bn, bk//2] packed
-    s_ref,  # [1, bn, bk//G]
-    z_ref,  # [1, bn, bk//G] or None
+    w_ref,  # [1, bn//2, bk] packed
+    s_ref,  # [1, ngb, bn]
+    z_ref,  # [1, ngb, bn] or None
     o_ref,  # [bm, bn]
     acc_ref,
     *,
     fmt,
     group_size,
+    ngb,
     n_k,
 ):
     kk = pl.program_id(2)
+    g0 = group_size
 
     @pl.when(kk == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    wf = _dequant_tile(
-        w_ref[0], s_ref[0, ..., 0], z_ref[0, ..., 0] if z_ref is not None else None, fmt, group_size
-    )
-    acc_ref[...] += jax.lax.dot_general(
-        a_ref[...], wf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    wf = _decode_tile(w_ref.at[0], fmt)  # [bn, bk] bf16 codes
+    a = a_ref[...]
+    acc = acc_ref[...]
+    for g in range(ngb):
+        a_g = a[:, g * g0 : (g + 1) * g0]
+        part = jax.lax.dot_general(
+            a_g, wf[:, g * g0 : (g + 1) * g0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + part * s_ref[0, g, :][None, :]
+        if z_ref is not None:
+            asum = jnp.sum(a_g.astype(jnp.float32), axis=1, keepdims=True)
+            acc = acc - asum * z_ref[0, g, :][None, :]
+    acc_ref[...] = acc
 
     @pl.when(kk == n_k - 1)
     def _done():
@@ -73,52 +84,48 @@ def w4a16_grouped_mm(
     group_size: int = 128,
     fmt: str = "int4",
     bm: int = 128,
-    bn: int = 256,
-    bk: int = 512,
+    bn: int = 2048,
+    bk: Optional[int] = None,
     out_dtype=None,
 ):
     """Block-aligned grouped W4A16 GEMM.
 
     x_sorted: [cap, K] activations in expert-sorted block-aligned order
       (cap multiple of bm — from moe_align_block_size(block_size=bm)).
-    w: [E, N, K//2] packed uint8 (pack_w4_tpu layout); scales [E, N, K//G];
-      zeros opt [E, N, K//G].
+    w: [E, N//2, K] packed uint8 (pack_w4_tpu layout per expert);
+    scales [E, K//G, N]; zeros opt [E, K//G, N] (z*s pre-product).
     block_expert_ids: [cap // bm] expert id per row-block (scalar-prefetched).
     Returns [cap, N].
     """
     cap, k = x_sorted.shape
-    e, n = w.shape[0], w.shape[1]
-    assert w.shape[2] == k // 2 and w.dtype == jnp.uint8, (w.shape, w.dtype)
+    e = w.shape[0]
+    n = w.shape[1] * 2
     assert cap % bm == 0
+    assert w.shape[2] == k and w.dtype == jnp.uint8, (w.shape, w.dtype)
     bn = min(bn, n)
-    # the K tile must equal the stored pack block (block-half nibble layout)
-    bk = pack_block_size(k, group_size)
-    assert n % bn == 0
+    bk = bk or min(GROUPS_PER_KTILE * group_size, k)
+    assert n % bn == 0 and k % bk == 0 and bk % group_size == 0
     out_dtype = out_dtype or x_sorted.dtype
     ngb = bk // group_size
     n_k = k // bk
 
-    if fmt == "mxfp4":
-        scales_f = jnp.exp2(scales.astype(jnp.float32) - 127.0)[..., None]
-    else:
-        scales_f = scales.astype(jnp.float32)[..., None]
-    zeros_f = zeros.astype(jnp.float32)[..., None] if zeros is not None else None
-
+    scales_f = scales.astype(jnp.float32)
     in_specs = [
         pl.BlockSpec((bm, bk), lambda i, j, kk, eids: (i, kk)),
-        pl.BlockSpec((1, bn, bk // 2), lambda i, j, kk, eids: (eids[i], j, kk)),
-        pl.BlockSpec((1, bn, ngb, 1), lambda i, j, kk, eids: (eids[i], j, kk, 0)),
+        pl.BlockSpec((1, bn // 2, bk), lambda i, j, kk, eids: (eids[i], j, kk)),
+        pl.BlockSpec((1, ngb, bn), lambda i, j, kk, eids: (eids[i], kk, j)),
     ]
     inputs = [x_sorted, w, scales_f]
     if zeros is not None:
-        in_specs.append(pl.BlockSpec((1, bn, ngb, 1), lambda i, j, kk, eids: (eids[i], j, kk, 0)))
-        inputs.append(zeros_f)
+        in_specs.append(pl.BlockSpec((1, ngb, bn), lambda i, j, kk, eids: (eids[i], kk, j)))
+        inputs.append(zeros.astype(jnp.float32))
 
     kernel = functools.partial(
         _w4_kernel_entry,
         has_zeros=zeros is not None,
         fmt=fmt,
         group_size=group_size,
+        ngb=ngb,
         n_k=n_k,
     )
     return pl.pallas_call(
@@ -143,10 +150,13 @@ def w4a16_grouped_mm(
     )(block_expert_ids, *inputs)
 
 
-def _w4_kernel_entry(eids_ref, *refs, has_zeros, fmt, group_size, n_k):
+def _w4_kernel_entry(eids_ref, *refs, has_zeros, fmt, group_size, ngb, n_k):
     a_ref, w_ref, s_ref = refs[0], refs[1], refs[2]
     idx = 3
     z_ref = refs[idx] if has_zeros else None
     idx += int(has_zeros)
     o_ref, acc_ref = refs[idx], refs[idx + 1]
-    _w4_kernel(eids_ref, a_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, fmt=fmt, group_size=group_size, n_k=n_k)
+    _w4_kernel(
+        eids_ref, a_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
+        fmt=fmt, group_size=group_size, ngb=ngb, n_k=n_k,
+    )
