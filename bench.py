@@ -22,7 +22,7 @@ from sgl_kernel_tpu.ops.gemm.w4a16 import quantize_w4
 
 BATCH = 16
 CTX = 1024
-PAGE = 64
+PAGE = 128
 STEPS = 32
 
 # v5e (TPU v5 lite) HBM bandwidth, bytes/s
@@ -65,11 +65,12 @@ def build_weights(cfg):
             "packed": jnp.tile(packed[None], (l, 1, 1)),
             "scales": jnp.tile(scales[None], (l, 1, 1)),
         }
-    lm_packed, lm_scales = qmat(ks[7], cfg.vocab_size, h)
+    vocab_pad = ((cfg.vocab_size + 2047) // 2048) * 2048
+    lm_packed, lm_scales = qmat(ks[7], vocab_pad, h)
     params = {
         "embed": jax.random.normal(ks[8], (cfg.vocab_size, h), jnp.bfloat16) * 0.02,
         "final_norm": jnp.ones((h,), cfg.dtype),
-        "lm_head": {"packed": lm_packed, "scales": lm_scales},
+        "lm_head": {"packed": lm_packed, "scales": lm_scales, "n": cfg.vocab_size},
         "layers": layers,
     }
     return params

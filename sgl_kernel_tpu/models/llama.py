@@ -30,6 +30,7 @@ from ..ops.gemm.w4a16 import quantize_w4, w4a16_gemm
 from ..ops.kvcache import store_cache
 from ..ops.norm import rmsnorm
 from ..ops.rope import compute_cos_sin_cache, rotary_embedding
+from ..utils import round_up
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,8 +100,14 @@ def init_weights(cfg: LlamaConfig, key) -> Dict[str, Any]:
 
 
 def _quantize_matrix(wm, cfg):
+    # pad N (vocab) to a multiple of 2048 so the W4A16 kernel can use its
+    # efficient large-N tiles; extra logits are sliced off after the GEMM
+    n = wm.shape[0]
+    n_pad = round_up(n, 2048)
+    if n_pad != n:
+        wm = jnp.pad(wm, ((0, n_pad - n), (0, 0)))
     packed, scales, _ = quantize_w4(wm, group_size=cfg.group_size)
-    return {"packed": packed, "scales": scales}
+    return {"packed": packed, "scales": scales, "n": n}
 
 
 def _quantize_layers(layers, cfg):
@@ -114,7 +121,9 @@ def _quantize_layers(layers, cfg):
 
 def _linear(x, w, cfg: LlamaConfig):
     if isinstance(w, dict):
-        return w4a16_gemm(x, w["packed"], w["scales"], group_size=cfg.group_size, out_dtype=cfg.dtype)
+        out = w4a16_gemm(x, w["packed"], w["scales"], group_size=cfg.group_size, out_dtype=cfg.dtype)
+        n = w.get("n")
+        return out[:, :n] if n is not None and n != out.shape[1] else out
     return jnp.dot(x, w.T, preferred_element_type=jnp.float32).astype(cfg.dtype)
 
 

