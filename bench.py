@@ -70,7 +70,7 @@ def build_weights(cfg):
     params = {
         "embed": jax.random.normal(ks[8], (cfg.vocab_size, h), jnp.bfloat16) * 0.02,
         "final_norm": jnp.ones((h,), cfg.dtype),
-        "lm_head": {"packed": lm_packed, "scales": lm_scales, "n": cfg.vocab_size},
+        "lm_head": {"packed": lm_packed, "scales": lm_scales},
         "layers": layers,
     }
     return params

@@ -107,7 +107,7 @@ def _quantize_matrix(wm, cfg):
     if n_pad != n:
         wm = jnp.pad(wm, ((0, n_pad - n), (0, 0)))
     packed, scales, _ = quantize_w4(wm, group_size=cfg.group_size)
-    return {"packed": packed, "scales": scales, "n": n}
+    return {"packed": packed, "scales": scales}
 
 
 def _quantize_layers(layers, cfg):
@@ -121,9 +121,7 @@ def _quantize_layers(layers, cfg):
 
 def _linear(x, w, cfg: LlamaConfig):
     if isinstance(w, dict):
-        out = w4a16_gemm(x, w["packed"], w["scales"], group_size=cfg.group_size, out_dtype=cfg.dtype)
-        n = w.get("n")
-        return out[:, :n] if n is not None and n != out.shape[1] else out
+        return w4a16_gemm(x, w["packed"], w["scales"], group_size=cfg.group_size, out_dtype=cfg.dtype)
     return jnp.dot(x, w.T, preferred_element_type=jnp.float32).astype(cfg.dtype)
 
 
@@ -180,7 +178,7 @@ def decode_step(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, p
 
     x, (k_cache, v_cache) = jax.lax.scan(layer_fn, x, (lw, k_cache, v_cache))
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
-    logits = _linear(x, params["lm_head"], cfg).astype(jnp.float32)
+    logits = _linear(x, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
     return logits, k_cache, v_cache
 
 
@@ -217,7 +215,7 @@ def prefill(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, q_len
     x = x.reshape(b, s, -1)
     last = jnp.clip(q_lens - 1, 0, s - 1)
     x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
-    logits = _linear(x_last, params["lm_head"], cfg).astype(jnp.float32)
+    logits = _linear(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
     return logits, k_cache, v_cache
 
 
