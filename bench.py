@@ -51,8 +51,8 @@ def build_weights(cfg):
 
     ks = jax.random.split(key, 9)
     names = {
-        "q": (nq * d, h), "k": (nkv * d, h), "v": (nkv * d, h), "o": (h, nq * d),
-        "gate": (cfg.intermediate_size, h), "up": (cfg.intermediate_size, h),
+        "qkv": ((nq + 2 * nkv) * d, h), "o": (h, nq * d),
+        "gate_up": (2 * cfg.intermediate_size, h),
         "down": (h, cfg.intermediate_size),
     }
     layers = {
@@ -77,7 +77,7 @@ def build_weights(cfg):
 
 
 def main():
-    cfg = llama.LlamaConfig.llama3_8b(quant="w4a16", group_size=128)
+    cfg = llama.LlamaConfig.llama3_8b(quant="w4a16", group_size=128, fused=True)
     params = build_weights(cfg)
 
     num_pages = BATCH * (CTX // PAGE) + 1

@@ -48,6 +48,10 @@ class LlamaConfig:
     dtype: Any = jnp.bfloat16
     quant: Optional[str] = None  # None | "w4a16"
     group_size: int = 128
+    # fuse q/k/v and gate/up into single GEMMs (fewer kernel launches; the
+    # fused row layout is not TP-shardable, so parallel execution requires
+    # fused=False)
+    fused: bool = False
 
     @staticmethod
     def llama3_8b(**kw):
@@ -112,10 +116,21 @@ def _quantize_matrix(wm, cfg):
 
 def _quantize_layers(layers, cfg):
     out = dict(layers)
-    for name in ("q", "k", "v", "o", "gate", "up", "down"):
-        wm = layers[name]
+
+    def qz(wm):
         packed, scales = jax.vmap(lambda x: quantize_w4(x, group_size=cfg.group_size)[:2])(wm)
-        out[name] = {"packed": packed, "scales": scales}
+        return {"packed": packed, "scales": scales}
+
+    if cfg.fused:
+        out["qkv"] = qz(jnp.concatenate([layers.pop("q"), layers.pop("k"), layers.pop("v")], axis=1))
+        out["gate_up"] = qz(jnp.concatenate([layers.pop("gate"), layers.pop("up")], axis=1))
+        for name in ("q", "k", "v", "gate", "up"):
+            out.pop(name, None)
+        for name in ("o", "down"):
+            out[name] = qz(layers[name])
+        return out
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        out[name] = qz(layers[name])
     return out
 
 
@@ -134,6 +149,12 @@ def make_caches(cfg: LlamaConfig, num_pages: int, page_size: int, kv_dtype=None)
 
 def _qkv(h, weights, cfg, n_tokens):
     nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if cfg.fused:
+        qkv = _linear(h, weights["qkv"], cfg)
+        q = qkv[:, : nq * d].reshape(n_tokens, nq, d)
+        k = qkv[:, nq * d : (nq + nkv) * d].reshape(n_tokens, nkv, d)
+        v = qkv[:, (nq + nkv) * d :].reshape(n_tokens, nkv, d)
+        return q, k, v
     q = _linear(h, weights["q"], cfg).reshape(n_tokens, nq, d)
     k = _linear(h, weights["k"], cfg).reshape(n_tokens, nkv, d)
     v = _linear(h, weights["v"], cfg).reshape(n_tokens, nkv, d)
@@ -141,8 +162,13 @@ def _qkv(h, weights, cfg, n_tokens):
 
 
 def _mlp(h2, weights, cfg):
-    gate = _linear(h2, weights["gate"], cfg).astype(jnp.float32)
-    up = _linear(h2, weights["up"], cfg).astype(jnp.float32)
+    if cfg.fused:
+        gu = _linear(h2, weights["gate_up"], cfg).astype(jnp.float32)
+        inter = gu.shape[-1] // 2
+        gate, up = gu[:, :inter], gu[:, inter:]
+    else:
+        gate = _linear(h2, weights["gate"], cfg).astype(jnp.float32)
+        up = _linear(h2, weights["up"], cfg).astype(jnp.float32)
     act = (gate * jax.nn.sigmoid(gate) * up).astype(cfg.dtype)
     return _linear(act, weights["down"], cfg)
 

@@ -22,6 +22,7 @@ from ..models import llama
 
 
 def local_config(cfg: llama.LlamaConfig, tp: int) -> llama.LlamaConfig:
+    assert not cfg.fused, "fused qkv/gate_up rows are not TP-shardable; build with fused=False"
     assert cfg.num_heads % tp == 0 and cfg.num_kv_heads % tp == 0 and cfg.intermediate_size % tp == 0
     return dataclasses.replace(
         cfg,

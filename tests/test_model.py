@@ -113,6 +113,39 @@ class TestLlama:
             ref = np_forward(params, cfg, tokens[: pos + 1])
             np.testing.assert_allclose(np.asarray(logits)[0], ref[-1], rtol=3e-2, atol=3e-2)
 
+    def test_fused_matches_unfused(self, tiny_model, rng):
+        cfg, params = tiny_model
+        import dataclasses
+        cfg_f = dataclasses.replace(cfg, fused=True)
+        # build fused params from the same unfused weights
+        lw = dict(params["layers"])
+        params_f = dict(params)
+        params_f["layers"] = {
+            "input_norm": lw["input_norm"], "post_norm": lw["post_norm"],
+            "qkv": jnp.concatenate([lw["q"], lw["k"], lw["v"]], axis=1),
+            "o": lw["o"],
+            "gate_up": jnp.concatenate([lw["gate"], lw["up"]], axis=1),
+            "down": lw["down"],
+        }
+        s = 6
+        tokens = rng.integers(0, cfg.vocab_size, s).astype(np.int32)
+        kc, vc = llama.make_caches(cfg, num_pages=8, page_size=16)
+        rope_cache = llama.build_rope_cache(cfg)
+        pad = 16
+        tok_pad = np.zeros((1, pad), np.int32); tok_pad[0, :s] = tokens
+        pos_pad = np.zeros((1, pad), np.int32); pos_pad[0, :s] = np.arange(s)
+        slots = np.full((1, pad), -1, np.int32); slots[0, :s] = 16 + np.arange(s)
+        logits_f, _, _ = llama.prefill(
+            params_f, cfg_f, kc, vc, jnp.asarray(tok_pad), jnp.asarray(pos_pad),
+            jnp.asarray([s], jnp.int32), jnp.asarray(slots), rope_cache,
+        )
+        kc2, vc2 = llama.make_caches(cfg, num_pages=8, page_size=16)
+        logits_u, _, _ = llama.prefill(
+            params, cfg, kc2, vc2, jnp.asarray(tok_pad), jnp.asarray(pos_pad),
+            jnp.asarray([s], jnp.int32), jnp.asarray(slots), rope_cache,
+        )
+        np.testing.assert_allclose(np.asarray(logits_f), np.asarray(logits_u), rtol=1e-4, atol=1e-4)
+
     def test_w4a16_model_runs(self, rng):
         cfg = llama.LlamaConfig.tiny(quant="w4a16", group_size=32)
         params = llama.init_weights(cfg, jax.random.PRNGKey(1))
