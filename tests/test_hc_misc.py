@@ -1,0 +1,125 @@
+"""HC sinkhorn + misc op tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgl_kernel_tpu.ops import hc, misc
+from sgl_kernel_tpu.ops.hadamard import hadamard_transform
+from sgl_kernel_tpu.ops.grammar import apply_token_bitmask
+from sgl_kernel_tpu.ops import lora
+
+
+class TestHc:
+    def test_sinkhorn_doubly_stochastic(self, rng):
+        t, h = 8, 4
+        mixes = rng.standard_normal((t, (2 + h) * h)).astype(np.float32)
+        scale = np.asarray([1.0, 1.0, 1.0], np.float32)
+        base = np.zeros(((2 + h) * h,), np.float32)
+        pre, post, comb = hc.hc_split_sinkhorn(jnp.asarray(mixes), jnp.asarray(scale), jnp.asarray(base))
+        c = np.asarray(comb)
+        # rows and columns ~sum to 1 after 20 sinkhorn iterations
+        np.testing.assert_allclose(c.sum(-1), np.ones((t, h)), atol=2e-2)
+        np.testing.assert_allclose(c.sum(-2), np.ones((t, h)), atol=2e-2)
+        p = np.asarray(pre)
+        assert np.all(p > 0) and np.all(p < 1 + 1e-3)
+        assert np.all(np.asarray(post) >= 0) and np.all(np.asarray(post) <= 2)
+
+    def test_pre_post_shapes_and_mix(self, rng):
+        t, h, d = 4, 4, 32
+        residual = rng.standard_normal((t, h, d)).astype(np.float32)
+        fn = (rng.standard_normal(((2 + h) * h, h * d)) * 0.05).astype(np.float32)
+        scale = np.ones(3, np.float32)
+        base = np.zeros(((2 + h) * h,), np.float32)
+        post, comb, layer_input = hc.mhc_pre(
+            jnp.asarray(residual), jnp.asarray(fn), jnp.asarray(scale), jnp.asarray(base)
+        )
+        assert post.shape == (t, h) and comb.shape == (t, h, h) and layer_input.shape == (t, d)
+        x = rng.standard_normal((t, d)).astype(np.float32)
+        out = hc.hc_post(jnp.asarray(x), jnp.asarray(residual), post, comb)
+        assert out.shape == residual.shape
+        # oracle for one element
+        o = np.asarray(out, np.float32)
+        ref = np.asarray(post)[0, 1] * x[0] + sum(
+            np.asarray(comb)[0, 1, j] * residual[0, j] for j in range(h)
+        )
+        np.testing.assert_allclose(o[0, 1], ref, rtol=2e-2, atol=2e-2)
+
+
+class TestMisc:
+    def test_timestep_embedding(self):
+        emb = misc.timestep_embedding(jnp.asarray([0.0, 10.0]), 64)
+        assert emb.shape == (2, 64)
+        np.testing.assert_allclose(np.asarray(emb)[0, :32], np.ones(32), atol=1e-6)  # cos(0)
+        np.testing.assert_allclose(np.asarray(emb)[0, 32:], np.zeros(32), atol=1e-6)  # sin(0)
+
+    def test_moe_sum(self, rng):
+        x = rng.standard_normal((4, 3, 16)).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(misc.moe_sum(jnp.asarray(x))), x.sum(1), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(misc.moe_sum_reduce(jnp.asarray(x), routed_scaling_factor=2.0)), x.sum(1) * 2, rtol=1e-6
+        )
+
+    def test_hadamard_involution(self, rng):
+        x = rng.standard_normal((4, 128)).astype(np.float32)
+        h = hadamard_transform(jnp.asarray(x))
+        back = hadamard_transform(h, scale=1.0 / 128)
+        np.testing.assert_allclose(np.asarray(back), x, rtol=1e-4, atol=1e-4)
+
+    def test_hadamard_matches_matrix(self, rng):
+        n = 8
+        x = rng.standard_normal((1, n)).astype(np.float32)
+        H = np.array([[1.0]])
+        while H.shape[0] < n:
+            H = np.block([[H, H], [H, -H]])
+        np.testing.assert_allclose(np.asarray(hadamard_transform(jnp.asarray(x)))[0], (x @ H.T)[0], rtol=1e-5)
+
+    def test_token_bitmask(self, rng):
+        t, v = 2, 70
+        logits = rng.standard_normal((t, v)).astype(np.float32)
+        allowed = rng.integers(0, 2, (t, v)).astype(bool)
+        words = np.zeros((t, (v + 31) // 32), np.uint32)
+        for tt in range(t):
+            for vv in range(v):
+                if allowed[tt, vv]:
+                    words[tt, vv // 32] |= np.uint32(1) << np.uint32(vv % 32)
+        out = np.asarray(apply_token_bitmask(jnp.asarray(logits), jnp.asarray(words.astype(np.int32))))
+        assert np.all(np.isinf(out[~allowed]) & (out[~allowed] < 0))
+        np.testing.assert_allclose(out[allowed], logits[allowed])
+
+
+class TestLora:
+    def test_shrink_expand_roundtrip(self, rng):
+        t, k, rank, out_dim, n_loras = 10, 32, 8, 24, 3
+        x = rng.standard_normal((t, k)).astype(np.float32)
+        wa = (rng.standard_normal((n_loras, rank, k)) * 0.1).astype(np.float32)
+        wb = (rng.standard_normal((n_loras, out_dim, rank)) * 0.1).astype(np.float32)
+        seg_indptr = jnp.asarray([0, 4, 10], jnp.int32)  # two segments
+        weight_indices = jnp.asarray([2, 0], jnp.int32)
+        ranks = jnp.asarray([8, 4, 8], jnp.int32)
+        scalings = jnp.asarray([1.0, 2.0, 0.5], jnp.float32)
+        shr = lora.sgemm_lora_a_fwd(jnp.asarray(x), jnp.asarray(wa), seg_indptr, weight_indices, ranks)
+        out = lora.sgemm_lora_b_fwd(shr, jnp.asarray(wb), seg_indptr, weight_indices, ranks, scalings)
+        # oracle token 0 (segment 0 -> adapter 2, rank 8, scaling 0.5)
+        ref0 = (x[0] @ wa[2].T) @ wb[2].T * 0.5
+        np.testing.assert_allclose(np.asarray(out)[0], ref0, rtol=1e-4, atol=1e-4)
+        # oracle token 5 (segment 1 -> adapter 0, rank 8, scaling 1.0)
+        ref5 = (x[5] @ wa[0].T) @ wb[0].T * 1.0
+        np.testing.assert_allclose(np.asarray(out)[5], ref5, rtol=1e-4, atol=1e-4)
+
+    def test_rank_masking(self, rng):
+        t, k, rank = 4, 16, 8
+        x = rng.standard_normal((t, k)).astype(np.float32)
+        wa = (rng.standard_normal((1, rank, k)) * 0.1).astype(np.float32)
+        seg_indptr = jnp.asarray([0, 4], jnp.int32)
+        out = lora.sgemm_lora_a_fwd(jnp.asarray(x), jnp.asarray(wa), seg_indptr, jnp.asarray([0], jnp.int32), jnp.asarray([3], jnp.int32))
+        assert np.all(np.asarray(out)[:, 3:] == 0)
+        assert np.any(np.asarray(out)[:, :3] != 0)
+
+    def test_embedding_lora(self, rng):
+        vocab, rank, n_loras, t = 50, 4, 2, 5
+        w = (rng.standard_normal((n_loras, rank, vocab))).astype(np.float32)
+        ids = jnp.asarray([1, 5, 49, 0, 2], jnp.int32)
+        seg_indptr = jnp.asarray([0, 5], jnp.int32)
+        out = lora.embedding_lora_a_fwd(ids, jnp.asarray(w), seg_indptr, jnp.asarray([1], jnp.int32), jnp.asarray([4, 4], jnp.int32))
+        np.testing.assert_allclose(np.asarray(out)[0], w[1, :, 1], rtol=1e-6)
