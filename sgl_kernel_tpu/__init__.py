@@ -2,14 +2,16 @@
 
 A from-scratch re-design of sgl-project/sgl-kernel-xpu's capability surface
 for TPU: quantization formats and dequant-fused GEMMs, paged flash attention
-and MLA, fused MoE, norm/RoPE/activation fusions, sampling, KV-cache
-management, plus a mesh-sharded parallel layer and a minimal serving loop.
+and MLA (dense + sparse), fused MoE, norm/RoPE/activation fusions, sampling,
+speculative decoding, LoRA, linear attention (GDN/Mamba/lightning), KV-cache
+management, hyper-connections — plus a mesh-sharded parallel layer and a
+continuous-batching serving loop.
 
 The flat export list mirrors the reference's python/sgl_kernel/__init__.py
-so a user of the reference finds the same entry points here.
+(`:13-169`) so a user of the reference finds the same entry points here.
 """
 
-from . import ops, parallel, utils  # noqa: F401
+from . import models, ops, parallel, serving, utils  # noqa: F401
 from .ops.activation import (  # noqa: F401
     gelu_and_mul,
     gelu_quick,
@@ -17,6 +19,21 @@ from .ops.activation import (  # noqa: F401
     silu_and_mul,
     silu_and_mul_clamp,
     swiglu_alpha_limit,
+)
+from .ops.attention import (  # noqa: F401
+    flash_attention,
+    merge_state,
+    merge_state_v2,
+    merge_states,
+    paged_attention_decode,
+)
+from .ops.attention.mla import mla_decode, mla_prefill  # noqa: F401
+from .ops.attention.nsa import (  # noqa: F401
+    fast_topk,
+    fast_topk_transform_fused,
+    fp8_paged_mqa_logits,
+    sparse_mla_decode,
+    sparse_mla_prefill,
 )
 from .ops.gemm import (  # noqa: F401
     awq_to_tpu_layout,
@@ -29,6 +46,50 @@ from .ops.gemm import (  # noqa: F401
     quantize_w4,
     w4a16_gemm,
 )
+from .ops.grammar import apply_token_bitmask  # noqa: F401
+from .ops.hadamard import hadamard_transform  # noqa: F401
+from .ops.hc import hc_post, hc_split_sinkhorn, mhc_pre  # noqa: F401
+from .ops.kvcache import (  # noqa: F401
+    store_cache,
+    store_cache_mla,
+    transfer_kv_all_layer,
+    transfer_kv_all_layer_lf_pf,
+    transfer_kv_all_layer_lf_ph,
+    transfer_kv_all_layer_mla,
+    transfer_kv_per_layer,
+    transfer_kv_per_layer_mla,
+    transfer_kv_per_layer_pf_lf,
+    transfer_kv_per_layer_ph_lf,
+)
+from .ops.linear_attn import (  # noqa: F401
+    causal_conv1d_fwd,
+    causal_conv1d_update,
+    chunk_gated_delta_rule,
+    gated_delta_rule_update,
+    gdn_attention_decode,
+    gdn_attention_prefill,
+    lightning_attention_decode,
+)
+from .ops.lora import (  # noqa: F401
+    embedding_lora_a_fwd,
+    sgemm_lora_a_fwd,
+    sgemm_lora_b_fwd,
+)
+from .ops.misc import moe_sum, moe_sum_reduce, timestep_embedding, weak_ref_tensor  # noqa: F401
+from .ops.moe import (  # noqa: F401
+    MoeWeights,
+    apply_shuffle_mul_sum,
+    biased_topk,
+    fused_experts,
+    hash_topk,
+    moe_align_block_size,
+    moe_fused_gate,
+    scatter_tokens_to_experts,
+    topk_sigmoid,
+    topk_softmax,
+    w4a16_grouped_mm,
+)
+from .ops.norm import fused_add_rmsnorm, gemma_fused_add_rmsnorm, gemma_rmsnorm, l2norm, rmsnorm  # noqa: F401
 from .ops.quant import (  # noqa: F401
     awq_dequantize,
     mxfp4_dequantize,
@@ -38,5 +99,26 @@ from .ops.quant import (  # noqa: F401
     per_token_group_quant_fp8,
     per_token_quant_fp8,
 )
+from .ops.rope import (  # noqa: F401
+    fused_k_norm_rope_mla,
+    fused_qk_norm_rope,
+    mrope_rotary_embedding,
+    rotary_embedding,
+)
+from .ops.sampling import (  # noqa: F401
+    min_p_sampling_from_probs,
+    sampling_from_probs,
+    top_k_renorm_probs,
+    top_k_sampling_from_probs,
+    top_k_top_p_sampling_from_probs,
+    top_p_renorm_probs,
+    top_p_sampling_from_probs,
+)
+from .ops.speculative import (  # noqa: F401
+    segment_packbits,
+    tree_speculative_sampling_target_only,
+    verify_tree_greedy,
+)
+from .utils import query_device  # noqa: F401
 
 __version__ = "0.1.0"

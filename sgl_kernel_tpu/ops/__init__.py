@@ -1,3 +1,20 @@
-"""Kernel families (quant, gemm, attention, moe, norm, rope, activation, ...)."""
+"""Kernel families (quant, gemm, attention, moe, norm, rope, ...)."""
 
-from . import activation, attention, gemm, norm, quant, rope  # noqa: F401
+from . import (  # noqa: F401
+    activation,
+    attention,
+    gemm,
+    grammar,
+    hadamard,
+    hc,
+    kvcache,
+    linear_attn,
+    lora,
+    misc,
+    moe,
+    norm,
+    quant,
+    rope,
+    sampling,
+    speculative,
+)

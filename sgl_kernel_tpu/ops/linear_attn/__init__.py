@@ -8,3 +8,5 @@ from .gdn import (  # noqa: F401
     gdn_attention_prefill,
     unzip_qkvz_ba,
 )
+
+from .lightning import lightning_attention_decode  # noqa: F401

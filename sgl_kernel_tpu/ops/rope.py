@@ -182,3 +182,29 @@ def fused_qk_norm_rope(
     k = rmsnorm(k.reshape(t, nk, head_dim), k_weight, eps).reshape(t, -1)
     q, k = rotary_embedding(positions, q, k, head_dim, cos_sin_cache, is_neox)
     return jnp.concatenate([q, k, v], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def fused_k_norm_rope_mla(
+    kv_latent,
+    k_pe,
+    norm_weight,
+    positions,
+    cos_sin_cache,
+    kv_cache,
+    slot_loc,
+    *,
+    eps: float = 1e-6,
+):
+    """RMSNorm the latent + RoPE the rope-part and scatter straight into the
+    MLA paged cache (reference fused_k_norm_rope_flashmla, FusedQKRope.cpp):
+    kv_latent [T, 512]; k_pe [T, 64]; kv_cache [P, page, 576]; slot_loc [T].
+    Returns the updated cache."""
+    from .norm import rmsnorm as _rms
+    latent = _rms(kv_latent, norm_weight, eps)
+    k_pe_rot, _ = rotary_embedding(positions, k_pe[:, None, :], None, k_pe.shape[-1], cos_sin_cache)
+    row = jnp.concatenate([latent, k_pe_rot[:, 0]], axis=-1)
+    p, page, d = kv_cache.shape
+    flat = kv_cache.reshape(p * page, d)
+    safe = jnp.where(slot_loc >= 0, slot_loc, p * page)
+    return flat.at[safe].set(row.astype(kv_cache.dtype), mode="drop").reshape(kv_cache.shape)
