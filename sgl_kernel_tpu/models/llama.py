@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import flash_attention, paged_attention_decode
 from ..ops.gemm.w4a16 import quantize_w4, w4a16_gemm
-from ..ops.kvcache import store_cache
+from ..ops.kvcache import store_cache, store_cache_stacked
 from ..ops.norm import rmsnorm
 from ..ops.rope import compute_cos_sin_cache, rotary_embedding
 from ..utils import round_up
@@ -190,19 +190,25 @@ def decode_step(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, p
 
     lw = params["layers"]
 
-    def layer_fn(x, layer):
-        weights, kp, vp = layer
+    def layer_fn(carry, layer):
+        # stacked caches stay whole in the carry; the attention kernel and
+        # the store index the layer internally (avoids a full cache copy
+        # per layer that scan xs/ys would imply — docs/PERF.md)
+        x, kc, vc = carry
+        weights, lidx = layer
         h = rmsnorm(x, weights["input_norm"], cfg.rms_eps)
         q, k, v = _qkv(h, weights, cfg, b)
         q, k = rotary_embedding(positions, q, k, cfg.head_dim, rope_cache)
-        kp, vp = store_cache(k, v, kp, vp, slot_loc)
-        attn = paged_attention_decode(q, kp, vp, lengths, page_tables)
+        kc, vc = store_cache_stacked(k, v, kc, vc, slot_loc, lidx)
+        attn = paged_attention_decode(q, kc, vc, lengths, page_tables, layer_id=lidx)
         x = x + _maybe_psum(_linear(attn.reshape(b, -1), weights["o"], cfg), tp_axis)
         h2 = rmsnorm(x, weights["post_norm"], cfg.rms_eps)
         mlp = _maybe_psum(_mlp(h2, weights, cfg), tp_axis)
-        return x + mlp, (kp, vp)
+        return (x + mlp, kc, vc), None
 
-    x, (k_cache, v_cache) = jax.lax.scan(layer_fn, x, (lw, k_cache, v_cache))
+    (x, k_cache, v_cache), _ = jax.lax.scan(
+        layer_fn, (x, k_cache, v_cache), (lw, jnp.arange(cfg.num_layers))
+    )
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
     logits = _linear(x, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
     return logits, k_cache, v_cache
@@ -218,12 +224,13 @@ def prefill(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, q_len
 
     lw = params["layers"]
 
-    def layer_fn(x, layer):
-        weights, kp, vp = layer
+    def layer_fn(carry, layer):
+        x, kc, vc = carry
+        weights, lidx = layer
         h = rmsnorm(x, weights["input_norm"], cfg.rms_eps)
         q, k, v = _qkv(h, weights, cfg, b * s)
         q, k = rotary_embedding(positions.reshape(-1), q, k, cfg.head_dim, rope_cache)
-        kp, vp = store_cache(k, v, kp, vp, slot_loc.reshape(-1))
+        kc, vc = store_cache_stacked(k, v, kc, vc, slot_loc.reshape(-1), lidx)
         attn = flash_attention(
             q.reshape(b, s, cfg.num_heads, cfg.head_dim),
             k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
@@ -233,9 +240,11 @@ def prefill(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, q_len
         x = x + _maybe_psum(_linear(attn, weights["o"], cfg), tp_axis)
         h2 = rmsnorm(x, weights["post_norm"], cfg.rms_eps)
         mlp = _maybe_psum(_mlp(h2, weights, cfg), tp_axis)
-        return x + mlp, (kp, vp)
+        return (x + mlp, kc, vc), None
 
-    x, (k_cache, v_cache) = jax.lax.scan(layer_fn, x, (lw, k_cache, v_cache))
+    (x, k_cache, v_cache), _ = jax.lax.scan(
+        layer_fn, (x, k_cache, v_cache), (lw, jnp.arange(cfg.num_layers))
+    )
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
     # gather last valid token per sequence
     x = x.reshape(b, s, -1)

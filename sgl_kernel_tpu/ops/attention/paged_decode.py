@@ -40,9 +40,10 @@ LOG2E = 1.4426950408889634
 def _kernel(
     lens_ref,  # [B] scalar prefetch
     pt_ref,  # [B, n_blocks] scalar prefetch page table
+    layer_ref,  # [1] scalar prefetch layer id (stacked pools)
     q_ref,  # [1, Hkv, Gp, D]
-    k_ref,  # [Hkv, 1, page, D]
-    v_ref,  # [Hkv, 1, page, D]
+    k_ref,  # [1, Hkv, 1, page, D] (leading layer dim)
+    v_ref,
     sink_ref,  # [1, Hkv, Gp] or None
     o_ref,  # [1, Hkv, Gp, D]
     lse_ref,  # [1, 8, Hkv*Gp] or None
@@ -78,7 +79,7 @@ def _kernel(
             mask = jnp.logical_and(mask, pos > length - 1 - window)
         for h in range(hkv):
             q = q_ref[0, h]  # [Gp, D]
-            k = k_ref[h, 0].astype(q.dtype)  # [page, D]; fp8 upcasts losslessly
+            k = k_ref[0, h, 0].astype(q.dtype)  # [page, D]; fp8 upcasts losslessly
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
             s = s * sm_scale
             if soft_cap is not None:
@@ -96,7 +97,7 @@ def _kernel(
             m_scr[sl, :] = jnp.broadcast_to(m_next, (gp, 128))
             l_scr[sl, :] = jnp.broadcast_to(l_next, (gp, 128))
 
-            v = v_ref[h, 0].astype(q.dtype)
+            v = v_ref[0, h, 0].astype(q.dtype)
             acc_scr[sl, :] = acc_scr[sl, :] * alpha + jax.lax.dot(
                 p.astype(v.dtype), v, preferred_element_type=jnp.float32
             )
@@ -127,6 +128,7 @@ def paged_attention_decode(
     sinks=None,
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
+    layer_id=None,
     *,
     sm_scale: Optional[float] = None,
     sliding_window: Optional[int] = None,
@@ -135,14 +137,24 @@ def paged_attention_decode(
 ):
     """Decode attention over a paged KV cache.
 
-    q: [B, Hq, D]; k_pages/v_pages: [Hkv, P, page_size, D] (bf16 or fp8);
+    q: [B, Hq, D]; k_pages/v_pages: [Hkv, P, page_size, D] (bf16 or fp8),
+    or layer-stacked [L, Hkv, P, page_size, D] with ``layer_id`` selecting
+    the layer inside the kernel — the layer-loop carry then never slices
+    or copies the pools (the scan-copy trap; see docs/PERF.md).
     lengths: [B] valid token counts (incl. current token); page_table:
     [B, max_pages_per_seq] physical page ids (pad with 0).
     k_scale/v_scale: optional scalar fp8 descales.
     Returns out [B, Hq, D] (+ lse [B, Hq] base-2 when return_lse).
     """
     b, hq, d = q.shape
-    hkv, n_pages, page, _ = k_pages.shape
+    if k_pages.ndim == 4:
+        k_pages = k_pages[None]
+        v_pages = v_pages[None]
+    if layer_id is None:
+        layer_id = jnp.zeros((1,), jnp.int32)
+    else:
+        layer_id = jnp.asarray(layer_id, jnp.int32).reshape(1)
+    _, hkv, n_pages, page, _ = k_pages.shape
     assert hq % hkv == 0
     group = hq // hkv
     gp = round_up(group, 8)
@@ -159,21 +171,21 @@ def paged_attention_decode(
     has_sink = sinks is not None
     inputs = [qh, k_pages, v_pages]
     in_specs = [
-        pl.BlockSpec((1, hkv, gp, d), lambda bb, i, lens, pt: (bb, 0, 0, 0)),
-        pl.BlockSpec((hkv, 1, page, d), lambda bb, i, lens, pt: (0, pt[bb, i], 0, 0)),
-        pl.BlockSpec((hkv, 1, page, d), lambda bb, i, lens, pt: (0, pt[bb, i], 0, 0)),
+        pl.BlockSpec((1, hkv, gp, d), lambda bb, i, lens, pt, lid: (bb, 0, 0, 0)),
+        pl.BlockSpec((1, hkv, 1, page, d), lambda bb, i, lens, pt, lid: (lid[0], 0, pt[bb, i], 0, 0)),
+        pl.BlockSpec((1, hkv, 1, page, d), lambda bb, i, lens, pt, lid: (lid[0], 0, pt[bb, i], 0, 0)),
     ]
     if has_sink:
         sink_arr = jnp.pad(sinks.astype(jnp.float32).reshape(1, hkv, group), ((0, 0), (0, 0), (0, gp - group)))
-        in_specs.append(pl.BlockSpec((1, hkv, gp), lambda bb, i, lens, pt: (0, 0, 0)))
+        in_specs.append(pl.BlockSpec((1, hkv, gp), lambda bb, i, lens, pt, lid: (0, 0, 0)))
         inputs.append(sink_arr)
 
     out_shapes = [jax.ShapeDtypeStruct((b, hkv, gp, d), q.dtype)]
-    out_specs = [pl.BlockSpec((1, hkv, gp, d), lambda bb, i, lens, pt: (bb, 0, 0, 0))]
+    out_specs = [pl.BlockSpec((1, hkv, gp, d), lambda bb, i, lens, pt, lid: (bb, 0, 0, 0))]
     if return_lse:
         # 8-row broadcast satisfies the (x8, x128|full) block rule; sliced after
         out_shapes.append(jax.ShapeDtypeStruct((b, 8, hkv * gp), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 8, hkv * gp), lambda bb, i, lens, pt: (bb, 0, 0)))
+        out_specs.append(pl.BlockSpec((1, 8, hkv * gp), lambda bb, i, lens, pt, lid: (bb, 0, 0)))
 
     kernel = functools.partial(
         _kernel_entry,
@@ -191,7 +203,7 @@ def paged_attention_decode(
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(b, n_blocks),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -211,7 +223,7 @@ def paged_attention_decode(
             transcendentals=b * hq * n_blocks * page,
         ),
         interpret=pallas_interpret(),
-    )(lengths.astype(jnp.int32), page_table.astype(jnp.int32), *inputs)
+    )(lengths.astype(jnp.int32), page_table.astype(jnp.int32), layer_id, *inputs)
 
     out = outs[0][:, :, :group].reshape(b, hq, d)
     if v_scale is not None:
@@ -222,7 +234,7 @@ def paged_attention_decode(
     return out
 
 
-def _kernel_entry(lens_ref, pt_ref, *refs, sm_scale, window, soft_cap, page, n_blocks, hkv, gp, has_sink, has_lse):
+def _kernel_entry(lens_ref, pt_ref, layer_ref, *refs, sm_scale, window, soft_cap, page, n_blocks, hkv, gp, has_sink, has_lse):
     q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
     idx = 3
     sink_ref = refs[idx] if has_sink else None
@@ -233,7 +245,7 @@ def _kernel_entry(lens_ref, pt_ref, *refs, sm_scale, window, soft_cap, page, n_b
     idx += int(has_lse)
     m_scr, l_scr, acc_scr = refs[idx], refs[idx + 1], refs[idx + 2]
     _kernel(
-        lens_ref, pt_ref, q_ref, k_ref, v_ref, sink_ref, o_ref, lse_ref,
+        lens_ref, pt_ref, layer_ref, q_ref, k_ref, v_ref, sink_ref, o_ref, lse_ref,
         m_scr, l_scr, acc_scr,
         sm_scale=sm_scale, window=window, soft_cap=soft_cap, page=page,
         n_blocks=n_blocks, hkv=hkv, gp=gp, has_sink=has_sink, has_lse=has_lse,

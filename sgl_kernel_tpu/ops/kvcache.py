@@ -48,6 +48,22 @@ def store_cache(k, v, k_pool, v_pool, loc):
 
 
 @jax.jit
+def store_cache_stacked(k, v, k_pool, v_pool, loc, layer_id):
+    """store_cache into layer-stacked pools [L, H, P, page, D] at ``layer_id``
+    without slicing the stack (keeps the layer-scan carry copy-free)."""
+    l, h, p, page, d = k_pool.shape
+    fk = k_pool.reshape(l * h, p * page, d)
+    fv = v_pool.reshape(l * h, p * page, d)
+    rows = layer_id * h + jnp.arange(h)
+    safe = jnp.where(loc >= 0, loc, p * page)
+    kt = jnp.swapaxes(k, 0, 1).astype(k_pool.dtype)  # [H, T, D]
+    vt = jnp.swapaxes(v, 0, 1).astype(v_pool.dtype)
+    fk = fk.at[rows[:, None], safe[None, :]].set(kt, mode="drop")
+    fv = fv.at[rows[:, None], safe[None, :]].set(vt, mode="drop")
+    return fk.reshape(k_pool.shape), fv.reshape(v_pool.shape)
+
+
+@jax.jit
 def store_cache_mla(kv, pool, loc):
     """MLA single-pool variant: kv [T, D_ckv] into pool [P, page, D_ckv]."""
     p, page, d = pool.shape
