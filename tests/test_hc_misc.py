@@ -123,3 +123,45 @@ class TestLora:
         seg_indptr = jnp.asarray([0, 5], jnp.int32)
         out = lora.embedding_lora_a_fwd(ids, jnp.asarray(w), seg_indptr, jnp.asarray([1], jnp.int32), jnp.asarray([4, 4], jnp.int32))
         np.testing.assert_allclose(np.asarray(out)[0], w[1, :, 1], rtol=1e-6)
+
+
+class TestCompression:
+    def test_window_softmax_pooling(self, rng):
+        from sgl_kernel_tpu.ops import compression
+
+        w, d = 8, 16
+        kv = rng.standard_normal((w, d)).astype(np.float32)
+        sc = rng.standard_normal((w, d)).astype(np.float32)
+        ape = rng.standard_normal((w, d)).astype(np.float32)
+        out = compression.compress_window(jnp.asarray(kv), jnp.asarray(sc), jnp.asarray(ape))
+        s = sc + ape
+        weights = np.exp(s - s.max(0)) / np.exp(s - s.max(0)).sum(0)
+        np.testing.assert_allclose(np.asarray(out), (kv * weights).sum(0), rtol=1e-5, atol=1e-5)
+
+    def test_sequence_c128_plain_windows(self, rng):
+        from sgl_kernel_tpu.ops import compression
+
+        t, d, r = 256, 8, 128
+        kv = rng.standard_normal((t, d)).astype(np.float32)
+        sc = rng.standard_normal((t, d)).astype(np.float32)
+        ape = rng.standard_normal((r, d)).astype(np.float32)
+        out = compression.compress_sequence(jnp.asarray(kv), jnp.asarray(sc), jnp.asarray(ape), compress_ratio=r)
+        assert out.shape == (2, d)
+        ref0 = np.asarray(
+            compression.compress_window(jnp.asarray(kv[:r]), jnp.asarray(sc[:r]), jnp.asarray(ape))
+        )
+        np.testing.assert_allclose(np.asarray(out)[0], ref0, rtol=1e-5)
+
+    def test_sequence_c4_overlap(self, rng):
+        from sgl_kernel_tpu.ops import compression
+
+        t, d = 16, 8
+        kv = rng.standard_normal((t, d)).astype(np.float32)
+        sc = rng.standard_normal((t, d)).astype(np.float32)
+        ape = rng.standard_normal((8, d)).astype(np.float32)
+        out = compression.compress_sequence(jnp.asarray(kv), jnp.asarray(sc), jnp.asarray(ape), compress_ratio=4)
+        assert out.shape == (4, d)
+        # second window pools tokens 0..7 (overlap 0..3 + fresh 4..7)
+        s = sc[:8] + ape
+        weights = np.exp(s - s.max(0)) / np.exp(s - s.max(0)).sum(0)
+        np.testing.assert_allclose(np.asarray(out)[1], (kv[:8] * weights).sum(0), rtol=1e-4, atol=1e-5)
