@@ -52,6 +52,9 @@ class LlamaConfig:
     # fused row layout is not TP-shardable, so parallel execution requires
     # fused=False)
     fused: bool = False
+    # KV cache dtype: None -> model dtype; jnp.float8_e4m3fn halves decode
+    # attention bandwidth (per-tensor scale 1.0; the paged kernel upcasts)
+    kv_dtype: Any = None
 
     @staticmethod
     def llama3_8b(**kw):
@@ -142,7 +145,7 @@ def _linear(x, w, cfg: LlamaConfig):
 
 def make_caches(cfg: LlamaConfig, num_pages: int, page_size: int, kv_dtype=None):
     """Stacked per-layer paged pools [L, Hkv, P, page, D] (x2 for K and V)."""
-    kv_dtype = kv_dtype or cfg.dtype
+    kv_dtype = kv_dtype or cfg.kv_dtype or cfg.dtype
     shape = (cfg.num_layers, cfg.num_kv_heads, num_pages, page_size, cfg.head_dim)
     return jnp.zeros(shape, kv_dtype), jnp.zeros(shape, kv_dtype)
 

@@ -188,3 +188,31 @@ class TestEngine:
         assert all(len(eng.finished[r].output) == 4 for r in rids)
         # pages all released
         assert len(eng.allocator.free) == 63
+
+
+class TestFp8Kv:
+    def test_fp8_kv_cache_close_to_bf16(self, tiny_model, rng):
+        import dataclasses
+        cfg, params = tiny_model
+        cfg8 = dataclasses.replace(cfg, kv_dtype=jnp.float8_e4m3fn)
+        s = 8
+        tokens = rng.integers(0, cfg.vocab_size, s).astype(np.int32)
+        rope_cache = llama.build_rope_cache(cfg)
+        pad = 16
+        tok_pad = np.zeros((1, pad), np.int32); tok_pad[0, :s] = tokens
+        pos_pad = np.zeros((1, pad), np.int32); pos_pad[0, :s] = np.arange(s)
+        slots = np.full((1, pad), -1, np.int32); slots[0, :s] = 16 + np.arange(s)
+        args = (jnp.asarray(tok_pad), jnp.asarray(pos_pad), jnp.asarray([s], jnp.int32), jnp.asarray(slots), rope_cache)
+        kc, vc = llama.make_caches(cfg, 8, 16)
+        ref, kc, vc = llama.prefill(params, cfg, kc, vc, *args)
+        kc8, vc8 = llama.make_caches(cfg8, 8, 16)
+        assert kc8.dtype == jnp.float8_e4m3fn
+        out, kc8, vc8 = llama.prefill(params, cfg8, kc8, vc8, *args)
+        # prefill attention doesn't read the cache; decode does
+        table = np.zeros((1, 4), np.int32); table[0, 0] = 1
+        dargs = (jnp.asarray([int(tokens[-1])], jnp.int32), jnp.asarray([s], jnp.int32),
+                 jnp.asarray(table), jnp.asarray([s + 1], jnp.int32), jnp.asarray([16 + s], jnp.int32), rope_cache)
+        dref, _, _ = llama.decode_step(params, cfg, kc, vc, *dargs)
+        d8, _, _ = llama.decode_step(params, cfg8, kc8, vc8, *dargs)
+        # fp8 kv introduces ~6% elementwise error; logits stay close
+        np.testing.assert_allclose(np.asarray(d8), np.asarray(dref), rtol=0.2, atol=0.35)
