@@ -8,10 +8,11 @@ Design: the KV pools stay in HBM head-major as [Hkv, num_pages, page_size,
 D]; the grid walks (batch, kv_block) with the page table scalar-prefetched
 so the BlockSpec index_map resolves physical page ids before each fetch —
 Pallas's pipeline then double-buffers the page DMAs against compute.
-**All KV heads are folded into a single grid step** (block (Hkv, 1, page,
-D)): one step fetches Hkv*page*D*2 bytes per pool, amortizing the fixed
+**All KV heads and two pages are folded into a single grid step** (two
+(1, Hkv, 1, page, D) blocks per pool with index maps pt[b, 2i] / pt[b,
+2i+1]): one step fetches 2*Hkv*page*D bytes per pool, amortizing the fixed
 per-grid-step cost that dominates decode at page-sized fetches (measured
-2.5x on v5e vs the per-head grid).
+480 GB/s KV read on v5e, ~6x the naive per-head grid).
 
 GQA: the Hq = G * Hkv query heads sharing a KV head pack into the matmul M
 dim; per-head online-softmax states live in one [Hkv*Gp, 128] scratch.
@@ -42,8 +43,10 @@ def _kernel(
     pt_ref,  # [B, n_blocks] scalar prefetch page table
     layer_ref,  # [1] scalar prefetch layer id (stacked pools)
     q_ref,  # [1, Hkv, Gp, D]
-    k_ref,  # [1, Hkv, 1, page, D] (leading layer dim)
-    v_ref,
+    k0_ref,  # [1, Hkv, 1, page, D] (leading layer dim)
+    v0_ref,
+    k1_ref,  # second page of the pair (or None when pps == 1)
+    v1_ref,
     sink_ref,  # [1, Hkv, Gp] or None
     o_ref,  # [1, Hkv, Gp, D]
     lse_ref,  # [1, 8, Hkv*Gp] or None
@@ -55,7 +58,8 @@ def _kernel(
     window: Optional[int],
     soft_cap: Optional[float],
     page: int,
-    n_blocks: int,
+    pps: int,
+    n_steps: int,
     hkv: int,
     gp: int,
     has_sink: bool,
@@ -64,6 +68,7 @@ def _kernel(
     b = pl.program_id(0)
     i = pl.program_id(1)
     length = lens_ref[b]
+    span = page * pps
 
     @pl.when(i == 0)
     def _init():
@@ -71,15 +76,18 @@ def _kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(i * page < length)
+    @pl.when(i * span < length)
     def _body():
-        pos = jax.lax.broadcasted_iota(jnp.int32, (gp, page), 1) + i * page
+        pos = jax.lax.broadcasted_iota(jnp.int32, (gp, span), 1) + i * span
         mask = pos < length
         if window is not None:
             mask = jnp.logical_and(mask, pos > length - 1 - window)
         for h in range(hkv):
             q = q_ref[0, h]  # [Gp, D]
-            k = k_ref[0, h, 0].astype(q.dtype)  # [page, D]; fp8 upcasts losslessly
+            if pps == 2:
+                k = jnp.concatenate([k0_ref[0, h, 0], k1_ref[0, h, 0]], axis=0).astype(q.dtype)
+            else:
+                k = k0_ref[0, h, 0].astype(q.dtype)  # [page, D]; fp8 upcasts losslessly
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
             s = s * sm_scale
             if soft_cap is not None:
@@ -97,12 +105,15 @@ def _kernel(
             m_scr[sl, :] = jnp.broadcast_to(m_next, (gp, 128))
             l_scr[sl, :] = jnp.broadcast_to(l_next, (gp, 128))
 
-            v = v_ref[0, h, 0].astype(q.dtype)
+            if pps == 2:
+                v = jnp.concatenate([v0_ref[0, h, 0], v1_ref[0, h, 0]], axis=0).astype(q.dtype)
+            else:
+                v = v0_ref[0, h, 0].astype(q.dtype)
             acc_scr[sl, :] = acc_scr[sl, :] * alpha + jax.lax.dot(
                 p.astype(v.dtype), v, preferred_element_type=jnp.float32
             )
 
-    @pl.when(i == n_blocks - 1)
+    @pl.when(i == n_steps - 1)
     def _finalize():
         m = m_scr[:, :1]
         l = l_scr[:, :1]
@@ -160,6 +171,12 @@ def paged_attention_decode(
     gp = round_up(group, 8)
     sm_scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
     n_blocks = page_table.shape[1]
+    # two pages per grid step (pad the table so the pair count is even)
+    pps = 2 if n_blocks > 1 else 1
+    if pps == 2 and n_blocks % 2 == 1:
+        page_table = jnp.pad(page_table, ((0, 0), (0, 1)))
+        n_blocks += 1
+    n_steps = n_blocks // pps
 
     qh = q.reshape(b, hkv, group, d).astype(jnp.float32)
     if k_scale is not None:
@@ -169,12 +186,26 @@ def paged_attention_decode(
     qh = qh.astype(jnp.bfloat16 if q.dtype == jnp.bfloat16 else q.dtype)
 
     has_sink = sinks is not None
+
+    def kv_spec(off):
+        if pps == 2:
+            return pl.BlockSpec(
+                (1, hkv, 1, page, d),
+                lambda bb, i, lens, pt, lid, off=off: (lid[0], 0, pt[bb, 2 * i + off], 0, 0),
+            )
+        return pl.BlockSpec(
+            (1, hkv, 1, page, d), lambda bb, i, lens, pt, lid: (lid[0], 0, pt[bb, i], 0, 0)
+        )
+
     inputs = [qh, k_pages, v_pages]
     in_specs = [
         pl.BlockSpec((1, hkv, gp, d), lambda bb, i, lens, pt, lid: (bb, 0, 0, 0)),
-        pl.BlockSpec((1, hkv, 1, page, d), lambda bb, i, lens, pt, lid: (lid[0], 0, pt[bb, i], 0, 0)),
-        pl.BlockSpec((1, hkv, 1, page, d), lambda bb, i, lens, pt, lid: (lid[0], 0, pt[bb, i], 0, 0)),
+        kv_spec(0),
+        kv_spec(0),
     ]
+    if pps == 2:
+        inputs += [k_pages, v_pages]
+        in_specs += [kv_spec(1), kv_spec(1)]
     if has_sink:
         sink_arr = jnp.pad(sinks.astype(jnp.float32).reshape(1, hkv, group), ((0, 0), (0, 0), (0, gp - group)))
         in_specs.append(pl.BlockSpec((1, hkv, gp), lambda bb, i, lens, pt, lid: (0, 0, 0)))
@@ -193,7 +224,8 @@ def paged_attention_decode(
         window=sliding_window,
         soft_cap=logit_soft_cap,
         page=page,
-        n_blocks=n_blocks,
+        pps=pps,
+        n_steps=n_steps,
         hkv=hkv,
         gp=gp,
         has_sink=has_sink,
@@ -204,7 +236,7 @@ def paged_attention_decode(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(b, n_blocks),
+            grid=(b, n_steps),
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[
@@ -234,9 +266,14 @@ def paged_attention_decode(
     return out
 
 
-def _kernel_entry(lens_ref, pt_ref, layer_ref, *refs, sm_scale, window, soft_cap, page, n_blocks, hkv, gp, has_sink, has_lse):
-    q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
+def _kernel_entry(lens_ref, pt_ref, layer_ref, *refs, sm_scale, window, soft_cap, page, pps, n_steps, hkv, gp, has_sink, has_lse):
+    q_ref, k0_ref, v0_ref = refs[0], refs[1], refs[2]
     idx = 3
+    if pps == 2:
+        k1_ref, v1_ref = refs[idx], refs[idx + 1]
+        idx += 2
+    else:
+        k1_ref = v1_ref = None
     sink_ref = refs[idx] if has_sink else None
     idx += int(has_sink)
     o_ref = refs[idx]
@@ -245,8 +282,8 @@ def _kernel_entry(lens_ref, pt_ref, layer_ref, *refs, sm_scale, window, soft_cap
     idx += int(has_lse)
     m_scr, l_scr, acc_scr = refs[idx], refs[idx + 1], refs[idx + 2]
     _kernel(
-        lens_ref, pt_ref, layer_ref, q_ref, k_ref, v_ref, sink_ref, o_ref, lse_ref,
+        lens_ref, pt_ref, layer_ref, q_ref, k0_ref, v0_ref, k1_ref, v1_ref, sink_ref, o_ref, lse_ref,
         m_scr, l_scr, acc_scr,
-        sm_scale=sm_scale, window=window, soft_cap=soft_cap, page=page,
-        n_blocks=n_blocks, hkv=hkv, gp=gp, has_sink=has_sink, has_lse=has_lse,
+        sm_scale=sm_scale, window=window, soft_cap=soft_cap, page=page, pps=pps,
+        n_steps=n_steps, hkv=hkv, gp=gp, has_sink=has_sink, has_lse=has_lse,
     )
