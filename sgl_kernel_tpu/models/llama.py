@@ -25,7 +25,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import flash_attention, paged_attention_decode
+from ..ops.attention import flash_attention, merge_state, paged_attention_decode
 from ..ops.gemm.w4a16 import quantize_w4, w4a16_gemm
 from ..ops.kvcache import store_cache, store_cache_stacked
 from ..ops.norm import rmsnorm
@@ -259,3 +259,95 @@ def prefill(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, q_len
 
 def build_rope_cache(cfg: LlamaConfig):
     return compute_cos_sin_cache(cfg.head_dim, cfg.max_position, cfg.rope_theta)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "prefix_max", "tp_axis"), donate_argnums=(2, 3))
+def prefill_extend(
+    params,
+    cfg: LlamaConfig,
+    k_cache,
+    v_cache,
+    tokens,
+    positions,
+    q_lens,
+    kv_lens,
+    page_tables,
+    slot_loc,
+    rope_cache,
+    *,
+    prefix_max: int,
+    tp_axis=None,
+):
+    """Chunked/extend prefill: the q tokens are the *suffix* of sequences
+    whose prefix KV already lives in the paged cache (radix prefix reuse).
+
+    tokens/positions/slot_loc [B, S] (fresh suffix, padded); q_lens [B]
+    suffix lengths; kv_lens [B] total lengths; page_tables [B, max_pages].
+    Attention = merge_state( flash(q, fresh_kv | causal at global offsets),
+                             flash(q, gathered_prefix | fully visible) ) —
+    the reference's chunked two-launch design (flash_attention.cpp:1207-1325)
+    expressed with this framework's offset-aware kernel + merge primitive.
+    """
+    b, s = tokens.shape
+    x = params["embed"][tokens.reshape(-1)].astype(cfg.dtype)
+    lw = params["layers"]
+    prefix_lens = kv_lens - q_lens  # [B]
+    # flat slot ids of the first prefix_max cached positions per sequence
+    pos_idx = jnp.arange(prefix_max)
+    page_sz = k_cache.shape[-2]
+    pre_slots = (
+        page_tables[:, pos_idx // page_sz] * page_sz + (pos_idx % page_sz)[None, :]
+    )  # [B, prefix_max]
+
+    def gather_prefix(kc, lidx):
+        l, h, p, pg, d = kc.shape
+        flat = kc.reshape(l * h, p * pg, d)
+        rows = lidx * h + jnp.arange(h)
+        g = flat[rows[:, None, None], pre_slots[None, :, :]]  # [H, B, pre, D]
+        return jnp.transpose(g, (1, 2, 0, 3))  # [B, pre, H, D]
+
+    def layer_fn(carry, layer):
+        x, kc, vc = carry
+        weights, lidx = layer
+        h = rmsnorm(x, weights["input_norm"], cfg.rms_eps)
+        q, k, v = _qkv(h, weights, cfg, b * s)
+        q, k = rotary_embedding(positions.reshape(-1), q, k, cfg.head_dim, rope_cache)
+        kc, vc = store_cache_stacked(k, v, kc, vc, slot_loc.reshape(-1), lidx)
+        qb = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
+        kb = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        vb = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        # pass 1: fresh suffix, causal at global offsets
+        o1, l1 = flash_attention(
+            qb, kb, vb, q_lens, q_lens,
+            q_start=prefix_lens, kv_start=prefix_lens,
+            causal=True, return_lse=True,
+        )
+        # pass 2: cached prefix, fully visible (masked by prefix length)
+        kpre = gather_prefix(kc, lidx).astype(qb.dtype)
+        vpre = gather_prefix(vc, lidx).astype(qb.dtype)
+        o2, l2 = flash_attention(
+            qb, kpre, vpre, q_lens, prefix_lens,
+            q_start=prefix_lens, kv_start=jnp.zeros_like(prefix_lens),
+            causal=True, return_lse=True,
+        )
+        om, _ = merge_state(
+            o1.reshape(b * s, cfg.num_heads, cfg.head_dim),
+            jnp.swapaxes(l1, 1, 2).reshape(b * s, cfg.num_heads),
+            o2.reshape(b * s, cfg.num_heads, cfg.head_dim),
+            jnp.swapaxes(l2, 1, 2).reshape(b * s, cfg.num_heads),
+        )
+        attn = om.reshape(b * s, -1).astype(cfg.dtype)
+        x = x + _maybe_psum(_linear(attn, weights["o"], cfg), tp_axis)
+        h2 = rmsnorm(x, weights["post_norm"], cfg.rms_eps)
+        mlp = _maybe_psum(_mlp(h2, weights, cfg), tp_axis)
+        return (x + mlp, kc, vc), None
+
+    (x, k_cache, v_cache), _ = jax.lax.scan(
+        layer_fn, (x, k_cache, v_cache), (lw, jnp.arange(cfg.num_layers))
+    )
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    x = x.reshape(b, s, -1)
+    last = jnp.clip(q_lens - 1, 0, s - 1)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    logits = _linear(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
+    return logits, k_cache, v_cache

@@ -30,6 +30,9 @@ class Request:
     output: List[int] = dataclasses.field(default_factory=list)
     pages: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    prefix_len: int = 0          # tokens reused from the radix cache
+    shared_pages: int = 0        # leading cache-owned pages in ``pages``
+    locked_tokens: List[int] = dataclasses.field(default_factory=list)
 
     @property
     def seq_len(self) -> int:
@@ -66,6 +69,7 @@ class Engine:
         max_pages_per_seq: Optional[int] = None,
         prefill_bucket: int = 128,
         seed: int = 0,
+        enable_prefix_cache: bool = True,
     ):
         self.cfg = cfg
         self.page_size = page_size
@@ -77,7 +81,15 @@ class Engine:
         self.params = params
         self.rope_cache = llama.build_rope_cache(cfg)
         self.k_cache, self.v_cache = llama.make_caches(cfg, num_pages, page_size)
-        self.allocator = PageAllocator(num_pages)
+        self.native = None
+        if enable_prefix_cache:
+            try:
+                from .native import NativeAllocator
+
+                self.native = NativeAllocator(num_pages, page_size)
+            except Exception:
+                self.native = None
+        self.allocator = self.native if self.native is not None else PageAllocator(num_pages)
         self.waiting: List[Request] = []
         self.running: List[Request] = []
         self.finished: Dict[int, Request] = {}
@@ -103,29 +115,53 @@ class Engine:
     def _admit(self):
         while self.waiting and len(self.running) < self.max_batch:
             req = self.waiting[0]
-            need = cdiv(req.seq_len + req.max_new_tokens, self.page_size)
+            shared: List[int] = []
+            if self.native is not None and len(req.prompt) > 1:
+                # reuse the longest cached page-aligned prefix, keeping at
+                # least one fresh token so prefill produces logits
+                probe = req.prompt[: len(req.prompt) - 1]
+                matched, shared = self.native.match_prefix_locked(probe)
+                req.prefix_len = matched
+                req.shared_pages = len(shared)
+                req.locked_tokens = probe[:matched]
+            need = cdiv(req.seq_len + req.max_new_tokens, self.page_size) - len(shared)
             pages = self.allocator.alloc(need)
             if pages is None:
+                if req.locked_tokens:
+                    self.native.unlock_prefix(req.locked_tokens)
+                    req.prefix_len = req.shared_pages = 0
+                    req.locked_tokens = []
                 break
-            req.pages = pages
+            req.pages = shared + pages
             self.waiting.pop(0)
             self._prefill(req)
             self.running.append(req)
 
     def _prefill(self, req: Request):
-        s = len(req.prompt)
+        pre = req.prefix_len
+        s = len(req.prompt) - pre
         bucket = max(self.prefill_bucket, 1 << (s - 1).bit_length())
         tokens = np.zeros((1, bucket), np.int32)
-        tokens[0, :s] = req.prompt
+        tokens[0, :s] = req.prompt[pre:]
         positions = np.zeros((1, bucket), np.int32)
-        positions[0, :s] = np.arange(s)
+        positions[0, :s] = np.arange(pre, pre + s)
         slot_loc = np.full((1, bucket), -1, np.int32)
-        slot_loc[0, :s] = [self._slot(req, p) for p in range(s)]
-        logits, self.k_cache, self.v_cache = llama.prefill(
-            self.params, self.cfg, self.k_cache, self.v_cache,
-            jnp.asarray(tokens), jnp.asarray(positions),
-            jnp.asarray([s], jnp.int32), jnp.asarray(slot_loc), self.rope_cache,
-        )
+        slot_loc[0, :s] = [self._slot(req, p) for p in range(pre, pre + s)]
+        if pre == 0:
+            logits, self.k_cache, self.v_cache = llama.prefill(
+                self.params, self.cfg, self.k_cache, self.v_cache,
+                jnp.asarray(tokens), jnp.asarray(positions),
+                jnp.asarray([s], jnp.int32), jnp.asarray(slot_loc), self.rope_cache,
+            )
+        else:
+            prefix_max = cdiv(pre, self.page_size) * self.page_size
+            logits, self.k_cache, self.v_cache = llama.prefill_extend(
+                self.params, self.cfg, self.k_cache, self.v_cache,
+                jnp.asarray(tokens), jnp.asarray(positions),
+                jnp.asarray([s], jnp.int32), jnp.asarray([pre + s], jnp.int32),
+                jnp.asarray(self._page_table(req)[None]), jnp.asarray(slot_loc),
+                self.rope_cache, prefix_max=prefix_max,
+            )
         self._append_token(req, logits[0])
 
     def _append_token(self, req: Request, logits):
@@ -168,12 +204,30 @@ class Engine:
     def _retire(self):
         still = []
         for r in self.running:
-            if r.done:
-                self.allocator.release(r.pages)
-                r.pages = []
-                self.finished[r.rid] = r
-            else:
+            if not r.done:
                 still.append(r)
+                continue
+            if self.native is not None:
+                seq = r.prompt + r.output
+                full_pages = len(seq) // self.page_size
+                adopted = 0
+                if full_pages > 0:
+                    adopted = self.native.insert_prefix(
+                        seq[: full_pages * self.page_size], r.pages[:full_pages]
+                    )
+                # ownership: pages[:shared_pages] were cache-owned already;
+                # the adopted tail of the full-page range now belongs to the
+                # cache; everything else returns to the free list
+                keep = set(range(r.shared_pages)) | set(range(full_pages - adopted, full_pages))
+                release = [p for i, p in enumerate(r.pages) if i not in keep]
+                if release:
+                    self.allocator.release(release)
+                if r.locked_tokens:
+                    self.native.unlock_prefix(r.locked_tokens)
+            else:
+                self.allocator.release(r.pages)
+            r.pages = []
+            self.finished[r.rid] = r
         self.running = still
 
     # ------------------------------------------------------------------

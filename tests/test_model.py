@@ -186,8 +186,11 @@ class TestEngine:
         rids = [eng.add_request(rng.integers(0, cfg.vocab_size, 5 + i).tolist(), max_new_tokens=4) for i in range(3)]
         eng.run_until_done(max_steps=50)
         assert all(len(eng.finished[r].output) == 4 for r in rids)
-        # pages all released
-        assert len(eng.allocator.free) == 63
+        # all pages are either free or retained by the prefix cache
+        free = eng.allocator.free
+        free_n = free if isinstance(free, int) else len(free)
+        cached = eng.native.cached_pages if eng.native is not None else 0
+        assert free_n + cached == 63
 
 
 class TestFp8Kv:
@@ -216,3 +219,62 @@ class TestFp8Kv:
         d8, _, _ = llama.decode_step(params, cfg8, kc8, vc8, *dargs)
         # fp8 kv introduces ~6% elementwise error; logits stay close
         np.testing.assert_allclose(np.asarray(d8), np.asarray(dref), rtol=0.2, atol=0.35)
+
+
+class TestPrefillExtend:
+    def test_matches_full_prefill(self, tiny_model, rng):
+        cfg, params = tiny_model
+        page = 16
+        full = rng.integers(0, cfg.vocab_size, 24).astype(np.int32)  # 1 full page + 8
+        rope_cache = llama.build_rope_cache(cfg)
+        # reference: full prefill
+        kc, vc = llama.make_caches(cfg, 8, page)
+        pad = 32
+        tok = np.zeros((1, pad), np.int32); tok[0, :24] = full
+        pos = np.zeros((1, pad), np.int32); pos[0, :24] = np.arange(24)
+        slots = np.full((1, pad), -1, np.int32); slots[0, :24] = page + np.arange(24)  # pages 1,2
+        ref, _, _ = llama.prefill(params, cfg, kc, vc, jnp.asarray(tok), jnp.asarray(pos),
+                                  jnp.asarray([24], jnp.int32), jnp.asarray(slots), rope_cache)
+        # extend path: first prefill the 16-token prefix, then extend with 8
+        kc2, vc2 = llama.make_caches(cfg, 8, page)
+        tokp = np.zeros((1, 16), np.int32); tokp[0] = full[:16]
+        posp = np.arange(16, dtype=np.int32)[None]
+        slotsp = (page + np.arange(16, dtype=np.int32))[None]
+        _, kc2, vc2 = llama.prefill(params, cfg, kc2, vc2, jnp.asarray(tokp), jnp.asarray(posp),
+                                    jnp.asarray([16], jnp.int32), jnp.asarray(slotsp), rope_cache)
+        toks = np.zeros((1, 16), np.int32); toks[0, :8] = full[16:]
+        poss = np.zeros((1, 16), np.int32); poss[0, :8] = np.arange(16, 24)
+        slotss = np.full((1, 16), -1, np.int32); slotss[0, :8] = 2 * page + np.arange(8)
+        table = np.asarray([[1, 2, 0, 0]], np.int32)
+        out, kc2, vc2 = llama.prefill_extend(
+            params, cfg, kc2, vc2, jnp.asarray(toks), jnp.asarray(poss),
+            jnp.asarray([8], jnp.int32), jnp.asarray([24], jnp.int32),
+            jnp.asarray(table), jnp.asarray(slotss), rope_cache, prefix_max=16,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-2, atol=3e-2)
+
+
+class TestPrefixCache:
+    def test_shared_prefix_reuse_matches(self, tiny_model, rng):
+        from sgl_kernel_tpu.serving import native as native_mod
+        if not native_mod.available():
+            pytest.skip("native lib unavailable")
+        cfg, params = tiny_model
+        shared = rng.integers(0, cfg.vocab_size, 16).tolist()  # one full page
+        tail_a = rng.integers(0, cfg.vocab_size, 5).tolist()
+        tail_b = rng.integers(0, cfg.vocab_size, 7).tolist()
+
+        def run(enable):
+            eng = Engine(cfg, params, max_batch=2, num_pages=64, page_size=16,
+                         prefill_bucket=16, enable_prefix_cache=enable)
+            r1 = eng.add_request(shared + tail_a, max_new_tokens=4)
+            eng.run_until_done(max_steps=40)
+            r2 = eng.add_request(shared + tail_b, max_new_tokens=4)
+            eng.run_until_done(max_steps=40)
+            return eng, eng.finished[r1].output, eng.finished[r2].output
+
+        eng_c, a_c, b_c = run(True)
+        _, a_n, b_n = run(False)
+        assert a_c == a_n and b_c == b_n
+        # the second request must actually have reused the cached prefix
+        assert eng_c.finished[1].prefix_len == 16
