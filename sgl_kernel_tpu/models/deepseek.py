@@ -1,0 +1,240 @@
+"""DeepSeek-V3-style model: MLA attention + biased-top-k MoE.
+
+The second flagship family (BASELINE.json config: "DeepSeek-V3 MLA decode
+with FP8 KV-cache + fused_experts MoE"). Uses the op library's MLA kernels
+(ops/attention/mla.py) with the weight-absorption formulation:
+
+  q_nope' = q_nope @ W_UK   (per head, into the 512-dim latent)      decode
+  scores  = q_nope' . kv_c + q_pe . k_pe                     (one 576 read)
+  out_h   = attn_latent @ W_UV                               (per head)
+
+The KV cache stores only the 576-dim latent per token (MLA's point).
+MoE layers use biased top-k routing (DSv3 scoring) + fused_experts; the
+first ``num_dense_layers`` layers use a dense MLP.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention.mla import D_CKV, D_LATENT, D_ROPE, mla_decode, mla_prefill
+from ..ops.kvcache import store_cache_mla
+from ..ops.moe import MoeWeights, biased_topk, fused_experts
+from ..ops.norm import rmsnorm
+from ..ops.rope import compute_cos_sin_cache, rotary_embedding
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepseekConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    num_layers: int = 4
+    num_heads: int = 16
+    qk_nope_dim: int = 128  # per-head nope dim (projected to latent via W_UK)
+    v_head_dim: int = 128
+    # MoE
+    num_experts: int = 16
+    num_experts_per_tok: int = 4
+    moe_intermediate: int = 512
+    dense_intermediate: int = 4096
+    num_dense_layers: int = 1
+    routed_scaling_factor: float = 2.5
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-6
+    max_position: int = 4096
+    dtype: Any = jnp.bfloat16
+
+    @staticmethod
+    def tiny(**kw):
+        return DeepseekConfig(
+            vocab_size=128, hidden_size=64, num_layers=2, num_heads=2,
+            qk_nope_dim=32, v_head_dim=32, num_experts=4, num_experts_per_tok=2,
+            moe_intermediate=64, dense_intermediate=128, num_dense_layers=1,
+            max_position=128, dtype=jnp.float32, **kw,
+        )
+
+
+def init_weights(cfg: DeepseekConfig, key):
+    h = cfg.hidden_size
+    nh, dn, dv = cfg.num_heads, cfg.qk_nope_dim, cfg.v_head_dim
+    l = cfg.num_layers
+    ks = iter(jax.random.split(key, 24))
+
+    def w(shape, scale=None):
+        scale = scale if scale is not None else (1.0 / (shape[-1] ** 0.5))
+        return (jax.random.normal(next(ks), shape, jnp.float32) * scale).astype(cfg.dtype)
+
+    layers = {
+        "input_norm": jnp.ones((l, h), cfg.dtype),
+        "post_norm": jnp.ones((l, h), cfg.dtype),
+        "kv_norm": jnp.ones((l, D_LATENT), cfg.dtype),
+        # q projection: per head nope + rope parts
+        "wq": w((l, nh * (dn + D_ROPE), h)),
+        # kv down-projection to latent + shared rope key
+        "wkv_a": w((l, D_LATENT + D_ROPE, h)),
+        # absorption matrices
+        "w_uk": w((l, nh, dn, D_LATENT)),  # q_nope -> latent
+        "w_uv": w((l, nh, D_LATENT, dv)),  # attn latent -> per-head value
+        "wo": w((l, h, nh * dv)),
+        # dense MLP (used for layers < num_dense_layers)
+        "gate": w((l, cfg.dense_intermediate, h)),
+        "up": w((l, cfg.dense_intermediate, h)),
+        "down": w((l, h, cfg.dense_intermediate)),
+        # MoE
+        "router": w((l, cfg.num_experts, h), 0.02),
+        "router_bias": jnp.zeros((l, cfg.num_experts), jnp.float32),
+        "moe_w1": w((l, cfg.num_experts, h, 2 * cfg.moe_intermediate)),
+        "moe_w2": w((l, cfg.num_experts, cfg.moe_intermediate, h)),
+        # shared expert (DSv3 has one shared expert alongside routed ones)
+        "shared_gate": w((l, cfg.moe_intermediate, h)),
+        "shared_up": w((l, cfg.moe_intermediate, h)),
+        "shared_down": w((l, h, cfg.moe_intermediate)),
+    }
+    return {
+        "embed": w((cfg.vocab_size, h), 0.02),
+        "final_norm": jnp.ones((h,), cfg.dtype),
+        "lm_head": w((cfg.vocab_size, h)),
+        "layers": layers,
+    }
+
+
+def make_cache(cfg: DeepseekConfig, num_pages: int, page_size: int, kv_dtype=None):
+    """Latent KV cache [L, P, page, 576] — single pool (MLA)."""
+    return jnp.zeros((cfg.num_layers, num_pages, page_size, D_CKV), kv_dtype or cfg.dtype)
+
+
+def _silu_mlp(x, gate_w, up_w, down_w, cfg):
+    g = jnp.dot(x, gate_w.T, preferred_element_type=jnp.float32)
+    u = jnp.dot(x, up_w.T, preferred_element_type=jnp.float32)
+    a = (g * jax.nn.sigmoid(g) * u).astype(cfg.dtype)
+    return jnp.dot(a, down_w.T, preferred_element_type=jnp.float32).astype(cfg.dtype)
+
+
+def _moe_block(x, weights, lidx, cfg):
+    tw, tids = biased_topk(
+        jnp.dot(x.astype(jnp.float32), weights["router"][lidx].astype(jnp.float32).T),
+        weights["router_bias"][lidx],
+        cfg.num_experts_per_tok,
+        renormalize=True,
+        routed_scaling_factor=cfg.routed_scaling_factor,
+        apply_routed_scaling_factor_on_output=True,
+    )
+    mw = MoeWeights(w1=weights["moe_w1"][lidx], w2=weights["moe_w2"][lidx], fmt="bf16")
+    routed = fused_experts(x, mw, tw, tids, block_size=16)
+    shared = _silu_mlp(x, weights["shared_gate"][lidx], weights["shared_up"][lidx], weights["shared_down"][lidx], cfg)
+    return routed + shared
+
+
+def _mla_qkv(x, weights, lidx, cfg, n_tokens, positions, rope_cache):
+    """Project to (q_nope_latent [T, H, 512], q_pe [T, H, 64], kv_row [T, 576])."""
+    nh, dn = cfg.num_heads, cfg.qk_nope_dim
+    lw = {k: weights[k][lidx] for k in ("wq", "wkv_a", "w_uk", "kv_norm")}
+    q = jnp.dot(x, lw["wq"].T, preferred_element_type=jnp.float32).astype(cfg.dtype)
+    q = q.reshape(n_tokens, nh, dn + D_ROPE)
+    q_nope, q_pe = q[..., :dn], q[..., dn:]
+    q_pe, _ = rotary_embedding(positions, q_pe, None, D_ROPE, rope_cache)
+    # absorb W_UK: [T, H, dn] x [H, dn, 512] -> [T, H, 512]
+    q_lat = jnp.einsum("thd,hdl->thl", q_nope.astype(jnp.float32), lw["w_uk"].astype(jnp.float32)).astype(cfg.dtype)
+
+    kv = jnp.dot(x, lw["wkv_a"].T, preferred_element_type=jnp.float32).astype(cfg.dtype)
+    kv_c = rmsnorm(kv[:, :D_LATENT], lw["kv_norm"], cfg.rms_eps)
+    k_pe = kv[:, D_LATENT:]
+    k_pe, _ = rotary_embedding(positions, k_pe[:, None, :], None, D_ROPE, rope_cache)
+    kv_row = jnp.concatenate([kv_c, k_pe[:, 0]], axis=-1)  # [T, 576]
+    return q_lat, q_pe, kv_row
+
+
+def _mla_out(attn_lat, weights, lidx, cfg, n_tokens):
+    """attn_lat [T, H, 512] -> hidden via W_UV absorption + o proj."""
+    w_uv = weights["w_uv"][lidx]
+    o = jnp.einsum("thl,hlv->thv", attn_lat.astype(jnp.float32), w_uv.astype(jnp.float32))
+    o = o.reshape(n_tokens, -1).astype(cfg.dtype)
+    return jnp.dot(o, weights["wo"][lidx].T, preferred_element_type=jnp.float32).astype(cfg.dtype)
+
+
+_SM = 1.0 / ((128 + 64) ** 0.5)  # DSv3 scale: per-head qk dim (nope + rope)
+
+
+def _sm_scale(cfg):
+    return 1.0 / ((cfg.qk_nope_dim + D_ROPE) ** 0.5)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+def decode_step(params, cfg: DeepseekConfig, kv_cache, tokens, positions, page_tables, lengths, slot_loc, rope_cache):
+    """One decode step: tokens [B]; kv_cache [L, P, page, 576]."""
+    b = tokens.shape[0]
+    x = params["embed"][tokens].astype(cfg.dtype)
+    lw = params["layers"]
+
+    def layer_fn(carry, lidx):
+        x, cache = carry
+        h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
+        q_lat, q_pe, kv_row = _mla_qkv(h, lw, lidx, cfg, b, positions, rope_cache)
+        layer_pool = jax.lax.dynamic_index_in_dim(cache, lidx, 0, keepdims=False)
+        layer_pool = store_cache_mla(kv_row, layer_pool, slot_loc)
+        attn = mla_decode(q_lat, q_pe, layer_pool, lengths, page_tables, sm_scale=_sm_scale(cfg))
+        cache = jax.lax.dynamic_update_index_in_dim(cache, layer_pool, lidx, 0)
+        x = x + _mla_out(attn, lw, lidx, cfg, b)
+        h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
+        is_dense = lidx < cfg.num_dense_layers
+        mlp = jax.lax.cond(
+            is_dense,
+            lambda h2: _silu_mlp(h2, lw["gate"][lidx], lw["up"][lidx], lw["down"][lidx], cfg),
+            lambda h2: _moe_block(h2, lw, lidx, cfg),
+            h2,
+        )
+        return (x + mlp, cache), None
+
+    (x, kv_cache), _ = jax.lax.scan(layer_fn, (x, kv_cache), jnp.arange(cfg.num_layers))
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    logits = jnp.dot(x, params["lm_head"].T, preferred_element_type=jnp.float32)
+    return logits, kv_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+def prefill(params, cfg: DeepseekConfig, kv_cache, tokens, positions, q_lens, slot_loc, rope_cache):
+    """Prefill padded batch [B, S]; causal MLA over the fresh latent rows."""
+    b, s = tokens.shape
+    x = params["embed"][tokens.reshape(-1)].astype(cfg.dtype)
+    lw = params["layers"]
+
+    def layer_fn(carry, lidx):
+        x, cache = carry
+        h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
+        q_lat, q_pe, kv_row = _mla_qkv(h, lw, lidx, cfg, b * s, positions.reshape(-1), rope_cache)
+        layer_pool = jax.lax.dynamic_index_in_dim(cache, lidx, 0, keepdims=False)
+        layer_pool = store_cache_mla(kv_row, layer_pool, slot_loc.reshape(-1))
+        cache = jax.lax.dynamic_update_index_in_dim(cache, layer_pool, lidx, 0)
+        attn = mla_prefill(
+            q_lat.reshape(b, s, cfg.num_heads, D_LATENT),
+            q_pe.reshape(b, s, cfg.num_heads, D_ROPE),
+            kv_row.reshape(b, s, D_CKV),
+            q_lens, q_lens, sm_scale=_sm_scale(cfg),
+        ).reshape(b * s, cfg.num_heads, D_LATENT)
+        x = x + _mla_out(attn, lw, lidx, cfg, b * s)
+        h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
+        is_dense = lidx < cfg.num_dense_layers
+        mlp = jax.lax.cond(
+            is_dense,
+            lambda h2: _silu_mlp(h2, lw["gate"][lidx], lw["up"][lidx], lw["down"][lidx], cfg),
+            lambda h2: _moe_block(h2, lw, lidx, cfg),
+            h2,
+        )
+        return (x + mlp, cache), None
+
+    (x, kv_cache), _ = jax.lax.scan(layer_fn, (x, kv_cache), jnp.arange(cfg.num_layers))
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    x = x.reshape(b, s, -1)
+    last = jnp.clip(q_lens - 1, 0, s - 1)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    logits = jnp.dot(x_last, params["lm_head"].T, preferred_element_type=jnp.float32)
+    return logits, kv_cache
+
+
+def build_rope_cache(cfg: DeepseekConfig):
+    return compute_cos_sin_cache(D_ROPE, cfg.max_position, cfg.rope_theta)

@@ -100,6 +100,16 @@ def _decode_kernel(
             lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
 
 
+def _decode_entry(lens_ref, pt_ref, q_ref, kv_ref, *refs, sm_scale, page, n_blocks, has_lse):
+    o_ref = refs[0]
+    lse_ref = refs[1] if has_lse else None
+    scr = refs[2 if has_lse else 1 :]
+    _decode_kernel(
+        lens_ref, pt_ref, q_ref, kv_ref, o_ref, lse_ref, *scr,
+        sm_scale=sm_scale, page=page, n_blocks=n_blocks, has_lse=has_lse,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("sm_scale", "return_lse"))
 def mla_decode(
     q_nope,
@@ -137,7 +147,7 @@ def mla_decode(
 
     outs = pl.pallas_call(
         functools.partial(
-            _decode_kernel, sm_scale=sm_scale, page=page, n_blocks=n_blocks, has_lse=return_lse
+            _decode_entry, sm_scale=sm_scale, page=page, n_blocks=n_blocks, has_lse=return_lse
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
