@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import flash_attention, merge_state, paged_attention_decode
 from ..ops.gemm.w4a16 import quantize_w4, w4a16_gemm
-from ..ops.kvcache import store_cache, store_cache_stacked
+from ..ops.kvcache import store_cache, store_cache_all_layers, store_cache_stacked
 from ..ops.norm import rmsnorm
 from ..ops.rope import compute_cos_sin_cache, rotary_embedding
 from ..utils import round_up
@@ -194,24 +194,27 @@ def decode_step(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, p
     lw = params["layers"]
 
     def layer_fn(carry, layer):
-        # stacked caches stay whole in the carry; the attention kernel and
-        # the store index the layer internally (avoids a full cache copy
-        # per layer that scan xs/ys would imply — docs/PERF.md)
+        # stacked caches stay whole in the carry (read-only here); the
+        # current token's K/V feeds the attention kernel directly and the
+        # cache write is deferred to ONE batched scatter after the scan
+        # (avoids both the scan cache copy and a per-layer scatter)
         x, kc, vc = carry
         weights, lidx = layer
         h = rmsnorm(x, weights["input_norm"], cfg.rms_eps)
         q, k, v = _qkv(h, weights, cfg, b)
         q, k = rotary_embedding(positions, q, k, cfg.head_dim, rope_cache)
-        kc, vc = store_cache_stacked(k, v, kc, vc, slot_loc, lidx)
-        attn = paged_attention_decode(q, kc, vc, lengths, page_tables, layer_id=lidx)
+        attn = paged_attention_decode(
+            q, kc, vc, lengths, page_tables, layer_id=lidx, fresh_k=k, fresh_v=v
+        )
         x = x + _maybe_psum(_linear(attn.reshape(b, -1), weights["o"], cfg), tp_axis)
         h2 = rmsnorm(x, weights["post_norm"], cfg.rms_eps)
         mlp = _maybe_psum(_mlp(h2, weights, cfg), tp_axis)
-        return (x + mlp, kc, vc), None
+        return (x + mlp, kc, vc), (k, v)
 
-    (x, k_cache, v_cache), _ = jax.lax.scan(
+    (x, k_cache, v_cache), (k_all, v_all) = jax.lax.scan(
         layer_fn, (x, k_cache, v_cache), (lw, jnp.arange(cfg.num_layers))
     )
+    k_cache, v_cache = store_cache_all_layers(k_all, v_all, k_cache, v_cache, slot_loc)
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
     logits = _linear(x, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
     return logits, k_cache, v_cache

@@ -47,6 +47,8 @@ def _kernel(
     v0_ref,
     k1_ref,  # second page of the pair (or None when pps == 1)
     v1_ref,
+    fk_ref,  # fresh current-token K [1, Hkv, 1, D] (or None)
+    fv_ref,
     sink_ref,  # [1, Hkv, Gp] or None
     o_ref,  # [1, Hkv, Gp, D]
     lse_ref,  # [1, 8, Hkv*Gp] or None
@@ -62,12 +64,16 @@ def _kernel(
     n_steps: int,
     hkv: int,
     gp: int,
+    has_fresh: bool,
     has_sink: bool,
     has_lse: bool,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
     length = lens_ref[b]
+    # with a fresh current-token input, the pool's row for the last
+    # position is not yet written — mask it out of the paged part
+    pool_limit = length - 1 if has_fresh else length
     span = page * pps
 
     @pl.when(i == 0)
@@ -76,10 +82,10 @@ def _kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(i * span < length)
+    @pl.when(i * span < pool_limit)
     def _body():
         pos = jax.lax.broadcasted_iota(jnp.int32, (gp, span), 1) + i * span
-        mask = pos < length
+        mask = pos < pool_limit
         if window is not None:
             mask = jnp.logical_and(mask, pos > length - 1 - window)
         for h in range(hkv):
@@ -115,6 +121,27 @@ def _kernel(
 
     @pl.when(i == n_steps - 1)
     def _finalize():
+        if has_fresh:
+            # fold the current token's K/V in as one extra position
+            for h in range(hkv):
+                q = q_ref[0, h]
+                kf = fk_ref[0, h].astype(q.dtype)  # [1, D]
+                sf = jax.lax.dot_general(q, kf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+                sf = sf * sm_scale  # [Gp, 1]
+                if soft_cap is not None:
+                    sf = soft_cap * jnp.tanh(sf / soft_cap)
+                sl = slice(h * gp, (h + 1) * gp)
+                m_prev = m_scr[sl, :1]
+                l_prev = l_scr[sl, :1]
+                m_next = jnp.maximum(m_prev, sf)
+                alpha = jnp.exp(m_prev - m_next)
+                pf = jnp.exp(sf - m_next)
+                m_scr[sl, :] = jnp.broadcast_to(m_next, (gp, 128))
+                l_scr[sl, :] = jnp.broadcast_to(alpha * l_prev + pf, (gp, 128))
+                vf = fv_ref[0, h].astype(q.dtype)  # [1, D]
+                acc_scr[sl, :] = acc_scr[sl, :] * alpha + jax.lax.dot(
+                    pf.astype(vf.dtype), vf, preferred_element_type=jnp.float32
+                )
         m = m_scr[:, :1]
         l = l_scr[:, :1]
         if has_sink:
@@ -140,6 +167,8 @@ def paged_attention_decode(
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
     layer_id=None,
+    fresh_k=None,
+    fresh_v=None,
     *,
     sm_scale: Optional[float] = None,
     sliding_window: Optional[int] = None,
@@ -155,6 +184,10 @@ def paged_attention_decode(
     lengths: [B] valid token counts (incl. current token); page_table:
     [B, max_pages_per_seq] physical page ids (pad with 0).
     k_scale/v_scale: optional scalar fp8 descales.
+    fresh_k/fresh_v: optional [B, Hkv, D] current-token K/V folded into the
+    softmax directly — lets the serving loop defer the cache scatter to one
+    batched write per step instead of one per layer (``lengths`` still
+    counts the current token; its pool row may be unwritten).
     Returns out [B, Hq, D] (+ lse [B, Hq] base-2 when return_lse).
     """
     b, hq, d = q.shape
@@ -206,6 +239,15 @@ def paged_attention_decode(
     if pps == 2:
         inputs += [k_pages, v_pages]
         in_specs += [kv_spec(1), kv_spec(1)]
+    has_fresh = fresh_k is not None
+    if has_fresh:
+        fk = fresh_k.reshape(b, hkv, 1, d).astype(qh.dtype)
+        fv = fresh_v.reshape(b, hkv, 1, d).astype(qh.dtype)
+        inputs += [fk, fv]
+        in_specs += [
+            pl.BlockSpec((1, hkv, 1, d), lambda bb, i, lens, pt, lid: (bb, 0, 0, 0)),
+            pl.BlockSpec((1, hkv, 1, d), lambda bb, i, lens, pt, lid: (bb, 0, 0, 0)),
+        ]
     if has_sink:
         sink_arr = jnp.pad(sinks.astype(jnp.float32).reshape(1, hkv, group), ((0, 0), (0, 0), (0, gp - group)))
         in_specs.append(pl.BlockSpec((1, hkv, gp), lambda bb, i, lens, pt, lid: (0, 0, 0)))
@@ -228,6 +270,7 @@ def paged_attention_decode(
         n_steps=n_steps,
         hkv=hkv,
         gp=gp,
+        has_fresh=has_fresh,
         has_sink=has_sink,
         has_lse=return_lse,
     )
@@ -266,7 +309,7 @@ def paged_attention_decode(
     return out
 
 
-def _kernel_entry(lens_ref, pt_ref, layer_ref, *refs, sm_scale, window, soft_cap, page, pps, n_steps, hkv, gp, has_sink, has_lse):
+def _kernel_entry(lens_ref, pt_ref, layer_ref, *refs, sm_scale, window, soft_cap, page, pps, n_steps, hkv, gp, has_fresh, has_sink, has_lse):
     q_ref, k0_ref, v0_ref = refs[0], refs[1], refs[2]
     idx = 3
     if pps == 2:
@@ -274,6 +317,11 @@ def _kernel_entry(lens_ref, pt_ref, layer_ref, *refs, sm_scale, window, soft_cap
         idx += 2
     else:
         k1_ref = v1_ref = None
+    if has_fresh:
+        fk_ref, fv_ref = refs[idx], refs[idx + 1]
+        idx += 2
+    else:
+        fk_ref = fv_ref = None
     sink_ref = refs[idx] if has_sink else None
     idx += int(has_sink)
     o_ref = refs[idx]
@@ -282,8 +330,8 @@ def _kernel_entry(lens_ref, pt_ref, layer_ref, *refs, sm_scale, window, soft_cap
     idx += int(has_lse)
     m_scr, l_scr, acc_scr = refs[idx], refs[idx + 1], refs[idx + 2]
     _kernel(
-        lens_ref, pt_ref, layer_ref, q_ref, k0_ref, v0_ref, k1_ref, v1_ref, sink_ref, o_ref, lse_ref,
+        lens_ref, pt_ref, layer_ref, q_ref, k0_ref, v0_ref, k1_ref, v1_ref, fk_ref, fv_ref, sink_ref, o_ref, lse_ref,
         m_scr, l_scr, acc_scr,
         sm_scale=sm_scale, window=window, soft_cap=soft_cap, page=page, pps=pps,
-        n_steps=n_steps, hkv=hkv, gp=gp, has_sink=has_sink, has_lse=has_lse,
+        n_steps=n_steps, hkv=hkv, gp=gp, has_fresh=has_fresh, has_sink=has_sink, has_lse=has_lse,
     )

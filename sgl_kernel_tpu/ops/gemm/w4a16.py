@@ -112,7 +112,7 @@ def w4a16_gemm(
     fmt: str = "int4",
     out_dtype=None,
     bm: Optional[int] = None,
-    bn: int = 2048,
+    bn: int = 1024,
     bk: Optional[int] = None,
 ):
     """A[M, K] @ dequant(W[N, K])^T with 4-bit weights.

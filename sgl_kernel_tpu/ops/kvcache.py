@@ -64,6 +64,23 @@ def store_cache_stacked(k, v, k_pool, v_pool, loc, layer_id):
 
 
 @jax.jit
+def store_cache_all_layers(k_all, v_all, k_pool, v_pool, loc):
+    """Batched scatter of one decode step's K/V for every layer at once:
+    k_all/v_all [L, T, H, D] -> pools [L, H, P, page, D]. One scatter per
+    pool instead of one per layer (the deferred-store decode path)."""
+    l, h, p, page, d = k_pool.shape
+    fk = k_pool.reshape(l * h, p * page, d)
+    fv = v_pool.reshape(l * h, p * page, d)
+    rows = (jnp.arange(l)[:, None] * h + jnp.arange(h)[None, :])  # [L, H]
+    safe = jnp.where(loc >= 0, loc, p * page)
+    kt = jnp.swapaxes(k_all, 1, 2).astype(k_pool.dtype)  # [L, H, T, D]
+    vt = jnp.swapaxes(v_all, 1, 2).astype(v_pool.dtype)
+    fk = fk.at[rows[:, :, None], safe[None, None, :]].set(kt, mode="drop")
+    fv = fv.at[rows[:, :, None], safe[None, None, :]].set(vt, mode="drop")
+    return fk.reshape(k_pool.shape), fv.reshape(v_pool.shape)
+
+
+@jax.jit
 def store_cache_mla(kv, pool, loc):
     """MLA single-pool variant: kv [T, D_ckv] into pool [P, page, D_ckv]."""
     p, page, d = pool.shape

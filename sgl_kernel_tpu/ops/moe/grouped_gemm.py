@@ -84,7 +84,7 @@ def w4a16_grouped_mm(
     group_size: int = 128,
     fmt: str = "int4",
     bm: int = 128,
-    bn: int = 2048,
+    bn: int = 1024,
     bk: Optional[int] = None,
     out_dtype=None,
 ):

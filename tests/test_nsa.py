@@ -71,3 +71,47 @@ class TestSparseMla:
                 p = np.exp(s - s.max())
                 ref = (p @ kv[:, :512]) / p.sum()
                 np.testing.assert_allclose(np.asarray(out)[bb, hh], ref, rtol=2e-2, atol=2e-2)
+
+
+class TestVerticalSlash:
+    def test_matches_masked_dense(self, rng):
+        from sgl_kernel_tpu.ops.attention.sparse_vs import sparse_attention_vertical_slash
+
+        b, s, h, d = 1, 32, 2, 16
+        q = rng.standard_normal((b, s, h, d)).astype(np.float32)
+        k = rng.standard_normal((b, s, h, d)).astype(np.float32)
+        v = rng.standard_normal((b, s, h, d)).astype(np.float32)
+        v_idx = np.asarray([[0, 5, -1], [3, 7, 10]], np.int32)
+        s_idx = np.asarray([[0, 1, -1], [0, 2, 4]], np.int32)
+        out = sparse_attention_vertical_slash(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(v_idx), jnp.asarray(s_idx)
+        )
+        # numpy oracle
+        for hh in range(h):
+            mask = np.zeros((s, s), bool)
+            for c in v_idx[hh]:
+                if c >= 0:
+                    mask[:, c] = True
+            for off in s_idx[hh]:
+                if off >= 0:
+                    for i in range(s):
+                        if i - off >= 0:
+                            mask[i, i - off] = True
+            mask &= np.tril(np.ones((s, s), bool))
+            sc = q[0, :, hh] @ k[0, :, hh].T / np.sqrt(d)
+            sc = np.where(mask, sc, -np.inf)
+            m = np.maximum(sc.max(-1, keepdims=True), -1e30)
+            p = np.exp(sc - m)
+            ref = (p @ v[0, :, hh]) / np.maximum(p.sum(-1, keepdims=True), 1e-38)
+            np.testing.assert_allclose(np.asarray(out)[0, :, hh], ref, rtol=1e-4, atol=1e-4)
+
+    def test_index_builder_shapes(self, rng):
+        from sgl_kernel_tpu.ops.attention.sparse_vs import build_vertical_slash_indexes
+
+        b, s, h, d = 1, 64, 2, 16
+        q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+        vi, si = build_vertical_slash_indexes(q, k, 8, 4, last_q=16)
+        assert vi.shape == (h, 8) and si.shape == (h, 4)
+        # offset 0 (self) should be the strongest diagonal for random data
+        assert 0 in np.asarray(si)[0]
