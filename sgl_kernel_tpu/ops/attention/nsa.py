@@ -108,3 +108,23 @@ def sparse_mla_prefill(q_nope, q_pe, kv_pool_flat, slot_indices, *, sm_scale: Op
     Returns [T, H, 512]. (Same math as decode — per-token index sets make
     prefill and decode identical after the gather.)"""
     return sparse_mla_decode(q_nope, q_pe, kv_pool_flat, slot_indices, sm_scale=sm_scale)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def fused_q_indexer_rope_hadamard_quant(q, positions, cos_sin_cache, *, eps: float = 1e-10):
+    """DSv4 q-indexer preprocessing (reference
+    fused_q_indexer_rope_hadamard_quant_torch.py): RoPE the query, apply a
+    128-point Walsh-Hadamard rotation (1/sqrt(D) normalized), then
+    per-token fp8 e4m3 quantization.
+
+    q [T, H, D] (D a power of two, 128 in DSv4); returns (q_fp8, scales
+    [T, H, 1]).
+    """
+    from ..hadamard import hadamard_transform
+    from ..quant import per_token_quant_fp8
+    from ..rope import rotary_embedding
+
+    t, h, d = q.shape
+    q_rot, _ = rotary_embedding(positions, q, None, d, cos_sin_cache)
+    q_had = hadamard_transform(q_rot, scale=1.0 / (d**0.5))
+    return per_token_quant_fp8(q_had)

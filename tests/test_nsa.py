@@ -115,3 +115,23 @@ class TestVerticalSlash:
         assert vi.shape == (h, 8) and si.shape == (h, 4)
         # offset 0 (self) should be the strongest diagonal for random data
         assert 0 in np.asarray(si)[0]
+
+
+class TestQIndexer:
+    def test_fused_rope_hadamard_quant(self, rng):
+        from sgl_kernel_tpu.ops.attention.nsa import fused_q_indexer_rope_hadamard_quant
+        from sgl_kernel_tpu.ops.rope import compute_cos_sin_cache
+
+        t, h, d = 4, 2, 128
+        q = rng.standard_normal((t, h, d)).astype(np.float32)
+        cache = compute_cos_sin_cache(d, 32)
+        pos = np.arange(t, dtype=np.int32)
+        qq, s = fused_q_indexer_rope_hadamard_quant(jnp.asarray(q), jnp.asarray(pos), cache)
+        assert qq.dtype == jnp.float8_e4m3fn and s.shape == (t, h, 1)
+        # dequant roundtrip stays close to the rope+hadamard reference
+        from sgl_kernel_tpu.ops.hadamard import hadamard_transform
+        from sgl_kernel_tpu.ops.rope import rotary_embedding
+        qr, _ = rotary_embedding(jnp.asarray(pos), jnp.asarray(q), None, d, cache)
+        ref = np.asarray(hadamard_transform(qr, scale=1.0 / np.sqrt(d)))
+        deq = np.asarray(qq, np.float32) * np.asarray(s)
+        np.testing.assert_allclose(deq, ref, rtol=0.15, atol=np.abs(ref).max() / 200)
