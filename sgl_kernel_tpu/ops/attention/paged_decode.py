@@ -125,8 +125,10 @@ def _kernel(
             # fold the current token's K/V in as one extra position
             for h in range(hkv):
                 q = q_ref[0, h]
-                kf = fk_ref[0, h].astype(q.dtype)  # [1, D]
-                sf = jax.lax.dot_general(q, kf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+                kf = fk_ref[0, h].astype(jnp.float32)  # [1, D]
+                # N=1 matmuls trip a Mosaic verifier bug; a VPU reduction is
+                # equally fast at this size
+                sf = jnp.sum(q.astype(jnp.float32) * kf, axis=1, keepdims=True)
                 sf = sf * sm_scale  # [Gp, 1]
                 if soft_cap is not None:
                     sf = soft_cap * jnp.tanh(sf / soft_cap)
@@ -138,10 +140,8 @@ def _kernel(
                 pf = jnp.exp(sf - m_next)
                 m_scr[sl, :] = jnp.broadcast_to(m_next, (gp, 128))
                 l_scr[sl, :] = jnp.broadcast_to(alpha * l_prev + pf, (gp, 128))
-                vf = fv_ref[0, h].astype(q.dtype)  # [1, D]
-                acc_scr[sl, :] = acc_scr[sl, :] * alpha + jax.lax.dot(
-                    pf.astype(vf.dtype), vf, preferred_element_type=jnp.float32
-                )
+                vf = fv_ref[0, h].astype(jnp.float32)  # [1, D]
+                acc_scr[sl, :] = acc_scr[sl, :] * alpha + pf * vf  # rank-1 outer product
         m = m_scr[:, :1]
         l = l_scr[:, :1]
         if has_sink:
