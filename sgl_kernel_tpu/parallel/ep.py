@@ -51,3 +51,69 @@ def ep_fused_experts(
         activation=activation, block_size=block_size,
     )
     return jax.lax.psum(partial_out, axis_name)
+
+
+def ep_fused_experts_a2a(
+    hidden,
+    local_weights: MoeWeights,
+    topk_weights,
+    topk_ids,
+    *,
+    axis_name: str = "ep",
+    num_experts_global: int,
+    capacity: int = 0,
+    activation: str = "silu",
+    block_size: int = 32,
+):
+    """All-to-all expert dispatch (the reference's declared ep_moe_pre/post
+    reorder pipeline, done the TPU way): each shard packs its (token, k)
+    pairs into per-destination-shard buffers, ``jax.lax.all_to_all`` ships
+    them over ICI, every shard runs fused_experts on its local expert range,
+    and a second all_to_all returns the expert outputs for the weighted
+    combine on the origin shard.
+
+    hidden [T, H] (per-shard tokens); local_weights = this shard's
+    E/ep experts; capacity = per-destination slot count (0 -> T*K, lossless).
+    """
+    ep = jax.lax.psum(1, axis_name)
+    t, h = hidden.shape
+    k = topk_ids.shape[1]
+    e_local = num_experts_global // ep
+    cap = capacity or t * k
+
+    flat_dest = (topk_ids // e_local).reshape(-1)  # [T*K]
+    flat_local_eid = (topk_ids % e_local).reshape(-1)
+    flat_tok = jnp.arange(t * k) // k
+
+    # slot of each pair within its destination buffer (rank among same-dest)
+    order = jnp.argsort(flat_dest, stable=True)
+    counts = jnp.bincount(flat_dest, length=ep)
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    rank_sorted = jnp.arange(t * k) - starts[flat_dest[order]]
+    rank = jnp.zeros(t * k, jnp.int32).at[order].set(rank_sorted)
+    valid = rank < cap  # overflow drops (lossless when cap == T*K)
+
+    send_x = jnp.zeros((ep, cap, h), hidden.dtype)
+    send_x = send_x.at[flat_dest, rank].set(
+        jnp.where(valid[:, None], hidden[flat_tok], 0), mode="drop"
+    )
+    send_eid = jnp.full((ep, cap), -1, jnp.int32)
+    send_eid = send_eid.at[flat_dest, rank].set(jnp.where(valid, flat_local_eid, -1), mode="drop")
+
+    recv_x = jax.lax.all_to_all(send_x, axis_name, 0, 0, tiled=False)
+    recv_eid = jax.lax.all_to_all(send_eid, axis_name, 0, 0, tiled=False)
+
+    xr = recv_x.reshape(ep * cap, h)
+    eidr = recv_eid.reshape(ep * cap)
+    ones = jnp.where(eidr >= 0, 1.0, 0.0)
+    expert_out = fused_experts(
+        xr, local_weights, ones[:, None], jnp.maximum(eidr, 0)[:, None],
+        activation=activation, block_size=block_size,
+    ).reshape(ep, cap, h)
+
+    back = jax.lax.all_to_all(expert_out, axis_name, 0, 0, tiled=False)  # [ep, cap, h]
+    # gather each pair's result and apply routing weights at the origin
+    pair_out = back[flat_dest, jnp.minimum(rank, cap - 1)]
+    w = jnp.where(valid, topk_weights.reshape(-1), 0.0)
+    out = jnp.zeros((t, h), jnp.float32).at[flat_tok].add(pair_out.astype(jnp.float32) * w[:, None])
+    return out.astype(hidden.dtype)

@@ -114,3 +114,33 @@ class TestRingAttention:
             )
         )(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-3, atol=3e-3)
+
+
+class TestEPAllToAll:
+    def test_matches_single_device(self, rng):
+        mesh = mesh_lib.make_mesh({"ep": 4})
+        t, e, h, inter, k = 8, 8, 64, 128, 2
+        # per-shard tokens: 4 shards x t tokens
+        xs = rng.standard_normal((4 * t, h)).astype(np.float32)
+        w1 = (rng.standard_normal((e, h, 2 * inter)) * 0.05).astype(np.float32)
+        w2 = (rng.standard_normal((e, inter, h)) * 0.05).astype(np.float32)
+        g = rng.standard_normal((4 * t, e)).astype(np.float32)
+        tw, tids = moe.topk_softmax(jnp.asarray(g), k, renormalize=True)
+        weights = moe.MoeWeights(w1=jnp.asarray(w1), w2=jnp.asarray(w2), fmt="bf16")
+        ref = moe.fused_experts(jnp.asarray(xs), weights, tw, tids, block_size=16)
+
+        def run(x, w1, w2, tw, tids):
+            lw = moe.MoeWeights(w1=w1, w2=w2, fmt="bf16")
+            return ep.ep_fused_experts_a2a(
+                x, lw, tw, tids, axis_name="ep", num_experts_global=e, block_size=16
+            )
+
+        out = jax.jit(
+            shard_map(
+                run, mesh=mesh,
+                in_specs=(P("ep", None), P("ep", None, None), P("ep", None, None), P("ep", None), P("ep", None)),
+                out_specs=P("ep", None),
+                check_rep=False,
+            )
+        )(jnp.asarray(xs), jnp.asarray(w1), jnp.asarray(w2), tw, tids)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-2, atol=3e-2)
