@@ -278,3 +278,58 @@ class TestPrefixCache:
         assert a_c == a_n and b_c == b_n
         # the second request must actually have reused the cached prefix
         assert eng_c.finished[1].prefix_len == 16
+
+
+class TestConvert:
+    def test_hf_roundtrip_matches_init_layout(self, rng):
+        from sgl_kernel_tpu.models import convert
+
+        cfg = llama.LlamaConfig.tiny()
+        h, d = cfg.hidden_size, cfg.head_dim
+        nq, nkv, l = cfg.num_heads, cfg.num_kv_heads, cfg.num_layers
+        state = {}
+        for i in range(l):
+            p = f"model.layers.{i}."
+            state[p + "self_attn.q_proj.weight"] = rng.standard_normal((nq * d, h)).astype(np.float32)
+            state[p + "self_attn.k_proj.weight"] = rng.standard_normal((nkv * d, h)).astype(np.float32)
+            state[p + "self_attn.v_proj.weight"] = rng.standard_normal((nkv * d, h)).astype(np.float32)
+            state[p + "self_attn.o_proj.weight"] = rng.standard_normal((h, nq * d)).astype(np.float32)
+            state[p + "mlp.gate_proj.weight"] = rng.standard_normal((cfg.intermediate_size, h)).astype(np.float32)
+            state[p + "mlp.up_proj.weight"] = rng.standard_normal((cfg.intermediate_size, h)).astype(np.float32)
+            state[p + "mlp.down_proj.weight"] = rng.standard_normal((h, cfg.intermediate_size)).astype(np.float32)
+            state[p + "input_layernorm.weight"] = np.ones(h, np.float32)
+            state[p + "post_attention_layernorm.weight"] = np.ones(h, np.float32)
+        state["model.embed_tokens.weight"] = rng.standard_normal((cfg.vocab_size, h)).astype(np.float32)
+        state["model.norm.weight"] = np.ones(h, np.float32)
+        state["lm_head.weight"] = rng.standard_normal((cfg.vocab_size, h)).astype(np.float32)
+
+        params = convert.convert_hf_llama(state, cfg)
+        # run a forward to make sure the layout is accepted end-to-end
+        kc, vc = llama.make_caches(cfg, 4, 16)
+        rope_cache = llama.build_rope_cache(cfg)
+        tok = np.zeros((1, 16), np.int32); tok[0, :3] = [1, 2, 3]
+        pos = np.zeros((1, 16), np.int32); pos[0, :3] = np.arange(3)
+        slots = np.full((1, 16), -1, np.int32); slots[0, :3] = 16 + np.arange(3)
+        logits, _, _ = llama.prefill(
+            params, cfg, kc, vc, jnp.asarray(tok), jnp.asarray(pos),
+            jnp.asarray([3], jnp.int32), jnp.asarray(slots), rope_cache,
+        )
+        assert np.isfinite(np.asarray(logits)).all()
+        np.testing.assert_allclose(
+            np.asarray(params["layers"]["q"][1]), state["model.layers.1.self_attn.q_proj.weight"], rtol=1e-6
+        )
+
+    def test_safetensors_loader(self, tmp_path, rng):
+        from sgl_kernel_tpu.models.convert import load_safetensors
+        import json, struct
+
+        arr = rng.standard_normal((4, 8)).astype(np.float32)
+        header = {"w": {"dtype": "F32", "shape": [4, 8], "data_offsets": [0, arr.nbytes]}}
+        hb = json.dumps(header).encode()
+        path = tmp_path / "x.safetensors"
+        with open(path, "wb") as f:
+            f.write(struct.pack("<Q", len(hb)))
+            f.write(hb)
+            f.write(arr.tobytes())
+        out = load_safetensors(str(path))
+        np.testing.assert_array_equal(out["w"], arr)
