@@ -77,7 +77,7 @@ def build_weights(cfg):
 
 
 def main():
-    cfg = llama.LlamaConfig.llama3_8b(quant="w4a16", group_size=128, fused=True, kv_dtype=jnp.float8_e4m3fn)
+    cfg = llama.LlamaConfig.llama3_8b(quant="w4a16", group_size=128, fused=True)
     params = build_weights(cfg)
 
     num_pages = BATCH * (CTX // PAGE) + 1
@@ -143,7 +143,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "decode_tokens_per_s_w4a16_llama3_8b_b16_ctx1024_fp8kv",
+                "metric": "decode_tokens_per_s_w4a16_llama3_8b_b16_ctx1024",
                 "value": round(toks_per_s, 1),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(toks_per_s / roofline_tps, 4),
