@@ -10,3 +10,8 @@ from .gdn import (  # noqa: F401
 )
 
 from .lightning import lightning_attention_decode  # noqa: F401
+from .state_cache import (  # noqa: F401
+    state_cache_gather,
+    state_cache_gather_scatter,
+    state_cache_update,
+)

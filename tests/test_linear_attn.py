@@ -171,3 +171,19 @@ class TestGdnFull:
         )
         np.testing.assert_allclose(np.asarray(o_d), np.asarray(o_full)[:, s], rtol=1e-3, atol=1e-3)
         np.testing.assert_allclose(np.asarray(z_d), np.asarray(z_full)[:, s], rtol=1e-5, atol=1e-6)
+
+
+class TestStateCache:
+    def test_update_gather_roundtrip(self, rng):
+        from sgl_kernel_tpu.ops.linear_attn import (
+            state_cache_gather, state_cache_gather_scatter, state_cache_update,
+        )
+        cache = jnp.zeros((8, 3, 4))
+        states = rng.standard_normal((2, 3, 4)).astype(np.float32)
+        cache = state_cache_update(cache, jnp.asarray([2, 5]), jnp.asarray(states))
+        out = state_cache_gather(cache, jnp.asarray([5, 2, -1]))
+        np.testing.assert_allclose(np.asarray(out)[0], states[1], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(out)[1], states[0], rtol=1e-6)
+        assert np.all(np.asarray(out)[2] == 0)
+        cache = state_cache_gather_scatter(cache, jnp.asarray([2]), jnp.asarray([7]))
+        np.testing.assert_allclose(np.asarray(cache)[7], states[0], rtol=1e-6)
