@@ -32,9 +32,10 @@ def main():
         wf = jnp.asarray(rng.standard_normal((n, k)) * 0.02, jnp.bfloat16)
         packed, scales, _ = quantize_w4(wf, group_size=128)
 
-        def step(carry, packed=packed, scales=scales, k=k):
+        def step(carry, packed=packed, scales=scales, k=k, n=n):
             o = w4a16_gemm(carry, packed, scales, group_size=128)
-            return carry + o[:, :k] * jnp.bfloat16(1e-8)
+            w_ = min(n, k)
+            return carry.at[:, :w_].add(o[:, :w_] * jnp.bfloat16(1e-8))
 
         sec = bench_chain(step, a, reps=64)
         gbs = (n * k // 2) / sec / 1e9
