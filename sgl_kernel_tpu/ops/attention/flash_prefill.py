@@ -158,8 +158,8 @@ def flash_attention(
     sliding_window: Optional[int] = None,
     logit_soft_cap: Optional[float] = None,
     return_lse: bool = False,
-    block_q: int = 128,
-    block_kv: int = 128,
+    block_q: int = 256,
+    block_kv: int = 512,
 ):
     """Batched (optionally ragged) flash attention.
 
