@@ -29,7 +29,7 @@ from ..ops.attention import flash_attention, merge_state, paged_attention_decode
 from ..ops.gemm.w4a16 import quantize_w4, w4a16_gemm
 from ..ops.kvcache import store_cache, store_cache_all_layers, store_cache_stacked
 from ..ops.norm import rmsnorm
-from ..ops.rope import compute_cos_sin_cache, rotary_embedding
+from ..ops.rope import compute_cos_sin_cache, rope_decode_fused, rotary_embedding
 from ..utils import round_up
 
 
@@ -137,10 +137,14 @@ def _quantize_layers(layers, cfg):
     return out
 
 
-def _linear(x, w, cfg: LlamaConfig):
+def _linear(x, w, cfg: LlamaConfig, residual=None):
     if isinstance(w, dict):
-        return w4a16_gemm(x, w["packed"], w["scales"], group_size=cfg.group_size, out_dtype=cfg.dtype)
-    return jnp.dot(x, w.T, preferred_element_type=jnp.float32).astype(cfg.dtype)
+        return w4a16_gemm(
+            x, w["packed"], w["scales"], residual=residual,
+            group_size=cfg.group_size, out_dtype=cfg.dtype,
+        )
+    out = jnp.dot(x, w.T, preferred_element_type=jnp.float32).astype(cfg.dtype)
+    return out + residual if residual is not None else out
 
 
 def make_caches(cfg: LlamaConfig, num_pages: int, page_size: int, kv_dtype=None):
@@ -164,16 +168,25 @@ def _qkv(h, weights, cfg, n_tokens):
     return q, k, v
 
 
-def _mlp(h2, weights, cfg):
+def _mlp(h2, weights, cfg, residual=None):
     if cfg.fused:
-        gu = _linear(h2, weights["gate_up"], cfg).astype(jnp.float32)
+        gu = _linear(h2, weights["gate_up"], cfg)
         inter = gu.shape[-1] // 2
         gate, up = gu[:, :inter], gu[:, inter:]
     else:
-        gate = _linear(h2, weights["gate"], cfg).astype(jnp.float32)
-        up = _linear(h2, weights["up"], cfg).astype(jnp.float32)
-    act = (gate * jax.nn.sigmoid(gate) * up).astype(cfg.dtype)
-    return _linear(act, weights["down"], cfg)
+        gate = _linear(h2, weights["gate"], cfg)
+        up = _linear(h2, weights["up"], cfg)
+    w = weights["down"]
+    if isinstance(w, dict):
+        # silu-mul prologue + residual epilogue fused into the down GEMM
+        return w4a16_gemm(
+            gate, w["packed"], w["scales"], a2=up, residual=residual,
+            prologue="silu_mul", group_size=cfg.group_size, out_dtype=cfg.dtype,
+        )
+    g = gate.astype(jnp.float32)
+    act = (g * jax.nn.sigmoid(g) * up.astype(jnp.float32)).astype(cfg.dtype)
+    out = jnp.dot(act, w.T, preferred_element_type=jnp.float32).astype(cfg.dtype)
+    return out + residual if residual is not None else out
 
 
 def _maybe_psum(x, tp_axis):
@@ -202,14 +215,19 @@ def decode_step(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, p
         weights, lidx = layer
         h = rmsnorm(x, weights["input_norm"], cfg.rms_eps)
         q, k, v = _qkv(h, weights, cfg, b)
-        q, k = rotary_embedding(positions, q, k, cfg.head_dim, rope_cache)
+        q, k = rope_decode_fused(positions, q, k, rope_cache)
         attn = paged_attention_decode(
             q, kc, vc, lengths, page_tables, layer_id=lidx, fresh_k=k, fresh_v=v
         )
-        x = x + _maybe_psum(_linear(attn.reshape(b, -1), weights["o"], cfg), tp_axis)
-        h2 = rmsnorm(x, weights["post_norm"], cfg.rms_eps)
-        mlp = _maybe_psum(_mlp(h2, weights, cfg), tp_axis)
-        return (x + mlp, kc, vc), (k, v)
+        if tp_axis is None:
+            x = _linear(attn.reshape(b, -1), weights["o"], cfg, residual=x)
+            h2 = rmsnorm(x, weights["post_norm"], cfg.rms_eps)
+            x = _mlp(h2, weights, cfg, residual=x)
+        else:
+            x = x + _maybe_psum(_linear(attn.reshape(b, -1), weights["o"], cfg), tp_axis)
+            h2 = rmsnorm(x, weights["post_norm"], cfg.rms_eps)
+            x = x + _maybe_psum(_mlp(h2, weights, cfg), tp_axis)
+        return (x, kc, vc), (k, v)
 
     (x, k_cache, v_cache), (k_all, v_all) = jax.lax.scan(
         layer_fn, (x, k_cache, v_cache), (lw, jnp.arange(cfg.num_layers))
@@ -243,10 +261,15 @@ def prefill(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, q_len
             v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
             q_lens, q_lens, causal=True,
         ).reshape(b * s, -1)
-        x = x + _maybe_psum(_linear(attn, weights["o"], cfg), tp_axis)
-        h2 = rmsnorm(x, weights["post_norm"], cfg.rms_eps)
-        mlp = _maybe_psum(_mlp(h2, weights, cfg), tp_axis)
-        return (x + mlp, kc, vc), None
+        if tp_axis is None:
+            x = _linear(attn, weights["o"], cfg, residual=x)
+            h2 = rmsnorm(x, weights["post_norm"], cfg.rms_eps)
+            x = _mlp(h2, weights, cfg, residual=x)
+        else:
+            x = x + _maybe_psum(_linear(attn, weights["o"], cfg), tp_axis)
+            h2 = rmsnorm(x, weights["post_norm"], cfg.rms_eps)
+            x = x + _maybe_psum(_mlp(h2, weights, cfg), tp_axis)
+        return (x, kc, vc), None
 
     (x, k_cache, v_cache), _ = jax.lax.scan(
         layer_fn, (x, k_cache, v_cache), (lw, jnp.arange(cfg.num_layers))

@@ -65,7 +65,7 @@ def _decode_tile(w_ref, fmt: str):
     return (sign * val).astype(jnp.bfloat16)
 
 
-def _kernel(a_ref, w_ref, s_ref, z_ref, b_ref, o_ref, acc_ref, *, fmt, group_size, ngb, n_k, has_bias):
+def _kernel(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *, fmt, group_size, ngb, n_k, has_bias, prologue):
     k_idx = pl.program_id(2)
     g0 = group_size
 
@@ -74,7 +74,11 @@ def _kernel(a_ref, w_ref, s_ref, z_ref, b_ref, o_ref, acc_ref, *, fmt, group_siz
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     wf = _decode_tile(w_ref, fmt)  # [bn, bk] bf16 codes
-    a = a_ref[...]
+    if prologue == "silu_mul":
+        g = a_ref[...].astype(jnp.float32)
+        a = (g * jax.nn.sigmoid(g) * a2_ref[...].astype(jnp.float32)).astype(a_ref.dtype)
+    else:
+        a = a_ref[...]
     acc = acc_ref[...]
     for g in range(ngb):
         a_g = a[:, g * g0 : (g + 1) * g0]
@@ -94,12 +98,14 @@ def _kernel(a_ref, w_ref, s_ref, z_ref, b_ref, o_ref, acc_ref, *, fmt, group_siz
         out = acc_ref[...]
         if has_bias:
             out = out + b_ref[...].astype(jnp.float32)
+        if r_ref is not None:
+            out = out + r_ref[...].astype(jnp.float32)
         o_ref[...] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group_size", "fmt", "out_dtype", "bm", "bn", "bk"),
+    static_argnames=("group_size", "fmt", "out_dtype", "bm", "bn", "bk", "prologue"),
 )
 def w4a16_gemm(
     a,
@@ -107,6 +113,8 @@ def w4a16_gemm(
     scales,
     zeros=None,
     bias=None,
+    a2=None,
+    residual=None,
     *,
     group_size: int = 128,
     fmt: str = "int4",
@@ -114,6 +122,7 @@ def w4a16_gemm(
     bm: Optional[int] = None,
     bn: int = 1024,
     bk: Optional[int] = None,
+    prologue: Optional[str] = None,
 ):
     """A[M, K] @ dequant(W[N, K])^T with 4-bit weights.
 
@@ -123,6 +132,10 @@ def w4a16_gemm(
       scales: [K//G, N] float (int4 multiplier / decoded mxfp4 exp2 value).
       zeros: optional [K//G, N] z*s pre-product (int4 asymmetric).
       bias: optional [N].
+      a2: optional second activation for ``prologue="silu_mul"`` (the gated
+         MLP fusion: A = silu(a) * a2 computed in the kernel — saves an XLA
+         fusion launch, which costs ~24us on the axon runtime).
+      residual: optional [M, N] added in the epilogue (residual-add fusion).
       fmt: "int4" | "mxfp4".
     Returns [M, N] in out_dtype (defaults to a.dtype).
     """
@@ -144,16 +157,26 @@ def w4a16_gemm(
     mp = round_up(m, bm)
     if mp != m:
         a = jnp.pad(a, ((0, mp - m), (0, 0)))
+        if a2 is not None:
+            a2 = jnp.pad(a2, ((0, mp - m), (0, 0)))
+        if residual is not None:
+            residual = jnp.pad(residual, ((0, mp - m), (0, 0)))
 
     grid = (n // bn, mp // bm, k // bk)
     scales_f = scales.astype(jnp.float32)
 
-    in_specs = [
-        pl.BlockSpec((bm, bk), lambda j, i, kk: (i, kk)),
+    in_specs = [pl.BlockSpec((bm, bk), lambda j, i, kk: (i, kk))]
+    inputs = [a]
+    has_a2 = a2 is not None
+    if has_a2:
+        assert prologue == "silu_mul"
+        in_specs.append(pl.BlockSpec((bm, bk), lambda j, i, kk: (i, kk)))
+        inputs.append(a2)
+    in_specs += [
         pl.BlockSpec((bn // 2, bk), lambda j, i, kk: (j, kk)),
         pl.BlockSpec((ngb, bn), lambda j, i, kk: (kk, j)),
     ]
-    inputs = [a, w, scales_f]
+    inputs += [w, scales_f]
     if zeros is not None:
         in_specs.append(pl.BlockSpec((ngb, bn), lambda j, i, kk: (kk, j)))
         inputs.append(zeros.astype(jnp.float32))
@@ -161,15 +184,22 @@ def w4a16_gemm(
     if has_bias:
         in_specs.append(pl.BlockSpec((1, bn), lambda j, i, kk: (0, j)))
         inputs.append(bias.reshape(1, n))
+    has_res = residual is not None
+    if has_res:
+        in_specs.append(pl.BlockSpec((bm, bn), lambda j, i, kk: (i, j)))
+        inputs.append(residual)
 
     kernel = functools.partial(
         _kernel_entry,
+        has_a2=has_a2,
         has_zeros=zeros is not None,
         has_bias=has_bias,
+        has_res=has_res,
         fmt=fmt,
         group_size=group_size,
         ngb=ngb,
         n_k=k // bk,
+        prologue=prologue,
     )
 
     out = pl.pallas_call(
@@ -192,19 +222,25 @@ def w4a16_gemm(
     return out[:m] if mp != m else out
 
 
-def _kernel_entry(*refs, has_zeros, has_bias, fmt, group_size, ngb, n_k):
-    # refs layout: a, w, s, [z], [bias], o, acc
-    a_ref, w_ref, s_ref = refs[0], refs[1], refs[2]
-    idx = 3
+def _kernel_entry(*refs, has_a2, has_zeros, has_bias, has_res, fmt, group_size, ngb, n_k, prologue):
+    # refs layout: a, [a2], w, s, [z], [bias], [residual], o, acc
+    idx = 0
+    a_ref = refs[idx]; idx += 1
+    a2_ref = refs[idx] if has_a2 else None
+    idx += int(has_a2)
+    w_ref, s_ref = refs[idx], refs[idx + 1]
+    idx += 2
     z_ref = refs[idx] if has_zeros else None
     idx += int(has_zeros)
     b_ref = refs[idx] if has_bias else None
     idx += int(has_bias)
+    r_ref = refs[idx] if has_res else None
+    idx += int(has_res)
     o_ref = refs[idx]
     acc_ref = refs[idx + 1]
     _kernel(
-        a_ref, w_ref, s_ref, z_ref, b_ref, o_ref, acc_ref,
-        fmt=fmt, group_size=group_size, ngb=ngb, n_k=n_k, has_bias=has_bias,
+        a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref,
+        fmt=fmt, group_size=group_size, ngb=ngb, n_k=n_k, has_bias=has_bias, prologue=prologue,
     )
 
 

@@ -17,6 +17,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import pallas_interpret, round_up
 
 
 def _rms(x, eps):
@@ -24,9 +28,45 @@ def _rms(x, eps):
     return x * jax.lax.rsqrt(var + eps)
 
 
+def _rmsnorm_kernel(x_ref, w_ref, o_ref, *, eps, gemma):
+    x = x_ref[...].astype(jnp.float32)
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    wf = w_ref[...].astype(jnp.float32)
+    if gemma:
+        wf = wf + 1.0
+    o_ref[...] = (x * jax.lax.rsqrt(var + eps) * wf).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "gemma"))
 def rmsnorm(x, weight, eps: float = 1e-6, *, gemma: bool = False):
-    """out = x / sqrt(mean(x^2) + eps) * w   (gemma: * (w + 1))."""
+    """out = x / sqrt(mean(x^2) + eps) * w   (gemma: * (w + 1)).
+
+    Lowered as one Pallas kernel for well-tiled 2D+ shapes: on the axon
+    runtime an XLA fusion launch costs ~24us while a Pallas call costs
+    ~0.7us (docs/PERF.md), so hot-path elementwise ops go through Pallas.
+    """
+    d = x.shape[-1]
+    rows = 1
+    for n in x.shape[:-1]:
+        rows *= n
+    if d % 128 == 0 and rows >= 1 and weight.ndim == 1:
+        x2 = x.reshape(rows, d)
+        bq = min(round_up(rows, 8), 512)
+        rp = round_up(rows, bq)
+        if rp != rows:
+            x2 = jnp.pad(x2, ((0, rp - rows), (0, 0)))
+        out = pl.pallas_call(
+            functools.partial(_rmsnorm_kernel, eps=eps, gemma=gemma),
+            grid=(rp // bq,),
+            in_specs=[
+                pl.BlockSpec((bq, d), lambda i: (i, 0)),
+                pl.BlockSpec((1, d), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((bq, d), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((rp, d), x.dtype),
+            interpret=pallas_interpret(),
+        )(x2, weight.reshape(1, d))
+        return out[:rows].reshape(x.shape)
     xf = x.astype(jnp.float32)
     wf = weight.astype(jnp.float32)
     if gemma:

@@ -18,7 +18,10 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
+from ..utils import pallas_interpret
 from .norm import rmsnorm
 
 
@@ -208,3 +211,56 @@ def fused_k_norm_rope_mla(
     flat = kv_cache.reshape(p * page, d)
     safe = jnp.where(slot_loc >= 0, slot_loc, p * page)
     return flat.at[safe].set(row.astype(kv_cache.dtype), mode="drop").reshape(kv_cache.shape)
+
+
+def _rope_decode_kernel(pos_ref, q_ref, k_ref, cache_ref, qo_ref, ko_ref, *, rot):
+    b = pl.program_id(0)
+    cs = cache_ref[0].astype(jnp.float32)  # [1, rot] block at row pos[b]
+    half = rot // 2
+    cos = cs[:, :half]
+    sin = cs[:, half:]
+
+    def rotate(x):
+        xr = x[..., :rot].astype(jnp.float32)
+        x1, x2 = xr[..., :half], xr[..., half:]
+        o = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+        if x.shape[-1] > rot:
+            return jnp.concatenate([o.astype(x.dtype), x[..., rot:]], axis=-1)
+        return o.astype(x.dtype)
+
+    qo_ref[0] = rotate(q_ref[0])
+    ko_ref[0] = rotate(k_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=())
+def rope_decode_fused(positions, q, k, cos_sin_cache):
+    """Single-launch neox RoPE for decode: q [B, Hq, D], k [B, Hkv, D],
+    positions [B]. The cos/sin row is fetched per batch element via a
+    scalar-prefetched position index (one Pallas call instead of the
+    gather + rotate XLA fusion chain — launch costs dominate decode glue
+    on this runtime, docs/PERF.md)."""
+    b, hq, d = q.shape
+    hkv = k.shape[1]
+    rot = cos_sin_cache.shape[-1]
+    qo, ko = pl.pallas_call(
+        functools.partial(_rope_decode_kernel, rot=rot),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, hq, d), lambda bb, pos: (bb, 0, 0)),
+                pl.BlockSpec((1, hkv, d), lambda bb, pos: (bb, 0, 0)),
+                pl.BlockSpec((1, rot), lambda bb, pos: (pos[bb], 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, hq, d), lambda bb, pos: (bb, 0, 0)),
+                pl.BlockSpec((1, hkv, d), lambda bb, pos: (bb, 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hkv, d), k.dtype),
+        ],
+        interpret=pallas_interpret(),
+    )(positions.astype(jnp.int32), q, k, cos_sin_cache)
+    return qo, ko

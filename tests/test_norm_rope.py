@@ -137,3 +137,18 @@ class TestRope:
         kr = np_rope_neox(k, pos, 10000.0, d)
         ref = np.concatenate([qr.reshape(t, -1), kr.reshape(t, -1), qkv[:, (nq + nk) * d :]], -1)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+class TestRopeDecodeFused:
+    def test_matches_rotary_embedding(self, rng):
+        from sgl_kernel_tpu.ops.rope import rope_decode_fused
+
+        b, hq, hkv, d = 4, 8, 2, 64
+        q = rng.standard_normal((b, hq, d)).astype(np.float32)
+        k = rng.standard_normal((b, hkv, d)).astype(np.float32)
+        pos = rng.integers(0, 30, b).astype(np.int32)
+        cache = rope.compute_cos_sin_cache(d, 32)
+        qf, kf = rope_decode_fused(jnp.asarray(pos), jnp.asarray(q), jnp.asarray(k), cache)
+        qr, kr = rope.rotary_embedding(jnp.asarray(pos), jnp.asarray(q), jnp.asarray(k), d, cache)
+        np.testing.assert_allclose(np.asarray(qf), np.asarray(qr), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(kf), np.asarray(kr), rtol=1e-5, atol=1e-5)
