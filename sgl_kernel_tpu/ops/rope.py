@@ -215,7 +215,7 @@ def fused_k_norm_rope_mla(
 
 def _rope_decode_kernel(pos_ref, q_ref, k_ref, cache_ref, qo_ref, ko_ref, *, rot):
     b = pl.program_id(0)
-    cs = cache_ref[0].astype(jnp.float32)  # [1, rot] block at row pos[b]
+    cs = cache_ref[...].astype(jnp.float32)  # [1, rot] block at row pos[b]
     half = rot // 2
     cos = cs[:, :half]
     sin = cs[:, half:]
