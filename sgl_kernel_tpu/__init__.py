@@ -38,7 +38,12 @@ from .ops.attention.nsa import (  # noqa: F401
 from .ops.gemm import (  # noqa: F401
     awq_to_tpu_layout,
     bmm_fp8,
+    fp4_group_mm,
+    fp4_scaled_mm,
+    fp8_blockwise_scaled_grouped_mm,
     fp8_blockwise_scaled_mm,
+    scaled_fp4_experts_quant,
+    scaled_fp4_quant,
     fp8_scaled_mm,
     int8_scaled_mm,
     qserve_w4a8_per_chn_gemm,
