@@ -201,10 +201,24 @@ def decode_step(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, p
     ``tp_axis``: mesh axis name when running inside shard_map under tensor
     parallelism — cfg then describes the per-shard (local) head counts and
     the row-parallel projections (o, down) psum over the axis."""
-    b = tokens.shape[0]
     x = params["embed"][tokens].astype(cfg.dtype)
+    x, k_cache, v_cache = decode_layers(
+        params["layers"], cfg, k_cache, v_cache, x, positions, page_tables,
+        lengths, slot_loc, rope_cache, tp_axis=tp_axis,
+    )
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    logits = _linear(x, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
+    return logits, k_cache, v_cache
 
-    lw = params["layers"]
+
+def decode_layers(lw, cfg: LlamaConfig, k_cache, v_cache, x, positions, page_tables, lengths, slot_loc, rope_cache, *, tp_axis=None):
+    """Run a stack of decoder layers on hidden states x [B, H]. ``lw`` is
+    the stacked layer weights [Lstack, ...]; the caches' layer dim must
+    match Lstack (pipeline stages pass their stage-local slab). The embed/lm_head boundary ops live in
+    ``decode_step`` so pipeline parallelism (parallel/pp.py) can run just
+    this middle section per stage."""
+    b = x.shape[0]
+    n_stack = jax.tree_util.tree_leaves(lw)[0].shape[0]
 
     def layer_fn(carry, layer):
         # stacked caches stay whole in the carry (read-only here); the
@@ -230,12 +244,10 @@ def decode_step(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, p
         return (x, kc, vc), (k, v)
 
     (x, k_cache, v_cache), (k_all, v_all) = jax.lax.scan(
-        layer_fn, (x, k_cache, v_cache), (lw, jnp.arange(cfg.num_layers))
+        layer_fn, (x, k_cache, v_cache), (lw, jnp.arange(n_stack))
     )
     k_cache, v_cache = store_cache_all_layers(k_all, v_all, k_cache, v_cache, slot_loc)
-    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
-    logits = _linear(x, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
-    return logits, k_cache, v_cache
+    return x, k_cache, v_cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tp_axis"), donate_argnums=(2, 3))

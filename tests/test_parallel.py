@@ -144,3 +144,37 @@ class TestEPAllToAll:
             )
         )(jnp.asarray(xs), jnp.asarray(w1), jnp.asarray(w2), tw, tids)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-2, atol=3e-2)
+
+
+class TestPPDecode:
+    def test_pp_matches_single_device(self, rng):
+        from sgl_kernel_tpu.parallel import pp as pp_lib
+
+        cfg = llama.LlamaConfig.tiny()  # 2 layers -> 2 stages x 1 layer
+        mesh = mesh_lib.make_mesh({"pp": 2})
+        params = llama.init_weights(cfg, jax.random.PRNGKey(1))
+        n_micro, bm, pages, page = 2, 3, 8, 16
+        b = n_micro * bm
+
+        kc, vc = llama.make_caches(cfg, pages, page)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, b), jnp.int32)
+        positions = jnp.zeros(b, jnp.int32)
+        tables = jnp.asarray(np.stack([[i, 0, 0, 0] for i in range(b)]).astype(np.int32))
+        lengths = jnp.ones(b, jnp.int32)
+        slots = jnp.asarray([i * page for i in range(b)], jnp.int32)
+        rope_cache = llama.build_rope_cache(cfg)
+
+        ref_logits, ref_kc, ref_vc = llama.decode_step(
+            params, cfg, kc, vc, tokens, positions, tables, lengths, slots, rope_cache
+        )
+
+        step = pp_lib.make_pp_decode_step(cfg, mesh, params, n_micro)
+        kc2, vc2 = llama.make_caches(cfg, pages, page)
+        mb = lambda a: a.reshape(n_micro, bm, *a.shape[1:])
+        out_logits, out_kc, out_vc = jax.jit(step)(
+            params, kc2, vc2, mb(tokens), mb(positions), mb(tables), mb(lengths), mb(slots), rope_cache
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_logits).reshape(b, -1), np.asarray(ref_logits), rtol=2e-2, atol=2e-2
+        )
+        np.testing.assert_allclose(np.asarray(out_kc), np.asarray(ref_kc), rtol=1e-2, atol=1e-2)
