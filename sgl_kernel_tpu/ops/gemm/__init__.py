@@ -16,6 +16,7 @@ from .scaled_mm import bmm_fp8, fp8_scaled_mm, int8_scaled_mm  # noqa: F401
 from .w4a16 import (  # noqa: F401
     awq_to_tpu_layout,
     dequant_w4,
+    gptq_to_tpu_layout,
     mxfp4_to_tpu_layout,
     quantize_w4,
     w4a16_gemm,

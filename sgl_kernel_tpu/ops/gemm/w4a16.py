@@ -312,6 +312,46 @@ def awq_to_tpu_layout(qweight, scales, qzeros, *, group_size: int = 128):
     return packed, s, (zeros_gn - 8.0) * s
 
 
+@functools.partial(jax.jit, static_argnames=("group_size",))
+def gptq_to_tpu_layout(qweight, qzeros, scales, g_idx=None, *, group_size: int = 128):
+    """Convert a GPTQ checkpoint into the kernel layout.
+
+    GPTQ stores qweight [K//8, N] int32 (8 sequential 4-bit codes per
+    int32 along K), qzeros [K//G, N//8] int32 (8 codes per int32 along
+    N), scales [K//G, N].  With ``desc_act`` the quantization groups
+    follow the activation-order permutation ``g_idx [K]`` (group of
+    channel k = g_idx[k]); the reference handles this with a channel
+    gather before the GEMM (python moe.py:18-45, test_gptq_kernel.py).
+    Here we instead de-permute the weight rows once at load time so the
+    hot path needs no gather: returns (packed uint8 [N//2, K], scales
+    f32 [K//G, N], zeros_x_scales f32 [K//G, N], perm [K] or None) where
+    ``perm`` must be applied to the activation channels (a[:, perm])
+    only when it is not None.
+    """
+    kdiv8, n = qweight.shape
+    k = kdiv8 * 8
+    shifts = jnp.arange(8, dtype=jnp.uint32) * 4
+    codes_kn = (
+        (qweight.astype(jnp.uint32)[:, None, :] >> shifts[None, :, None]) & 0xF
+    ).reshape(k, n)
+    zeros_gn = (
+        (qzeros.astype(jnp.uint32)[:, :, None] >> shifts[None, None, :]) & 0xF
+    ).reshape(-1, n)
+    # GPTQ's stored zero is (zero - 1)
+    zeros_gn = zeros_gn.astype(jnp.float32) + 1.0
+    s = scales.astype(jnp.float32)
+    if g_idx is not None:
+        # sort channels by group so groups are contiguous; activations
+        # must be gathered with the same permutation
+        perm = jnp.argsort(g_idx.astype(jnp.int32), stable=True)
+        codes_kn = codes_kn[perm]
+    else:
+        perm = None
+    codes_signed = ((codes_kn.astype(jnp.int32) - 8) & 0xF).astype(jnp.uint8)
+    packed = pack_w4_tpu(codes_signed.T)
+    return packed, s, (zeros_gn - 8.0) * s, perm
+
+
 @jax.jit
 def mxfp4_to_tpu_layout(q_packed, scale_bytes):
     """Convert MXFP4 packed bytes [N, K//2] (adjacent-pair nibbles from

@@ -200,3 +200,58 @@ class TestQServe:
         b_dq = b_dq.reshape(n, k) * chn_scale
         ref = (aq.astype(np.float32) @ b_dq.T) * sa
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-2)
+
+
+class TestGptqConvert:
+    def test_gptq_layout_matches_dequant(self, rng):
+        from sgl_kernel_tpu.ops.gemm.w4a16 import dequant_w4, gptq_to_tpu_layout, w4a16_gemm
+
+        k, n, g = 64, 32, 16
+        codes = rng.integers(0, 16, (k, n)).astype(np.uint32)
+        zeros = rng.integers(1, 15, (k // g, n)).astype(np.uint32)
+        scales = (rng.random((k // g, n)) * 0.1 + 0.05).astype(np.float32)
+        # ref dequant: (code - zero) * scale, group = k // g
+        gid = np.arange(k) // g
+        ref_w = (codes.astype(np.float32) - zeros[gid]) * scales[gid]  # [K, N]
+
+        qweight = np.zeros((k // 8, n), np.uint32)
+        for i in range(8):
+            qweight |= codes[i::8] << (4 * i)
+        qzeros = np.zeros((k // g, n // 8), np.uint32)
+        for i in range(8):
+            qzeros |= (zeros[:, i::8] - 1) << (4 * i)
+
+        packed, s, zxs, perm = gptq_to_tpu_layout(
+            jnp.asarray(qweight.astype(np.int32)), jnp.asarray(qzeros.astype(np.int32)),
+            jnp.asarray(scales), group_size=g,
+        )
+        assert perm is None
+        deq = dequant_w4(packed, jnp.asarray(s), jnp.asarray(zxs), group_size=g, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(deq), ref_w.T, rtol=1e-5, atol=1e-5)
+
+    def test_desc_act_perm_roundtrip(self, rng):
+        from sgl_kernel_tpu.ops.gemm.w4a16 import dequant_w4, gptq_to_tpu_layout
+
+        k, n, g = 32, 16, 8
+        codes = rng.integers(0, 16, (k, n)).astype(np.uint32)
+        zeros = np.full((k // g, n), 8, np.uint32)
+        scales = np.ones((k // g, n), np.float32)
+        g_idx = rng.permutation(np.arange(k) // g)  # shuffled group assignment
+        ref_w = codes.astype(np.float32) - zeros[g_idx]  # [K, N] in original channel order
+
+        qweight = np.zeros((k // 8, n), np.uint32)
+        for i in range(8):
+            qweight |= codes[i::8] << (4 * i)
+        qzeros = np.zeros((k // g, n // 8), np.uint32)
+        for i in range(8):
+            qzeros |= (zeros[:, i::8] - 1) << (4 * i)
+
+        packed, s, zxs, perm = gptq_to_tpu_layout(
+            jnp.asarray(qweight.astype(np.int32)), jnp.asarray(qzeros.astype(np.int32)),
+            jnp.asarray(scales), jnp.asarray(g_idx.astype(np.int32)), group_size=g,
+        )
+        deq = np.asarray(dequant_w4(packed, jnp.asarray(s), jnp.asarray(zxs), group_size=g, dtype=jnp.float32))
+        # deq is in permuted channel order; a @ deq with a[:, perm] == a @ ref
+        a = rng.standard_normal((4, k)).astype(np.float32)
+        out = a[:, np.asarray(perm)] @ deq.T
+        np.testing.assert_allclose(out, a @ ref_w, rtol=1e-4, atol=1e-4)
