@@ -56,3 +56,62 @@ def compress_sequence(kv, scores, ape, compress_ratio: int = 4):
         win_sc = scores[: n * r].reshape(n, r, d)
         assert ape.shape[0] == r
     return compress_window(win_kv, win_sc, ape).astype(kv.dtype)
+
+
+# ---------------------------------------------------------------------------
+# serving-pool plumbing: decode-time compress plans + ring-buffer rewrite
+# (reference: CompressPlan.cpp plan builders + FlashCompress{4,128} cache
+# rewrite with ring buffers; plan tensors are packed int32, dsv4_common.py)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("compress_ratio", "ring_size", "window"))
+def plan_compress_decode(lengths, *, compress_ratio: int = 4, ring_size: int = 64, window: int = None):
+    """Build the decode-step compress plan.
+
+    A sequence triggers a compress event when its (post-step) length
+    crosses a multiple of ``compress_ratio``.  Returns a packed plan:
+      src_pos  [B, W] token positions feeding the window (−1 padding for
+               the zero-padded first c4 window),
+      dst_slot [B]    ring-buffer slot for the compressed token, or −1
+               when no event fires this step,
+      n_comp   [B]    number of live compressed tokens after the event.
+    The ring holds the most recent ``ring_size`` compressed tokens (older
+    ones are evicted by overwrite — the reference's ring/SWA-page design).
+    """
+    r = compress_ratio
+    w = window or (2 * r if r == 4 else r)
+    event = (lengths % r) == 0
+    n_events = lengths // r  # events so far (1-based index of this event)
+    # window covers positions [len - w, len)
+    start = lengths - w
+    src = start[:, None] + jnp.arange(w)[None, :]
+    src = jnp.where(event[:, None], src, -1)
+    src = jnp.where(src >= 0, src, -1)
+    dst = jnp.where(event, (n_events - 1) % ring_size, -1)
+    n_comp = jnp.minimum(n_events, ring_size)
+    return src.astype(jnp.int32), dst.astype(jnp.int32), n_comp.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("page_size",))
+def flash_compress_decode(kv_pool, score_pool, ape, comp_pool, src_pos, dst_slot, page_tables, *, page_size: int):
+    """Apply a decode compress plan against paged pools.
+
+    kv_pool/score_pool: flat token pools [P*page, D] (single-head latent
+    layout, as the MLA cache); comp_pool [B, ring, D]; src_pos [B, W]
+    token *positions* translated through ``page_tables`` [B, maxp];
+    dst_slot [B] ring slots (−1 = no event, write dropped).
+    Returns the updated comp_pool.
+    """
+    b, w = src_pos.shape
+    d = kv_pool.shape[-1]
+    pages = jnp.where(src_pos >= 0, src_pos, 0) // page_size
+    offs = jnp.where(src_pos >= 0, src_pos, 0) % page_size
+    flat = jnp.take_along_axis(page_tables, pages, axis=1) * page_size + offs
+    kv = kv_pool[flat]  # [B, W, D]
+    sc = score_pool[flat].astype(jnp.float32)
+    sc = jnp.where((src_pos >= 0)[..., None], sc, -jnp.inf)
+    out = compress_window(kv, sc, ape).astype(comp_pool.dtype)  # [B, D]
+    ring = comp_pool.shape[1]
+    safe = jnp.where(dst_slot >= 0, dst_slot, ring)
+    return comp_pool.at[jnp.arange(b), safe].set(out, mode="drop")

@@ -165,3 +165,53 @@ class TestCompression:
         s = sc[:8] + ape
         weights = np.exp(s - s.max(0)) / np.exp(s - s.max(0)).sum(0)
         np.testing.assert_allclose(np.asarray(out)[1], (kv[:8] * weights).sum(0), rtol=1e-4, atol=1e-5)
+
+
+class TestCompressPlan:
+    def test_decode_plan_and_apply_matches_sequence(self, rng):
+        """Drive decode-time ring compression token by token; the ring
+        content must equal compress_sequence over the full history."""
+        from sgl_kernel_tpu.ops import compression
+
+        r, ring, page, d = 4, 8, 8, 16
+        t = 24
+        kv = rng.standard_normal((t, d)).astype(np.float32)
+        sc = rng.standard_normal((t, d)).astype(np.float32)
+        ape = rng.standard_normal((2 * r, d)).astype(np.float32)
+
+        # paged pools: one sequence, identity page table
+        pool_kv = jnp.zeros((4 * page, d))
+        pool_sc = jnp.zeros((4 * page, d))
+        tables = jnp.arange(4, dtype=jnp.int32)[None, :]
+        comp = jnp.zeros((1, ring, d))
+        for tok in range(t):
+            pool_kv = pool_kv.at[tok].set(kv[tok])
+            pool_sc = pool_sc.at[tok].set(sc[tok])
+            lengths = jnp.asarray([tok + 1], jnp.int32)
+            src, dst, n_comp = compression.plan_compress_decode(
+                lengths, compress_ratio=r, ring_size=ring
+            )
+            comp = compression.flash_compress_decode(
+                pool_kv, pool_sc, jnp.asarray(ape), comp, src, dst, tables, page_size=page
+            )
+        ref = np.asarray(
+            compression.compress_sequence(jnp.asarray(kv), jnp.asarray(sc), jnp.asarray(ape), compress_ratio=r)
+        )
+        got = np.asarray(comp)[0]
+        assert int(n_comp[0]) == min(t // r, ring)
+        for i in range(t // r):
+            np.testing.assert_allclose(got[i % ring], ref[i], rtol=1e-4, atol=1e-4)
+
+    def test_no_event_leaves_ring_untouched(self):
+        from sgl_kernel_tpu.ops import compression
+
+        src, dst, _ = compression.plan_compress_decode(
+            jnp.asarray([5], jnp.int32), compress_ratio=4, ring_size=4
+        )
+        assert int(dst[0]) == -1
+        comp = jnp.ones((1, 4, 8))
+        out = compression.flash_compress_decode(
+            jnp.zeros((16, 8)), jnp.zeros((16, 8)), jnp.zeros((8, 8)), comp,
+            src, dst, jnp.zeros((1, 2), jnp.int32), page_size=8,
+        )
+        np.testing.assert_allclose(np.asarray(out), 1.0)
