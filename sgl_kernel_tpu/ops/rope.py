@@ -215,7 +215,7 @@ def fused_k_norm_rope_mla(
 
 def _rope_decode_kernel(pos_ref, q_ref, k_ref, cache_ref, qo_ref, ko_ref, *, rot):
     b = pl.program_id(0)
-    cs = cache_ref[...].astype(jnp.float32)  # [1, rot] block at row pos[b]
+    cs = cache_ref[0].astype(jnp.float32)  # [1, rot] block at row pos[b]
     half = rot // 2
     cos = cs[:, :half]
     sin = cs[:, half:]
@@ -250,7 +250,10 @@ def rope_decode_fused(positions, q, k, cos_sin_cache):
             in_specs=[
                 pl.BlockSpec((1, hq, d), lambda bb, pos: (bb, 0, 0)),
                 pl.BlockSpec((1, hkv, d), lambda bb, pos: (bb, 0, 0)),
-                pl.BlockSpec((1, rot), lambda bb, pos: (pos[bb], 0)),
+                # [max_pos, 1, rot] so the block's last two dims equal the
+                # array dims (Mosaic block rule; a (1, rot) block on the 2D
+                # cache is rejected on hardware)
+                pl.BlockSpec((1, 1, rot), lambda bb, pos: (pos[bb], 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, hq, d), lambda bb, pos: (bb, 0, 0)),
@@ -262,5 +265,5 @@ def rope_decode_fused(positions, q, k, cos_sin_cache):
             jax.ShapeDtypeStruct((b, hkv, d), k.dtype),
         ],
         interpret=pallas_interpret(),
-    )(positions.astype(jnp.int32), q, k, cos_sin_cache)
+    )(positions.astype(jnp.int32), q, k, cos_sin_cache[:, None, :])
     return qo, ko
