@@ -137,12 +137,18 @@ def _quantize_layers(layers, cfg):
     return out
 
 
-def _linear(x, w, cfg: LlamaConfig, residual=None):
+def _linear(x, w, cfg: LlamaConfig, residual=None, layer_id=None):
+    """layer_id: when given, w is the FULL layer-stacked weight ([L, ...])
+    and the quantized kernel selects the layer via scalar-prefetch — a
+    pre-sliced Pallas operand would materialize a per-layer HBM copy
+    (~4GB/step across an 8B model's scan; docs/PERF.md)."""
     if isinstance(w, dict):
         return w4a16_gemm(
-            x, w["packed"], w["scales"], residual=residual,
+            x, w["packed"], w["scales"], residual=residual, layer_id=layer_id,
             group_size=cfg.group_size, out_dtype=cfg.dtype,
         )
+    if layer_id is not None:
+        w = w[layer_id]  # dense bf16: XLA fuses the slice into the dot
     out = jnp.dot(x, w.T, preferred_element_type=jnp.float32).astype(cfg.dtype)
     return out + residual if residual is not None else out
 
@@ -154,35 +160,37 @@ def make_caches(cfg: LlamaConfig, num_pages: int, page_size: int, kv_dtype=None)
     return jnp.zeros(shape, kv_dtype), jnp.zeros(shape, kv_dtype)
 
 
-def _qkv(h, weights, cfg, n_tokens):
+def _qkv(h, weights, cfg, n_tokens, layer_id=None):
     nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     if cfg.fused:
-        qkv = _linear(h, weights["qkv"], cfg)
+        qkv = _linear(h, weights["qkv"], cfg, layer_id=layer_id)
         q = qkv[:, : nq * d].reshape(n_tokens, nq, d)
         k = qkv[:, nq * d : (nq + nkv) * d].reshape(n_tokens, nkv, d)
         v = qkv[:, (nq + nkv) * d :].reshape(n_tokens, nkv, d)
         return q, k, v
-    q = _linear(h, weights["q"], cfg).reshape(n_tokens, nq, d)
-    k = _linear(h, weights["k"], cfg).reshape(n_tokens, nkv, d)
-    v = _linear(h, weights["v"], cfg).reshape(n_tokens, nkv, d)
+    q = _linear(h, weights["q"], cfg, layer_id=layer_id).reshape(n_tokens, nq, d)
+    k = _linear(h, weights["k"], cfg, layer_id=layer_id).reshape(n_tokens, nkv, d)
+    v = _linear(h, weights["v"], cfg, layer_id=layer_id).reshape(n_tokens, nkv, d)
     return q, k, v
 
 
-def _mlp(h2, weights, cfg, residual=None):
+def _mlp(h2, weights, cfg, residual=None, layer_id=None):
     if cfg.fused:
-        gu = _linear(h2, weights["gate_up"], cfg)
+        gu = _linear(h2, weights["gate_up"], cfg, layer_id=layer_id)
         inter = gu.shape[-1] // 2
         gate, up = gu[:, :inter], gu[:, inter:]
     else:
-        gate = _linear(h2, weights["gate"], cfg)
-        up = _linear(h2, weights["up"], cfg)
+        gate = _linear(h2, weights["gate"], cfg, layer_id=layer_id)
+        up = _linear(h2, weights["up"], cfg, layer_id=layer_id)
     w = weights["down"]
     if isinstance(w, dict):
         # silu-mul prologue + residual epilogue fused into the down GEMM
         return w4a16_gemm(
-            gate, w["packed"], w["scales"], a2=up, residual=residual,
+            gate, w["packed"], w["scales"], a2=up, residual=residual, layer_id=layer_id,
             prologue="silu_mul", group_size=cfg.group_size, out_dtype=cfg.dtype,
         )
+    if layer_id is not None:
+        w = w[layer_id]
     g = gate.astype(jnp.float32)
     act = (g * jax.nn.sigmoid(g) * up.astype(jnp.float32)).astype(cfg.dtype)
     out = jnp.dot(act, w.T, preferred_element_type=jnp.float32).astype(cfg.dtype)
@@ -220,31 +228,31 @@ def decode_layers(lw, cfg: LlamaConfig, k_cache, v_cache, x, positions, page_tab
     b = x.shape[0]
     n_stack = jax.tree_util.tree_leaves(lw)[0].shape[0]
 
-    def layer_fn(carry, layer):
-        # stacked caches stay whole in the carry (read-only here); the
-        # current token's K/V feeds the attention kernel directly and the
-        # cache write is deferred to ONE batched scatter after the scan
-        # (avoids both the scan cache copy and a per-layer scatter)
+    def layer_fn(carry, lidx):
+        # stacked caches AND stacked weights stay whole: the attention and
+        # GEMM kernels select the layer via scalar-prefetched layer_id, so
+        # the scan body contains no per-layer dynamic-slice of big arrays
+        # (a sliced Pallas operand would be a materialized HBM copy)
         x, kc, vc = carry
-        weights, lidx = layer
-        h = rmsnorm(x, weights["input_norm"], cfg.rms_eps)
-        q, k, v = _qkv(h, weights, cfg, b)
+        weights = lw
+        h = rmsnorm(x, weights["input_norm"][lidx], cfg.rms_eps)
+        q, k, v = _qkv(h, weights, cfg, b, layer_id=lidx)
         q, k = rope_decode_fused(positions, q, k, rope_cache)
         attn = paged_attention_decode(
             q, kc, vc, lengths, page_tables, layer_id=lidx, fresh_k=k, fresh_v=v
         )
         if tp_axis is None:
-            x = _linear(attn.reshape(b, -1), weights["o"], cfg, residual=x)
-            h2 = rmsnorm(x, weights["post_norm"], cfg.rms_eps)
-            x = _mlp(h2, weights, cfg, residual=x)
+            x = _linear(attn.reshape(b, -1), weights["o"], cfg, residual=x, layer_id=lidx)
+            h2 = rmsnorm(x, weights["post_norm"][lidx], cfg.rms_eps)
+            x = _mlp(h2, weights, cfg, residual=x, layer_id=lidx)
         else:
-            x = x + _maybe_psum(_linear(attn.reshape(b, -1), weights["o"], cfg), tp_axis)
-            h2 = rmsnorm(x, weights["post_norm"], cfg.rms_eps)
-            x = x + _maybe_psum(_mlp(h2, weights, cfg), tp_axis)
+            x = x + _maybe_psum(_linear(attn.reshape(b, -1), weights["o"], cfg, layer_id=lidx), tp_axis)
+            h2 = rmsnorm(x, weights["post_norm"][lidx], cfg.rms_eps)
+            x = x + _maybe_psum(_mlp(h2, weights, cfg, layer_id=lidx), tp_axis)
         return (x, kc, vc), (k, v)
 
     (x, k_cache, v_cache), (k_all, v_all) = jax.lax.scan(
-        layer_fn, (x, k_cache, v_cache), (lw, jnp.arange(n_stack))
+        layer_fn, (x, k_cache, v_cache), jnp.arange(n_stack)
     )
     k_cache, v_cache = store_cache_all_layers(k_all, v_all, k_cache, v_cache, slot_loc)
     return x, k_cache, v_cache
@@ -260,11 +268,11 @@ def prefill(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, q_len
 
     lw = params["layers"]
 
-    def layer_fn(carry, layer):
+    def layer_fn(carry, lidx):
         x, kc, vc = carry
-        weights, lidx = layer
-        h = rmsnorm(x, weights["input_norm"], cfg.rms_eps)
-        q, k, v = _qkv(h, weights, cfg, b * s)
+        weights = lw
+        h = rmsnorm(x, weights["input_norm"][lidx], cfg.rms_eps)
+        q, k, v = _qkv(h, weights, cfg, b * s, layer_id=lidx)
         q, k = rotary_embedding(positions.reshape(-1), q, k, cfg.head_dim, rope_cache)
         kc, vc = store_cache_stacked(k, v, kc, vc, slot_loc.reshape(-1), lidx)
         attn = flash_attention(
@@ -274,17 +282,17 @@ def prefill(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, q_len
             q_lens, q_lens, causal=True,
         ).reshape(b * s, -1)
         if tp_axis is None:
-            x = _linear(attn, weights["o"], cfg, residual=x)
-            h2 = rmsnorm(x, weights["post_norm"], cfg.rms_eps)
-            x = _mlp(h2, weights, cfg, residual=x)
+            x = _linear(attn, weights["o"], cfg, residual=x, layer_id=lidx)
+            h2 = rmsnorm(x, weights["post_norm"][lidx], cfg.rms_eps)
+            x = _mlp(h2, weights, cfg, residual=x, layer_id=lidx)
         else:
-            x = x + _maybe_psum(_linear(attn, weights["o"], cfg), tp_axis)
-            h2 = rmsnorm(x, weights["post_norm"], cfg.rms_eps)
-            x = x + _maybe_psum(_mlp(h2, weights, cfg), tp_axis)
+            x = x + _maybe_psum(_linear(attn, weights["o"], cfg, layer_id=lidx), tp_axis)
+            h2 = rmsnorm(x, weights["post_norm"][lidx], cfg.rms_eps)
+            x = x + _maybe_psum(_mlp(h2, weights, cfg, layer_id=lidx), tp_axis)
         return (x, kc, vc), None
 
     (x, k_cache, v_cache), _ = jax.lax.scan(
-        layer_fn, (x, k_cache, v_cache), (lw, jnp.arange(cfg.num_layers))
+        layer_fn, (x, k_cache, v_cache), jnp.arange(cfg.num_layers)
     )
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
     # gather last valid token per sequence
@@ -299,7 +307,7 @@ def build_rope_cache(cfg: LlamaConfig):
     return compute_cos_sin_cache(cfg.head_dim, cfg.max_position, cfg.rope_theta)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "prefix_max", "tp_axis"), donate_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnames=("cfg", "prefix_max", "tp_axis", "num_logits"), donate_argnums=(2, 3))
 def prefill_extend(
     params,
     cfg: LlamaConfig,
@@ -315,6 +323,7 @@ def prefill_extend(
     *,
     prefix_max: int,
     tp_axis=None,
+    num_logits: int = 1,
 ):
     """Chunked/extend prefill: the q tokens are the *suffix* of sequences
     whose prefix KV already lives in the paged cache (radix prefix reuse).
@@ -344,11 +353,11 @@ def prefill_extend(
         g = flat[rows[:, None, None], pre_slots[None, :, :]]  # [H, B, pre, D]
         return jnp.transpose(g, (1, 2, 0, 3))  # [B, pre, H, D]
 
-    def layer_fn(carry, layer):
+    def layer_fn(carry, lidx):
         x, kc, vc = carry
-        weights, lidx = layer
-        h = rmsnorm(x, weights["input_norm"], cfg.rms_eps)
-        q, k, v = _qkv(h, weights, cfg, b * s)
+        weights = lw
+        h = rmsnorm(x, weights["input_norm"][lidx], cfg.rms_eps)
+        q, k, v = _qkv(h, weights, cfg, b * s, layer_id=lidx)
         q, k = rotary_embedding(positions.reshape(-1), q, k, cfg.head_dim, rope_cache)
         kc, vc = store_cache_stacked(k, v, kc, vc, slot_loc.reshape(-1), lidx)
         qb = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
@@ -375,17 +384,26 @@ def prefill_extend(
             jnp.swapaxes(l2, 1, 2).reshape(b * s, cfg.num_heads),
         )
         attn = om.reshape(b * s, -1).astype(cfg.dtype)
-        x = x + _maybe_psum(_linear(attn, weights["o"], cfg), tp_axis)
-        h2 = rmsnorm(x, weights["post_norm"], cfg.rms_eps)
-        mlp = _maybe_psum(_mlp(h2, weights, cfg), tp_axis)
+        x = x + _maybe_psum(_linear(attn, weights["o"], cfg, layer_id=lidx), tp_axis)
+        h2 = rmsnorm(x, weights["post_norm"][lidx], cfg.rms_eps)
+        mlp = _maybe_psum(_mlp(h2, weights, cfg, layer_id=lidx), tp_axis)
         return (x + mlp, kc, vc), None
 
     (x, k_cache, v_cache), _ = jax.lax.scan(
-        layer_fn, (x, k_cache, v_cache), (lw, jnp.arange(cfg.num_layers))
+        layer_fn, (x, k_cache, v_cache), jnp.arange(cfg.num_layers)
     )
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
     x = x.reshape(b, s, -1)
-    last = jnp.clip(q_lens - 1, 0, s - 1)
-    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
-    logits = _linear(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
-    return logits, k_cache, v_cache
+    if num_logits == 1:
+        last = jnp.clip(q_lens - 1, 0, s - 1)
+        x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+        logits = _linear(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
+        return logits, k_cache, v_cache
+    # last num_logits positions per sequence (speculative verify needs the
+    # whole chain's logits); positions before the suffix start are clipped
+    # to 0 and produce garbage rows the caller masks out
+    n = num_logits
+    idx = jnp.clip(q_lens[:, None] - n + jnp.arange(n)[None, :], 0, s - 1)  # [B, n]
+    x_sel = jnp.take_along_axis(x, idx[:, :, None], axis=1)  # [B, n, H]
+    logits = _linear(x_sel.reshape(b * n, -1), params["lm_head"], cfg).astype(jnp.float32)
+    return logits[:, : cfg.vocab_size].reshape(b, n, -1), k_cache, v_cache

@@ -115,6 +115,7 @@ def w4a16_gemm(
     bias=None,
     a2=None,
     residual=None,
+    layer_id=None,
     *,
     group_size: int = 128,
     fmt: str = "int4",
@@ -136,14 +137,28 @@ def w4a16_gemm(
          MLP fusion: A = silu(a) * a2 computed in the kernel — saves an XLA
          fusion launch, which costs ~24us on the axon runtime).
       residual: optional [M, N] added in the epilogue (residual-add fusion).
+      layer_id: optional traced scalar. When given, w/scales/zeros/bias
+         carry a leading layer dim ([L, ...]) and the kernel reads layer
+         ``layer_id`` via scalar-prefetched BlockSpec indexing. This is the
+         scan-over-layers fast path: a Pallas operand must be materialized,
+         so slicing per-layer weights out of the stacked arrays before the
+         call would copy ~4GB/step for an 8B model — the same dynamic-slice
+         trap the stacked KV pools avoid (docs/PERF.md).
       fmt: "int4" | "mxfp4".
     Returns [M, N] in out_dtype (defaults to a.dtype).
     """
     m, k = a.shape
-    n = w.shape[0] * 2
+    stacked = layer_id is not None
+    wl = w.shape[1] if stacked else w.shape[0]
+    n = wl * 2
     out_dtype = out_dtype or a.dtype
-    assert w.shape == (n // 2, k) and w.dtype == jnp.uint8, (w.shape, w.dtype)
-    assert scales.shape == (k // group_size, n), (scales.shape, (k // group_size, n))
+    if stacked:
+        l = w.shape[0]
+        assert w.shape == (l, n // 2, k) and w.dtype == jnp.uint8, (w.shape, w.dtype)
+        assert scales.shape == (l, k // group_size, n), scales.shape
+    else:
+        assert w.shape == (n // 2, k) and w.dtype == jnp.uint8, (w.shape, w.dtype)
+        assert scales.shape == (k // group_size, n), (scales.shape, (k // group_size, n))
 
     bm = bm or min(256, round_up(m, 8))
     bn = min(bn, n)
@@ -165,32 +180,46 @@ def w4a16_gemm(
     grid = (n // bn, mp // bm, k // bk)
     scales_f = scales.astype(jnp.float32)
 
-    in_specs = [pl.BlockSpec((bm, bk), lambda j, i, kk: (i, kk))]
+    # With a stacked layer dim, index maps receive the scalar-prefetch ref
+    # as an extra trailing arg and select the layer; `None` in the block
+    # shape squeezes the dim so the kernel body is identical either way.
+    if stacked:
+        a_spec = pl.BlockSpec((bm, bk), lambda j, i, kk, lid: (i, kk))
+        w_spec = pl.BlockSpec((None, bn // 2, bk), lambda j, i, kk, lid: (lid[0], j, kk))
+        s_spec = pl.BlockSpec((None, ngb, bn), lambda j, i, kk, lid: (lid[0], kk, j))
+        b_spec = pl.BlockSpec((None, bn), lambda j, i, kk, lid: (lid[0], j))
+        mn_spec = pl.BlockSpec((bm, bn), lambda j, i, kk, lid: (i, j))
+    else:
+        a_spec = pl.BlockSpec((bm, bk), lambda j, i, kk: (i, kk))
+        w_spec = pl.BlockSpec((bn // 2, bk), lambda j, i, kk: (j, kk))
+        s_spec = pl.BlockSpec((ngb, bn), lambda j, i, kk: (kk, j))
+        b_spec = pl.BlockSpec((1, bn), lambda j, i, kk: (0, j))
+        mn_spec = pl.BlockSpec((bm, bn), lambda j, i, kk: (i, j))
+
+    in_specs = [a_spec]
     inputs = [a]
     has_a2 = a2 is not None
     if has_a2:
         assert prologue == "silu_mul"
-        in_specs.append(pl.BlockSpec((bm, bk), lambda j, i, kk: (i, kk)))
+        in_specs.append(a_spec)
         inputs.append(a2)
-    in_specs += [
-        pl.BlockSpec((bn // 2, bk), lambda j, i, kk: (j, kk)),
-        pl.BlockSpec((ngb, bn), lambda j, i, kk: (kk, j)),
-    ]
+    in_specs += [w_spec, s_spec]
     inputs += [w, scales_f]
     if zeros is not None:
-        in_specs.append(pl.BlockSpec((ngb, bn), lambda j, i, kk: (kk, j)))
+        in_specs.append(s_spec)
         inputs.append(zeros.astype(jnp.float32))
     has_bias = bias is not None
     if has_bias:
-        in_specs.append(pl.BlockSpec((1, bn), lambda j, i, kk: (0, j)))
-        inputs.append(bias.reshape(1, n))
+        in_specs.append(b_spec)
+        inputs.append(bias if stacked else bias.reshape(1, n))
     has_res = residual is not None
     if has_res:
-        in_specs.append(pl.BlockSpec((bm, bn), lambda j, i, kk: (i, j)))
+        in_specs.append(mn_spec)
         inputs.append(residual)
 
     kernel = functools.partial(
         _kernel_entry,
+        has_lid=stacked,
         has_a2=has_a2,
         has_zeros=zeros is not None,
         has_bias=has_bias,
@@ -202,13 +231,8 @@ def w4a16_gemm(
         prologue=prologue,
     )
 
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((bm, bn), lambda j, i, kk: (i, j)),
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -218,13 +242,34 @@ def w4a16_gemm(
             transcendentals=0,
         ),
         interpret=pallas_interpret(),
-    )(*inputs)
+    )
+    if stacked:
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=mn_spec,
+                scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            ),
+            **common,
+        )(jnp.asarray(layer_id, jnp.int32).reshape(1), *inputs)
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=mn_spec,
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            **common,
+        )(*inputs)
     return out[:m] if mp != m else out
 
 
-def _kernel_entry(*refs, has_a2, has_zeros, has_bias, has_res, fmt, group_size, ngb, n_k, prologue):
-    # refs layout: a, [a2], w, s, [z], [bias], [residual], o, acc
-    idx = 0
+def _kernel_entry(*refs, has_lid=False, has_a2, has_zeros, has_bias, has_res, fmt, group_size, ngb, n_k, prologue):
+    # refs layout: [lid], a, [a2], w, s, [z], [bias], [residual], o, acc
+    idx = int(has_lid)  # scalar-prefetch ref consumed by the BlockSpecs
     a_ref = refs[idx]; idx += 1
     a2_ref = refs[idx] if has_a2 else None
     idx += int(has_a2)
