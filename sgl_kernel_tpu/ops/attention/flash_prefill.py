@@ -265,7 +265,7 @@ def flash_attention(
 
     out = jnp.swapaxes(outs[0], 1, 2)[:, :sq]
     if return_lse:
-        return out, outs[1][:, 0, :sq].reshape(b, hq, sq_p)[:, :, :sq]
+        return out, outs[1][:, 0, :].reshape(b, hq, sq_p)[:, :, :sq]
     return out
 
 

@@ -70,6 +70,9 @@ class Engine:
         prefill_bucket: int = 128,
         seed: int = 0,
         enable_prefix_cache: bool = True,
+        draft_cfg: Optional[llama.LlamaConfig] = None,
+        draft_params=None,
+        spec_gamma: int = 4,
     ):
         self.cfg = cfg
         self.page_size = page_size
@@ -90,6 +93,19 @@ class Engine:
             except Exception:
                 self.native = None
         self.allocator = self.native if self.native is not None else PageAllocator(num_pages)
+        # chain speculative decoding (models/spec.py): a draft model
+        # proposes spec_gamma tokens per round, the target verifies them in
+        # one multi-token forward; greedy requests then emit several tokens
+        # per scheduler step with unchanged output (lossless)
+        self.draft_cfg = draft_cfg
+        self.spec_gamma = spec_gamma
+        if draft_cfg is not None:
+            assert draft_cfg.head_dim == cfg.head_dim or True
+            self.draft_params = draft_params if draft_params is not None else llama.init_weights(
+                draft_cfg, jax.random.PRNGKey(seed + 1)
+            )
+            self.draft_rope = llama.build_rope_cache(draft_cfg)
+            self.dk_cache, self.dv_cache = llama.make_caches(draft_cfg, num_pages, page_size)
         self.waiting: List[Request] = []
         self.running: List[Request] = []
         self.finished: Dict[int, Request] = {}
@@ -124,7 +140,8 @@ class Engine:
                 req.prefix_len = matched
                 req.shared_pages = len(shared)
                 req.locked_tokens = probe[:matched]
-            need = cdiv(req.seq_len + req.max_new_tokens, self.page_size) - len(shared)
+            slack = self.spec_gamma if self.draft_cfg is not None else 0
+            need = cdiv(req.seq_len + req.max_new_tokens + slack, self.page_size) - len(shared)
             pages = self.allocator.alloc(need)
             if pages is None:
                 if req.locked_tokens:
@@ -162,6 +179,20 @@ class Engine:
                 jnp.asarray(self._page_table(req)[None]), jnp.asarray(slot_loc),
                 self.rope_cache, prefix_max=prefix_max,
             )
+        if self.draft_cfg is not None:
+            sfull = len(req.prompt)
+            bucket_d = max(self.prefill_bucket, 1 << (sfull - 1).bit_length())
+            dt = np.zeros((1, bucket_d), np.int32)
+            dt[0, :sfull] = req.prompt
+            dp = np.zeros((1, bucket_d), np.int32)
+            dp[0, :sfull] = np.arange(sfull)
+            dsl = np.full((1, bucket_d), -1, np.int32)
+            dsl[0, :sfull] = [self._slot(req, p) for p in range(sfull)]
+            _, self.dk_cache, self.dv_cache = llama.prefill(
+                self.draft_params, self.draft_cfg, self.dk_cache, self.dv_cache,
+                jnp.asarray(dt), jnp.asarray(dp), jnp.asarray([sfull], jnp.int32),
+                jnp.asarray(dsl), self.draft_rope,
+            )
         self._append_token(req, logits[0])
 
     def _append_token(self, req: Request, logits):
@@ -178,6 +209,8 @@ class Engine:
         reqs = [r for r in self.running if not r.done]
         if not reqs:
             return
+        if self.draft_cfg is not None and all(r.temperature == 0.0 for r in reqs):
+            return self._spec_decode_batch(reqs)
         b = len(reqs)
         bp = self.max_batch  # pad to fixed batch for stable compilation
         tokens = np.zeros(bp, np.int32)
@@ -200,6 +233,37 @@ class Engine:
         logits_np = logits[:b]
         for i, r in enumerate(reqs):
             self._append_token(r, logits_np[i])
+
+    def _spec_decode_batch(self, reqs):
+        from ..models import spec
+
+        b = len(reqs)
+        bp = self.max_batch
+        tokens = np.zeros(bp, np.int32)
+        lengths = np.ones(bp, np.int32)
+        valid = np.zeros(bp, bool)
+        tables = np.zeros((bp, self.max_pages_per_seq), np.int32)
+        for i, r in enumerate(reqs):
+            tokens[i] = r.output[-1] if r.output else r.prompt[-1]
+            lengths[i] = r.seq_len
+            valid[i] = True
+            tables[i] = self._page_table(r)
+        prefix_max = max(self.page_size, cdiv(int(lengths.max()) + self.spec_gamma, self.page_size) * self.page_size)
+        new, n_new, self.k_cache, self.v_cache, self.dk_cache, self.dv_cache = spec.spec_decode_round(
+            self.params, self.draft_params,
+            self.k_cache, self.v_cache, self.dk_cache, self.dv_cache,
+            jnp.asarray(tokens), jnp.asarray(lengths), jnp.asarray(tables),
+            self.rope_cache, self.draft_rope, jnp.asarray(valid),
+            cfg_t=self.cfg, cfg_d=self.draft_cfg, gamma=self.spec_gamma,
+            prefix_max=prefix_max,
+        )
+        new = np.asarray(new)
+        n_new = np.asarray(n_new)
+        for i, r in enumerate(reqs):
+            take = min(int(n_new[i]), r.max_new_tokens - len(r.output))
+            r.output.extend(int(x) for x in new[i, :take])
+            if len(r.output) >= r.max_new_tokens:
+                r.done = True
 
     def _retire(self):
         still = []

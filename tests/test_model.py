@@ -193,6 +193,36 @@ class TestEngine:
         assert free_n + cached == 63
 
 
+class TestEngineSpec:
+    def test_spec_engine_matches_plain_greedy(self, tiny_model, rng):
+        """Speculative engine must emit exactly the plain engine's greedy
+        stream (chain speculation is lossless for greedy sampling)."""
+        import jax as _jax
+
+        cfg, params = tiny_model
+        draft_cfg = llama.LlamaConfig(
+            vocab_size=cfg.vocab_size, hidden_size=64, intermediate_size=128,
+            num_layers=1, num_heads=2, num_kv_heads=1, head_dim=32,
+            max_position=256, dtype=jnp.float32,
+        )
+        draft_params = llama.init_weights(draft_cfg, _jax.random.PRNGKey(3))
+        prompts = [rng.integers(0, cfg.vocab_size, 6).tolist(),
+                   rng.integers(0, cfg.vocab_size, 4).tolist()]
+
+        plain = Engine(cfg, params, max_batch=2, num_pages=64, page_size=16,
+                       prefill_bucket=16, enable_prefix_cache=False)
+        rids_p = [plain.add_request(p, max_new_tokens=7) for p in prompts]
+        plain.run_until_done(max_steps=50)
+
+        eng = Engine(cfg, params, max_batch=2, num_pages=64, page_size=16,
+                     prefill_bucket=16, enable_prefix_cache=False,
+                     draft_cfg=draft_cfg, draft_params=draft_params, spec_gamma=3)
+        rids_s = [eng.add_request(p, max_new_tokens=7) for p in prompts]
+        eng.run_until_done(max_steps=50)
+        for rp, rs in zip(rids_p, rids_s):
+            assert eng.finished[rs].output == plain.finished[rp].output
+
+
 class TestFp8Kv:
     def test_fp8_kv_cache_close_to_bf16(self, tiny_model, rng):
         import dataclasses
