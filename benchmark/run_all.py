@@ -10,7 +10,7 @@ import subprocess
 import sys
 import os
 
-SCRIPTS = ["bench_w4a16_gemm.py", "bench_attention.py", "bench_fused_moe.py"]
+SCRIPTS = ["bench_w4a16_gemm.py", "bench_attention.py", "bench_fused_moe.py", "bench_quant_gemm.py"]
 
 
 def main():
