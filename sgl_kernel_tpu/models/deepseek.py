@@ -175,10 +175,13 @@ def decode_step(params, cfg: DeepseekConfig, kv_cache, tokens, positions, page_t
         x, cache = carry
         h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
         q_lat, q_pe, kv_row = _mla_qkv(h, lw, lidx, cfg, b, positions, rope_cache)
-        layer_pool = jax.lax.dynamic_index_in_dim(cache, lidx, 0, keepdims=False)
-        layer_pool = store_cache_mla(kv_row, layer_pool, slot_loc)
-        attn = mla_decode(q_lat, q_pe, layer_pool, lengths, page_tables, sm_scale=_sm_scale(cfg))
-        cache = jax.lax.dynamic_update_index_in_dim(cache, layer_pool, lidx, 0)
+        # stacked pool stays whole: scatter at layer-offset slots and let the
+        # kernel select the layer via scalar-prefetched layer_id (a sliced
+        # Pallas operand would be a materialized per-layer pool copy)
+        l, np_, pg, dd = cache.shape
+        off_slots = jnp.where(slot_loc >= 0, lidx * np_ * pg + slot_loc, -1)
+        cache = store_cache_mla(kv_row, cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
+        attn = mla_decode(q_lat, q_pe, cache, lengths, page_tables, layer_id=lidx, sm_scale=_sm_scale(cfg))
         x = x + _mla_out(attn, lw, lidx, cfg, b)
         h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
         is_dense = lidx < cfg.num_dense_layers
@@ -207,9 +210,10 @@ def prefill(params, cfg: DeepseekConfig, kv_cache, tokens, positions, q_lens, sl
         x, cache = carry
         h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
         q_lat, q_pe, kv_row = _mla_qkv(h, lw, lidx, cfg, b * s, positions.reshape(-1), rope_cache)
-        layer_pool = jax.lax.dynamic_index_in_dim(cache, lidx, 0, keepdims=False)
-        layer_pool = store_cache_mla(kv_row, layer_pool, slot_loc.reshape(-1))
-        cache = jax.lax.dynamic_update_index_in_dim(cache, layer_pool, lidx, 0)
+        l, np_, pg, dd = cache.shape
+        sl = slot_loc.reshape(-1)
+        off_slots = jnp.where(sl >= 0, lidx * np_ * pg + sl, -1)
+        cache = store_cache_mla(kv_row, cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
         attn = mla_prefill(
             q_lat.reshape(b, s, cfg.num_heads, D_LATENT),
             q_pe.reshape(b, s, cfg.num_heads, D_ROPE),

@@ -100,7 +100,11 @@ def _decode_kernel(
             lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
 
 
-def _decode_entry(lens_ref, pt_ref, q_ref, kv_ref, *refs, sm_scale, page, n_blocks, has_lse):
+def _decode_entry(lens_ref, pt_ref, *refs, sm_scale, page, n_blocks, has_lse, has_lid=False):
+    if has_lid:
+        refs = refs[1:]  # layer-id scalar ref consumed by the BlockSpecs
+    q_ref, kv_ref = refs[0], refs[1]
+    refs = refs[2:]
     o_ref = refs[0]
     lse_ref = refs[1] if has_lse else None
     scr = refs[2 if has_lse else 1 :]
@@ -117,6 +121,7 @@ def mla_decode(
     kv_cache,
     lengths,
     page_table,
+    layer_id=None,
     *,
     sm_scale: Optional[float] = None,
     return_lse: bool = False,
@@ -124,12 +129,15 @@ def mla_decode(
     """MLA paged decode (flash_mla_decode semantics, attention.py:54-132).
 
     q_nope: [B, H, 512] (already projected into latent space);
-    q_pe: [B, H, 64]; kv_cache: [P, page, 576] = [kv_c | k_pe];
-    lengths [B]; page_table [B, max_pages]. Returns out [B, H, 512]
-    (+ base-2 lse [B, H]).
+    q_pe: [B, H, 64]; kv_cache: [P, page, 576] = [kv_c | k_pe] — or the
+    layer-stacked pool [L, P, page, 576] with a traced ``layer_id``
+    (scalar-prefetched; avoids the scan-body dynamic-slice cache copy,
+    see models/llama.py decode_layers); lengths [B]; page_table
+    [B, max_pages]. Returns out [B, H, 512] (+ base-2 lse [B, H]).
     """
     b, h, _ = q_nope.shape
-    n_pages, page, dck = kv_cache.shape
+    stacked = layer_id is not None
+    n_pages, page, dck = kv_cache.shape[-3:]
     assert dck == D_CKV and q_nope.shape[2] == D_LATENT and q_pe.shape[2] == D_ROPE
     hp = round_up(h, 8)
     sm_scale = sm_scale if sm_scale is not None else 1.0 / (D_CKV**0.5)
@@ -140,22 +148,36 @@ def mla_decode(
         q = jnp.pad(q, ((0, 0), (0, hp - h), (0, 0)))
 
     out_shapes = [jax.ShapeDtypeStruct((b, hp, D_LATENT), q_nope.dtype)]
-    out_specs = [pl.BlockSpec((1, hp, D_LATENT), lambda bb, i, lens, pt: (bb, 0, 0))]
-    if return_lse:
-        out_shapes.append(jax.ShapeDtypeStruct((b, 8, hp), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 8, hp), lambda bb, i, lens, pt: (bb, 0, 0)))
+    if stacked:
+        out_specs = [pl.BlockSpec((1, hp, D_LATENT), lambda bb, i, lens, pt, lid: (bb, 0, 0))]
+        if return_lse:
+            out_shapes.append(jax.ShapeDtypeStruct((b, 8, hp), jnp.float32))
+            out_specs.append(pl.BlockSpec((1, 8, hp), lambda bb, i, lens, pt, lid: (bb, 0, 0)))
+    else:
+        out_specs = [pl.BlockSpec((1, hp, D_LATENT), lambda bb, i, lens, pt: (bb, 0, 0))]
+        if return_lse:
+            out_shapes.append(jax.ShapeDtypeStruct((b, 8, hp), jnp.float32))
+            out_specs.append(pl.BlockSpec((1, 8, hp), lambda bb, i, lens, pt: (bb, 0, 0)))
 
     outs = pl.pallas_call(
         functools.partial(
-            _decode_entry, sm_scale=sm_scale, page=page, n_blocks=n_blocks, has_lse=return_lse
+            _decode_entry, sm_scale=sm_scale, page=page, n_blocks=n_blocks,
+            has_lse=return_lse, has_lid=stacked,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3 if stacked else 2,
             grid=(b, n_blocks),
-            in_specs=[
-                pl.BlockSpec((1, hp, D_CKV), lambda bb, i, lens, pt: (bb, 0, 0)),
-                pl.BlockSpec((1, page, D_CKV), lambda bb, i, lens, pt: (pt[bb, i], 0, 0)),
-            ],
+            in_specs=(
+                [
+                    pl.BlockSpec((1, hp, D_CKV), lambda bb, i, lens, pt, lid: (bb, 0, 0)),
+                    pl.BlockSpec((None, 1, page, D_CKV), lambda bb, i, lens, pt, lid: (lid[0], pt[bb, i], 0, 0)),
+                ]
+                if stacked
+                else [
+                    pl.BlockSpec((1, hp, D_CKV), lambda bb, i, lens, pt: (bb, 0, 0)),
+                    pl.BlockSpec((1, page, D_CKV), lambda bb, i, lens, pt: (pt[bb, i], 0, 0)),
+                ]
+            ),
             out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((hp, 128), jnp.float32),
@@ -173,7 +195,9 @@ def mla_decode(
             transcendentals=b * h * n_blocks * page,
         ),
         interpret=pallas_interpret(),
-    )(lengths.astype(jnp.int32), page_table.astype(jnp.int32), q, kv_cache)
+    )(*([lengths.astype(jnp.int32), page_table.astype(jnp.int32)]
+        + ([jnp.asarray(layer_id, jnp.int32).reshape(1)] if stacked else [])),
+      q, kv_cache)
 
     out = outs[0][:, :h]
     if return_lse:
