@@ -255,3 +255,40 @@ class TestGptqConvert:
         a = rng.standard_normal((4, k)).astype(np.float32)
         out = a[:, np.asarray(perm)] @ deq.T
         np.testing.assert_allclose(out, a @ ref_w, rtol=1e-4, atol=1e-4)
+
+
+class TestW4A16Stacked:
+    def test_layer_stacked_matches_sliced(self, rng):
+        from sgl_kernel_tpu.ops.gemm.w4a16 import quantize_w4, w4a16_gemm
+
+        l, m, n, k, g = 3, 8, 256, 256, 128
+        a = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+        packed, scales = [], []
+        for i in range(l):
+            wf = jnp.asarray(rng.standard_normal((n, k)) * 0.1, jnp.float32)
+            p_, s_, _ = quantize_w4(wf, group_size=g)
+            packed.append(p_)
+            scales.append(s_)
+        pk = jnp.stack(packed)
+        sc = jnp.stack(scales)
+        for lid in range(l):
+            ref = w4a16_gemm(a, packed[lid], scales[lid], group_size=g)
+            got = w4a16_gemm(a, pk, sc, layer_id=jnp.int32(lid), group_size=g)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_stacked_with_prologue_residual(self, rng):
+        from sgl_kernel_tpu.ops.gemm.w4a16 import quantize_w4, w4a16_gemm
+
+        l, m, n, k, g = 2, 4, 128, 256, 128
+        gate = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+        up = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+        res = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+        pk, sc = [], []
+        for i in range(l):
+            wf = jnp.asarray(rng.standard_normal((n, k)) * 0.1, jnp.float32)
+            p_, s_, _ = quantize_w4(wf, group_size=g)
+            pk.append(p_); sc.append(s_)
+        ref = w4a16_gemm(gate, pk[1], sc[1], a2=up, residual=res, prologue="silu_mul", group_size=g)
+        got = w4a16_gemm(gate, jnp.stack(pk), jnp.stack(sc), a2=up, residual=res,
+                         layer_id=jnp.int32(1), prologue="silu_mul", group_size=g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)

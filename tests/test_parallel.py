@@ -178,3 +178,29 @@ class TestPPDecode:
             np.asarray(out_logits).reshape(b, -1), np.asarray(ref_logits), rtol=2e-2, atol=2e-2
         )
         np.testing.assert_allclose(np.asarray(out_kc), np.asarray(ref_kc), rtol=1e-2, atol=1e-2)
+
+
+class TestUlysses:
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_matches_full_attention(self, rng, causal):
+        from sgl_kernel_tpu.parallel.ulysses import ulysses_attention
+        from sgl_kernel_tpu.ops.attention import flash_attention
+
+        mesh = mesh_lib.make_mesh({"sp": 4})
+        b, s, h, d = 2, 64, 8, 64
+        q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+        lens = jnp.full((b,), s, jnp.int32)
+        ref = flash_attention(q, k, v, lens, lens, causal=causal)
+
+        out = jax.jit(
+            shard_map(
+                lambda ql, kl, vl: ulysses_attention(ql, kl, vl, axis_name="sp", causal=causal),
+                mesh=mesh,
+                in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp")),
+                out_specs=P(None, "sp"),
+                check_rep=False,
+            )
+        )(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
