@@ -49,6 +49,13 @@ def convert_hf_llama(state: Mapping[str, np.ndarray], cfg: LlamaConfig) -> Dict[
         "input_norm": jnp.asarray(stack(_HF_LAYER_MAP["input_norm"]), cfg.dtype),
         "post_norm": jnp.asarray(stack(_HF_LAYER_MAP["post_norm"]), cfg.dtype),
     }
+    # Qwen-family extras (models/llama.py qk_norm / qkv_bias options)
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.asarray(stack("self_attn.q_norm.weight"), cfg.dtype)
+        layers["k_norm"] = jnp.asarray(stack("self_attn.k_norm.weight"), cfg.dtype)
+    if cfg.qkv_bias:
+        for nm, suf in (("q_bias", "q_proj.bias"), ("k_bias", "k_proj.bias"), ("v_bias", "v_proj.bias")):
+            layers[nm] = jnp.asarray(stack(f"self_attn.{suf}"), cfg.dtype)
 
     def proj(name):
         return stack(_HF_LAYER_MAP[name])  # [L, out, in]

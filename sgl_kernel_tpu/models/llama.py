@@ -55,12 +55,24 @@ class LlamaConfig:
     # KV cache dtype: None -> model dtype; jnp.float8_e4m3fn halves decode
     # attention bandwidth (per-tensor scale 1.0; the paged kernel upcasts)
     kv_dtype: Any = None
+    # Qwen-family options: per-head RMSNorm on q/k before RoPE (Qwen3),
+    # biases on the qkv projections (Qwen2)
+    qk_norm: bool = False
+    qkv_bias: bool = False
 
     @staticmethod
     def llama3_8b(**kw):
         return LlamaConfig(
             vocab_size=128256, hidden_size=4096, intermediate_size=14336,
             num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128, **kw
+        )
+
+    @staticmethod
+    def qwen3_8b(**kw):
+        return LlamaConfig(
+            vocab_size=151936, hidden_size=4096, intermediate_size=12288,
+            num_layers=36, num_heads=32, num_kv_heads=8, head_dim=128,
+            rope_theta=1e6, qk_norm=True, **kw
         )
 
     @staticmethod
@@ -100,6 +112,13 @@ def init_weights(cfg: LlamaConfig, key) -> Dict[str, Any]:
             "down": w(keys[8], (l, h, cfg.intermediate_size)),
         },
     }
+    if cfg.qk_norm:
+        params["layers"]["q_norm"] = jnp.ones((l, d), cfg.dtype)
+        params["layers"]["k_norm"] = jnp.ones((l, d), cfg.dtype)
+    if cfg.qkv_bias:
+        params["layers"]["q_bias"] = jnp.zeros((l, nq * d), cfg.dtype)
+        params["layers"]["k_bias"] = jnp.zeros((l, nkv * d), cfg.dtype)
+        params["layers"]["v_bias"] = jnp.zeros((l, nkv * d), cfg.dtype)
     if cfg.quant == "w4a16":
         params["layers"] = _quantize_layers(params["layers"], cfg)
         params["lm_head"] = _quantize_matrix(params["lm_head"], cfg)
@@ -167,10 +186,22 @@ def _qkv(h, weights, cfg, n_tokens, layer_id=None):
         q = qkv[:, : nq * d].reshape(n_tokens, nq, d)
         k = qkv[:, nq * d : (nq + nkv) * d].reshape(n_tokens, nkv, d)
         v = qkv[:, (nq + nkv) * d :].reshape(n_tokens, nkv, d)
-        return q, k, v
-    q = _linear(h, weights["q"], cfg, layer_id=layer_id).reshape(n_tokens, nq, d)
-    k = _linear(h, weights["k"], cfg, layer_id=layer_id).reshape(n_tokens, nkv, d)
-    v = _linear(h, weights["v"], cfg, layer_id=layer_id).reshape(n_tokens, nkv, d)
+    else:
+        q = _linear(h, weights["q"], cfg, layer_id=layer_id).reshape(n_tokens, nq, d)
+        k = _linear(h, weights["k"], cfg, layer_id=layer_id).reshape(n_tokens, nkv, d)
+        v = _linear(h, weights["v"], cfg, layer_id=layer_id).reshape(n_tokens, nkv, d)
+    if cfg.qkv_bias:
+        def bsel(name):
+            bb = weights[name]
+            return bb[layer_id] if layer_id is not None else bb
+        q = q + bsel("q_bias").reshape(1, nq, d)
+        k = k + bsel("k_bias").reshape(1, nkv, d)
+        v = v + bsel("v_bias").reshape(1, nkv, d)
+    if cfg.qk_norm:
+        qw = weights["q_norm"][layer_id] if layer_id is not None else weights["q_norm"]
+        kw = weights["k_norm"][layer_id] if layer_id is not None else weights["k_norm"]
+        q = rmsnorm(q, qw, cfg.rms_eps)
+        k = rmsnorm(k, kw, cfg.rms_eps)
     return q, k, v
 
 

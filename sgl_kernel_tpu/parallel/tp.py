@@ -58,7 +58,7 @@ def _param_specs(params):
             name: (
                 linear(name, v)
                 if name in ("q", "k", "v", "o", "gate", "up", "down")
-                else P(None, None)
+                else (P(None, "tp") if name in ("q_bias", "k_bias", "v_bias") else P(None, None))
             )
             for name, v in params["layers"].items()
         },

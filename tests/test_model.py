@@ -363,3 +363,42 @@ class TestConvert:
             f.write(arr.tobytes())
         out = load_safetensors(str(path))
         np.testing.assert_array_equal(out["w"], arr)
+
+
+class TestQwenOptions:
+    def test_qk_norm_bias_forward_and_oracle(self, rng):
+        import dataclasses
+        cfg = dataclasses.replace(llama.LlamaConfig.tiny(), qk_norm=True, qkv_bias=True)
+        params = llama.init_weights(cfg, jax.random.PRNGKey(0))
+        # perturb norms/biases so the options actually matter
+        d = cfg.head_dim
+        params["layers"]["q_norm"] = jnp.asarray(rng.random((cfg.num_layers, d)) + 0.5, cfg.dtype)
+        params["layers"]["k_norm"] = jnp.asarray(rng.random((cfg.num_layers, d)) + 0.5, cfg.dtype)
+        params["layers"]["q_bias"] = jnp.asarray(rng.standard_normal((cfg.num_layers, cfg.num_heads * d)) * 0.1, cfg.dtype)
+
+        b, pages, page = 2, 8, 16
+        kc, vc = llama.make_caches(cfg, pages, page)
+        rope_cache = llama.build_rope_cache(cfg)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, b), jnp.int32)
+        tables = jnp.asarray(np.stack([[i, 0, 0, 0] for i in range(b)]).astype(np.int32))
+        logits, kc, vc = llama.decode_step(
+            params, cfg, kc, vc, tokens, jnp.zeros(b, jnp.int32), tables,
+            jnp.ones(b, jnp.int32), jnp.asarray([0, page], jnp.int32), rope_cache,
+        )
+        assert np.isfinite(np.asarray(logits)).all()
+        # oracle via np_forward extended inline: single token, layer 0 math
+        x = np.asarray(params["embed"])[np.asarray(tokens)].astype(np.float32)
+        lw = {k: np.asarray(v, np.float32) if not isinstance(v, dict) else v
+              for k, v in params["layers"].items()}
+        h = x / np.sqrt((x**2).mean(-1, keepdims=True) + cfg.rms_eps) * lw["input_norm"][0]
+        q = (h @ lw["q"][0].T + lw["q_bias"][0]).reshape(b, cfg.num_heads, d)
+        qn = q / np.sqrt((q**2).mean(-1, keepdims=True) + cfg.rms_eps) * lw["q_norm"][0]
+        # position 0: rope is identity on cos=1/sin=0 -> compare against kernel q
+        from sgl_kernel_tpu.ops.rope import rope_decode_fused
+        k_ = (h @ lw["k"][0].T + lw["k_bias"][0]).reshape(b, cfg.num_kv_heads, d)
+        kn = k_ / np.sqrt((k_**2).mean(-1, keepdims=True) + cfg.rms_eps) * lw["k_norm"][0]
+        # seq 0 wrote position 0 -> layer 0, page 0, row 0: cache == normed k
+        # (rope at position 0 is identity)
+        got_k = np.asarray(kc)[0, :, 0, 0, :]  # [Hkv, D]
+        np.testing.assert_allclose(got_k, kn[0], rtol=2e-4, atol=2e-4)
+        assert np.isfinite(qn).all()
