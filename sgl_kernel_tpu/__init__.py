@@ -31,6 +31,8 @@ from .ops.attention.mla import mla_decode, mla_prefill  # noqa: F401
 from .ops.attention.nsa import (  # noqa: F401
     fast_topk,
     fast_topk_transform_fused,
+    fast_topk_transform_ragged_fused,
+    fp8_mqa_logits,
     fp8_paged_mqa_logits,
     sparse_mla_decode,
     sparse_mla_prefill,
@@ -121,6 +123,7 @@ from .ops.sampling import (  # noqa: F401
     top_p_sampling_from_probs,
 )
 from .ops.speculative import (  # noqa: F401
+    build_tree_kernel_efficient,
     segment_packbits,
     tree_speculative_sampling_target_only,
     verify_tree_greedy,

@@ -47,6 +47,27 @@ def fp8_paged_mqa_logits(q, kv_pages, weights, lengths, page_table, *, topk: Opt
     return jnp.where(pos < lengths[:, None], logits, -jnp.inf)
 
 
+@functools.partial(jax.jit, static_argnames=("clean_logits",))
+def fp8_mqa_logits(q_fp8, kv_fp8, weights, ks, ke, clean_logits: bool = False):
+    """Ragged (prefill/extend) NSA indexer scores (reference nsa.py:112-142):
+    q_fp8 [Nq, H, D] fp8; kv_fp8 = (k_fp8 [Nk, D], k_scale [Nk] f32);
+    weights [Nq, H] f32 head gates; ks/ke [Nq] visibility range.
+    score[i, j] = sum_h relu(q_i_h . k_j) * w[i, h] * k_scale[j], masked to
+    [ks_i, ke_i). The MXU runs the dots in bf16 (fp8 operands upcast on
+    read); XLA fuses the relu/weight/scale epilogue."""
+    k_fp8, k_scale = kv_fp8
+    nq, h, d = q_fp8.shape
+    qf = q_fp8.astype(jnp.bfloat16).reshape(nq * h, d)
+    kf = k_fp8.astype(jnp.bfloat16)
+    dots = jax.lax.dot_general(qf, kf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    score = jnp.sum(
+        jax.nn.relu(dots.reshape(nq, h, -1)) * weights[..., None].astype(jnp.float32), axis=1
+    ) * k_scale[None, :].astype(jnp.float32)
+    j = jnp.arange(kf.shape[0], dtype=jnp.int32)[None, :]
+    mask = (j >= ks[:, None]) & (j < ke[:, None])
+    return jnp.where(mask, score, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("topk",))
 def fast_topk(logits, lengths, topk: int = FAST_TOPK_K):
     """Top-k token indices per row (fixed k; short rows pad with -1).
@@ -74,6 +95,20 @@ def fast_topk_transform_fused(logits, lengths, src_page_table, page_size: int, t
     pages = src_page_table[jnp.arange(idx.shape[0])[:, None], jnp.maximum(idx, 0) // page_size]
     slots = pages * page_size + jnp.maximum(idx, 0) % page_size
     return jnp.where(idx >= 0, slots, -1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "topk"))
+def fast_topk_transform_ragged_fused(logits, ks, ke, src_page_table, page_size: int, topk: int = FAST_TOPK_K):
+    """Ragged variant of fast_topk_transform_fused (reference top_k.py):
+    visibility window [ks, ke) per query instead of [0, length)."""
+    nq, nk = logits.shape
+    j = jnp.arange(nk, dtype=jnp.int32)[None, :]
+    masked = jnp.where((j >= ks[:, None]) & (j < ke[:, None]), logits, -jnp.inf)
+    _, idx = jax.lax.top_k(masked, topk)
+    valid = jnp.take_along_axis(masked, idx, axis=1) > -jnp.inf
+    pages = jnp.take_along_axis(src_page_table, idx // page_size, axis=1)
+    slots = pages * page_size + idx % page_size
+    return jnp.where(valid, slots, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale",))

@@ -186,3 +186,76 @@ def segment_packbits(x, input_indptr, output_indptr, out_size: int):
     out = jnp.zeros((out_size,), jnp.uint8)
     contrib = (x.astype(jnp.uint8) << bit_idx.astype(jnp.uint8)).astype(jnp.uint8)
     return out.at[byte_idx].add(contrib, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("topk", "depth", "draft_token_num"))
+def build_tree_kernel_efficient(
+    parent_list,
+    selected_index,
+    verified_seq_len,
+    *,
+    topk: int,
+    depth: int,
+    draft_token_num: int,
+):
+    """Build the EAGLE draft-tree metadata (functional form of the
+    reference's declared-only build_tree_kernel_efficient,
+    sgl_kernel_ops.h:861-874 — no XPU impl or test exists, SURVEY.md §2.6;
+    contract defined here to interoperate with this module's
+    verify_tree_greedy linked-list layout).
+
+    Inputs (per batch row):
+      parent_list [B, C]: for candidate c, the candidate index of its
+        parent (-1 => child of the root / verified token).
+      selected_index [B, draft_token_num-1]: candidate indices chosen for
+        the tree, in score order; a node's parent always precedes it.
+      verified_seq_len [B]: current sequence length (root position).
+
+    Returns:
+      tree_mask [B, dt, dt] bool: mask[i, j] = node j is an ancestor-or-
+        self of node i (the draft-token attention mask block; node 0 is
+        the root).
+      positions [B, dt] int32: verified_seq_len + node depth.
+      retrive_index [B, dt] int32: flat row indices (b * dt + i).
+      retrive_next_token / retrive_next_sibling [B, dt] int32: the
+        first-child / next-sibling linked lists verify_tree_greedy walks.
+    """
+    b, _ = parent_list.shape
+    dt = draft_token_num
+
+    def one(pl, sel, seq_len):
+        # parent node id for nodes 1..dt-1 (node 0 = root)
+        pc = pl[sel]  # parent candidate id per selected node
+        # match parent candidate to its node index (parents precede children)
+        eq = sel[None, :] == pc[:, None]  # [dt-1, dt-1]
+        pnode = jnp.where(pc < 0, 0, 1 + jnp.argmax(eq, axis=1))
+        parent = jnp.concatenate([jnp.full((1,), -1, jnp.int32), pnode.astype(jnp.int32)])
+
+        # ancestor closure + depth by walking up (depth <= `depth` levels)
+        mask0 = jnp.eye(dt, dtype=bool)
+        def up(_, st):
+            m, node = st
+            nxt = jnp.where(node >= 0, parent[jnp.maximum(node, 0)], -1)
+            m = m | (jax.nn.one_hot(jnp.maximum(node, 0), dt, dtype=jnp.float32) * (node >= 0)[:, None]).astype(bool)
+            return m, nxt
+        mask, _ = jax.lax.fori_loop(0, depth + 1, up, (mask0, parent))
+        depths = jnp.sum(mask, axis=1).astype(jnp.int32) - 1
+
+        nodes = jnp.arange(dt, dtype=jnp.int32)
+        # first child: smallest j with parent[j] == i
+        child_of = parent[None, :] == nodes[:, None]  # [i, j]
+        has_child = jnp.any(child_of, axis=1)
+        first_child = jnp.where(has_child, jnp.argmax(child_of, axis=1), -1).astype(jnp.int32)
+        # next sibling: smallest j > i with same parent
+        same_parent = (parent[None, :] == parent[:, None]) & (nodes[None, :] > nodes[:, None])
+        has_sib = jnp.any(same_parent, axis=1)
+        next_sib = jnp.where(has_sib, jnp.argmax(same_parent, axis=1), -1).astype(jnp.int32)
+
+        return mask, seq_len + depths, first_child, next_sib
+
+    mask, positions, nxt, sib = jax.vmap(one)(
+        parent_list.astype(jnp.int32), selected_index.astype(jnp.int32),
+        verified_seq_len.astype(jnp.int32),
+    )
+    retrive_index = (jnp.arange(b)[:, None] * dt + jnp.arange(dt)[None, :]).astype(jnp.int32)
+    return mask, positions, retrive_index, nxt, sib

@@ -135,3 +135,39 @@ class TestQIndexer:
         ref = np.asarray(hadamard_transform(qr, scale=1.0 / np.sqrt(d)))
         deq = np.asarray(qq, np.float32) * np.asarray(s)
         np.testing.assert_allclose(deq, ref, rtol=0.15, atol=np.abs(ref).max() / 200)
+
+
+class TestRaggedIndexer:
+    def test_fp8_mqa_logits_matches_oracle(self, rng):
+        from sgl_kernel_tpu.ops.attention.nsa import fp8_mqa_logits
+
+        nq, nk, h, d = 4, 16, 2, 32
+        q = jnp.asarray(rng.standard_normal((nq, h, d)) * 0.3, jnp.float8_e4m3fn)
+        k = jnp.asarray(rng.standard_normal((nk, d)) * 0.3, jnp.float8_e4m3fn)
+        ksc = jnp.asarray(rng.random(nk) + 0.5, jnp.float32)
+        w = jnp.asarray(rng.random((nq, h)), jnp.float32)
+        ks = jnp.asarray([0, 2, 0, 5], jnp.int32)
+        ke = jnp.asarray([16, 10, 8, 16], jnp.int32)
+        out = fp8_mqa_logits(q, (k, ksc), w, ks, ke)
+        qf = np.asarray(q, np.float32); kf = np.asarray(k, np.float32)
+        dots = np.einsum("qhd,nd->qhn", qf, kf)
+        ref = (np.maximum(dots, 0) * np.asarray(w)[..., None]).sum(1) * np.asarray(ksc)[None]
+        j = np.arange(nk)[None]
+        ref = ref * ((j >= np.asarray(ks)[:, None]) & (j < np.asarray(ke)[:, None]))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+
+    def test_ragged_topk_transform(self, rng):
+        from sgl_kernel_tpu.ops.attention.nsa import fast_topk_transform_ragged_fused
+
+        nq, nk, page = 2, 32, 8
+        logits = jnp.asarray(rng.standard_normal((nq, nk)), jnp.float32)
+        ks = jnp.asarray([0, 8], jnp.int32)
+        ke = jnp.asarray([20, 32], jnp.int32)
+        table = jnp.asarray(np.tile(np.arange(nk // page, dtype=np.int32) + 3, (nq, 1)))
+        out = np.asarray(fast_topk_transform_ragged_fused(logits, ks, ke, table, page, topk=8))
+        for i in range(nq):
+            window = np.arange(int(ks[i]), int(ke[i]))
+            best = window[np.argsort(-np.asarray(logits)[i, window])[:8]]
+            got = out[i][out[i] >= 0]
+            exp_slots = (np.asarray(table)[i, best // page] * page + best % page)
+            assert set(got.tolist()) == set(exp_slots.tolist())

@@ -76,3 +76,47 @@ class TestSegmentPackbits:
         seg1 = x[10:]
         b2 = sum(int(seg1[i]) << i for i in range(3))
         assert np.asarray(out).tolist() == [b0, b1, b2]
+
+
+class TestBuildTree:
+    def test_hand_built_tree(self):
+        from sgl_kernel_tpu.ops.speculative import build_tree_kernel_efficient
+
+        # candidates: topk=2, depth=2. Tree: root -> {n1(c0), n2(c1)};
+        # n1 -> {n3(c2)}; n2 -> {n4(c3)}
+        parent_list = jnp.asarray([[-1, -1, 0, 1]], jnp.int32)  # per candidate
+        selected = jnp.asarray([[0, 1, 2, 3]], jnp.int32)
+        seq_len = jnp.asarray([10], jnp.int32)
+        mask, pos, ridx, nxt, sib = build_tree_kernel_efficient(
+            parent_list, selected, seq_len, topk=2, depth=2, draft_token_num=5
+        )
+        assert pos.tolist() == [[10, 11, 11, 12, 12]]
+        assert ridx.tolist() == [[0, 1, 2, 3, 4]]
+        assert nxt.tolist() == [[1, 3, 4, -1, -1]]   # root->n1, n1->n3, n2->n4
+        assert sib.tolist() == [[-1, 2, -1, -1, -1]]  # n1's sibling is n2
+        m = np.asarray(mask)[0]
+        # n3 (idx 3) sees root, n1, itself
+        assert m[3].tolist() == [True, True, False, True, False]
+        # n4 (idx 4) sees root, n2, itself
+        assert m[4].tolist() == [True, False, True, False, True]
+
+    def test_feeds_verify_tree_greedy(self):
+        from sgl_kernel_tpu.ops.speculative import (
+            build_tree_kernel_efficient, verify_tree_greedy,
+        )
+
+        parent_list = jnp.asarray([[-1, -1, 0, 1]], jnp.int32)
+        selected = jnp.asarray([[0, 1, 2, 3]], jnp.int32)
+        _, _, ridx, nxt, sib = build_tree_kernel_efficient(
+            parent_list, selected, jnp.asarray([0], jnp.int32), topk=2, depth=2, draft_token_num=5
+        )
+        # tokens at nodes: root=7, n1=3, n2=5, n3=9, n4=2
+        candidates = jnp.asarray([[7, 3, 5, 9, 2]], jnp.int32)
+        # target greedily predicts 3 after root, 9 after n1, 4 after n3
+        target = jnp.asarray([[3, 9, 0, 4, 0]], jnp.int32)
+        predicts, accept_index, accept_num = verify_tree_greedy(
+            candidates, ridx, nxt, sib, target, num_spec_step=3
+        )
+        # accepted path: root -> n1 -> n3 (+bonus 4)
+        assert accept_num.tolist() == [2]
+        assert accept_index.tolist() == [[0, 1, 3]]
