@@ -115,3 +115,45 @@ def flash_compress_decode(kv_pool, score_pool, ape, comp_pool, src_pos, dst_slot
     ring = comp_pool.shape[1]
     safe = jnp.where(dst_slot >= 0, dst_slot, ring)
     return comp_pool.at[jnp.arange(b), safe].set(out, mode="drop")
+
+
+# named reference-parity entry points (torch_extension_sycl.cc:532-559)
+flash_compress4_decode = functools.partial(flash_compress_decode)
+flash_compress128_decode = functools.partial(flash_compress_decode)
+
+
+def flash_compress4_prefill(kv, scores, ape):
+    """c4 full-sequence compress (reference flash_compress_4.py:150-209 is
+    the pure-torch oracle; overlapping windows of 8, stride 4)."""
+    return compress_sequence(kv, scores, ape, compress_ratio=4)
+
+
+def flash_compress128_prefill(kv, scores, ape):
+    """c128 full-sequence compress (FlashCompress128.cpp prefill path)."""
+    return compress_sequence(kv, scores, ape, compress_ratio=128)
+
+
+@functools.partial(jax.jit, static_argnames=("compress_ratio", "ring_size", "window"))
+def plan_compress_prefill(lengths, *, compress_ratio: int = 4, ring_size: int = 64, window: int = None):
+    """Prefill compress plan: all windows for every already-stored token.
+
+    Returns (src_pos [B, n_max, W], dst_slot [B, n_max], n_comp [B]) where
+    n_max = the static per-call window capacity (derived from ring_size):
+    windows beyond a sequence's count carry dst_slot = -1. Reference:
+    plan_compress_prefill (CompressPlan.cpp); same ring-eviction semantics
+    as the decode plan.
+    """
+    r = compress_ratio
+    w = window or (2 * r if r == 4 else r)
+    n_max = ring_size
+    b = lengths.shape[0]
+    n_events = lengths // r  # windows that exist
+    # the ring keeps the LAST ring_size windows: event ids
+    first = jnp.maximum(n_events - ring_size, 0)
+    eid = first[:, None] + jnp.arange(n_max)[None, :]  # [B, n_max]
+    live = eid < n_events[:, None]
+    end = (eid + 1) * r
+    src = end[:, :, None] - w + jnp.arange(w)[None, None, :]
+    src = jnp.where(live[:, :, None] & (src >= 0), src, -1)
+    dst = jnp.where(live, eid % ring_size, -1)
+    return src.astype(jnp.int32), dst.astype(jnp.int32), jnp.minimum(n_events, ring_size).astype(jnp.int32)

@@ -215,3 +215,18 @@ class TestCompressPlan:
             src, dst, jnp.zeros((1, 2), jnp.int32), page_size=8,
         )
         np.testing.assert_allclose(np.asarray(out), 1.0)
+
+
+class TestCompressPrefillPlan:
+    def test_prefill_plan_matches_decode_accumulation(self, rng):
+        from sgl_kernel_tpu.ops import compression
+
+        r, ring = 4, 8
+        lengths = jnp.asarray([13, 40], jnp.int32)  # 3 windows; 10 windows (wraps)
+        src, dst, n = compression.plan_compress_prefill(lengths, compress_ratio=r, ring_size=ring)
+        assert n.tolist() == [3, 8]
+        # seq 0: events 0,1,2 -> slots 0,1,2; windows cover [end-8, end)
+        assert dst[0, :4].tolist() == [0, 1, 2, -1]
+        np.testing.assert_array_equal(np.asarray(src)[0, 1], np.arange(0, 8))
+        # seq 1: events 2..9 live -> slots 2..7,0,1
+        assert dst[1].tolist() == [2, 3, 4, 5, 6, 7, 0, 1]
