@@ -27,6 +27,7 @@ from .ops.attention import (  # noqa: F401
     merge_states,
     paged_attention_decode,
 )
+from .ops.attention.api import flash_attn_varlen_func, flash_attn_with_kvcache  # noqa: F401
 from .ops.attention.mla import mla_decode, mla_prefill  # noqa: F401
 from .ops.attention.nsa import (  # noqa: F401
     fast_topk,

@@ -229,3 +229,59 @@ class TestPagedDecode:
         )
         ref, ref_lse = ref_attention(q[0][None], ks[0], vs[0], causal=False)
         np.testing.assert_allclose(np.asarray(lse)[0], ref_lse[:, 0], rtol=1e-3, atol=1e-3)
+
+
+class TestFlashAttnAPI:
+    def test_varlen_matches_padded(self, rng):
+        from sgl_kernel_tpu.ops.attention.api import flash_attn_varlen_func
+        from sgl_kernel_tpu.ops.attention import flash_attention
+
+        lens = [5, 9]
+        tq = sum(lens)
+        h, d = 4, 64
+        q = jnp.asarray(rng.standard_normal((tq, h, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((tq, h, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((tq, h, d)), jnp.float32)
+        cu = jnp.asarray([0, 5, 14], jnp.int32)
+        out = flash_attn_varlen_func(q, k, v, cu, cu, 16, 16, causal=True)
+        # oracle: per-sequence dense attention
+        for i, (s0, s1) in enumerate(zip([0, 5], [5, 14])):
+            qb = q[s0:s1][None]
+            ref = flash_attention(qb, k[s0:s1][None], v[s0:s1][None],
+                                  jnp.asarray([s1 - s0], jnp.int32), jnp.asarray([s1 - s0], jnp.int32),
+                                  causal=True)
+            np.testing.assert_allclose(np.asarray(out[s0:s1]), np.asarray(ref[0]), rtol=2e-3, atol=2e-3)
+
+    def test_with_kvcache_decode_append(self, rng):
+        from sgl_kernel_tpu.ops.attention.api import flash_attn_with_kvcache
+
+        b, hq, hkv, d, pages, page = 2, 4, 2, 64, 4, 16
+        kc = jnp.zeros((hkv, pages, page, d))
+        vc = jnp.zeros((hkv, pages, page, d))
+        table = jnp.asarray([[0, 1], [2, 3]], jnp.int32)
+        # seed cache with 3 tokens each
+        hist_k = rng.standard_normal((b, 3, hkv, d)).astype(np.float32)
+        hist_v = rng.standard_normal((b, 3, hkv, d)).astype(np.float32)
+        q0 = jnp.asarray(rng.standard_normal((b, 3, hq, d)), jnp.float32)
+        _, kc, vc = flash_attn_with_kvcache(
+            q0, kc, vc, jnp.asarray(hist_k), jnp.asarray(hist_v),
+            cache_seqlens=jnp.zeros(b, jnp.int32), page_table=table, causal=True,
+        )
+        # now decode one token
+        qd = jnp.asarray(rng.standard_normal((b, 1, hq, d)), jnp.float32)
+        kd = rng.standard_normal((b, 1, hkv, d)).astype(np.float32)
+        vd = rng.standard_normal((b, 1, hkv, d)).astype(np.float32)
+        out, kc, vc = flash_attn_with_kvcache(
+            qd, kc, vc, jnp.asarray(kd), jnp.asarray(vd),
+            cache_seqlens=jnp.full(b, 3, jnp.int32), page_table=table, causal=True,
+        )
+        # oracle: dense attention over the 4 tokens
+        kk = np.concatenate([hist_k, kd], 1)
+        vv = np.concatenate([hist_v, vd], 1)
+        g = hq // hkv
+        for i in range(b):
+            for hh in range(hq):
+                s = np.asarray(qd)[i, 0, hh] @ kk[i, :, hh // g].T / np.sqrt(d)
+                p = np.exp(s - s.max()); p /= p.sum()
+                ref = p @ vv[i, :, hh // g]
+                np.testing.assert_allclose(np.asarray(out)[i, 0, hh], ref, rtol=2e-3, atol=2e-3)
