@@ -43,10 +43,8 @@ def _kernel(
     pt_ref,  # [B, n_blocks] scalar prefetch page table
     layer_ref,  # [1] scalar prefetch layer id (stacked pools)
     q_ref,  # [1, Hkv, Gp, D]
-    k0_ref,  # [1, Hkv, 1, page, D] (leading layer dim)
-    v0_ref,
-    k1_ref,  # second page of the pair (or None when pps == 1)
-    v1_ref,
+    krefs,  # tuple of pps refs [1, Hkv, 1, page, D] (leading layer dim)
+    vrefs,
     fk_ref,  # fresh current-token K [1, Hkv, 1, D] (or None)
     fv_ref,
     sink_ref,  # [1, Hkv, Gp] or None
@@ -90,10 +88,10 @@ def _kernel(
             mask = jnp.logical_and(mask, pos > length - 1 - window)
         for h in range(hkv):
             q = q_ref[0, h]  # [Gp, D]
-            if pps == 2:
-                k = jnp.concatenate([k0_ref[0, h, 0], k1_ref[0, h, 0]], axis=0).astype(q.dtype)
+            if pps > 1:
+                k = jnp.concatenate([kr[0, h, 0] for kr in krefs], axis=0).astype(q.dtype)
             else:
-                k = k0_ref[0, h, 0].astype(q.dtype)  # [page, D]; fp8 upcasts losslessly
+                k = krefs[0][0, h, 0].astype(q.dtype)  # [page, D]; fp8 upcasts losslessly
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
             s = s * sm_scale
             if soft_cap is not None:
@@ -111,10 +109,10 @@ def _kernel(
             m_scr[sl, :] = jnp.broadcast_to(m_next, (gp, 128))
             l_scr[sl, :] = jnp.broadcast_to(l_next, (gp, 128))
 
-            if pps == 2:
-                v = jnp.concatenate([v0_ref[0, h, 0], v1_ref[0, h, 0]], axis=0).astype(q.dtype)
+            if pps > 1:
+                v = jnp.concatenate([vr[0, h, 0] for vr in vrefs], axis=0).astype(q.dtype)
             else:
-                v = v0_ref[0, h, 0].astype(q.dtype)
+                v = vrefs[0][0, h, 0].astype(q.dtype)
             acc_scr[sl, :] = acc_scr[sl, :] * alpha + jax.lax.dot(
                 p.astype(v.dtype), v, preferred_element_type=jnp.float32
             )
@@ -155,7 +153,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "sliding_window", "logit_soft_cap", "return_lse"),
+    static_argnames=("sm_scale", "sliding_window", "logit_soft_cap", "return_lse", "pages_per_step"),
 )
 def paged_attention_decode(
     q,
@@ -174,6 +172,7 @@ def paged_attention_decode(
     sliding_window: Optional[int] = None,
     logit_soft_cap: Optional[float] = None,
     return_lse: bool = False,
+    pages_per_step: int = 2,
 ):
     """Decode attention over a paged KV cache.
 
@@ -204,11 +203,13 @@ def paged_attention_decode(
     gp = round_up(group, 8)
     sm_scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
     n_blocks = page_table.shape[1]
-    # two pages per grid step (pad the table so the pair count is even)
-    pps = 2 if n_blocks > 1 else 1
-    if pps == 2 and n_blocks % 2 == 1:
-        page_table = jnp.pad(page_table, ((0, 0), (0, 1)))
-        n_blocks += 1
+    # several pages per grid step (fewer grid iterations -> less per-step
+    # fixed cost; pad the table to a multiple of the group size)
+    pps = min(pages_per_step, n_blocks)
+    if n_blocks % pps:
+        pad = pps - n_blocks % pps
+        page_table = jnp.pad(page_table, ((0, 0), (0, pad)))
+        n_blocks += pad
     n_steps = n_blocks // pps
 
     qh = q.reshape(b, hkv, group, d).astype(jnp.float32)
@@ -221,24 +222,16 @@ def paged_attention_decode(
     has_sink = sinks is not None
 
     def kv_spec(off):
-        if pps == 2:
-            return pl.BlockSpec(
-                (1, hkv, 1, page, d),
-                lambda bb, i, lens, pt, lid, off=off: (lid[0], 0, pt[bb, 2 * i + off], 0, 0),
-            )
         return pl.BlockSpec(
-            (1, hkv, 1, page, d), lambda bb, i, lens, pt, lid: (lid[0], 0, pt[bb, i], 0, 0)
+            (1, hkv, 1, page, d),
+            lambda bb, i, lens, pt, lid, off=off: (lid[0], 0, pt[bb, pps * i + off], 0, 0),
         )
 
-    inputs = [qh, k_pages, v_pages]
-    in_specs = [
-        pl.BlockSpec((1, hkv, gp, d), lambda bb, i, lens, pt, lid: (bb, 0, 0, 0)),
-        kv_spec(0),
-        kv_spec(0),
-    ]
-    if pps == 2:
+    inputs = [qh]
+    in_specs = [pl.BlockSpec((1, hkv, gp, d), lambda bb, i, lens, pt, lid: (bb, 0, 0, 0))]
+    for off in range(pps):
         inputs += [k_pages, v_pages]
-        in_specs += [kv_spec(1), kv_spec(1)]
+        in_specs += [kv_spec(off), kv_spec(off)]
     has_fresh = fresh_k is not None
     if has_fresh:
         fk = fresh_k.reshape(b, hkv, 1, d).astype(qh.dtype)
@@ -310,13 +303,12 @@ def paged_attention_decode(
 
 
 def _kernel_entry(lens_ref, pt_ref, layer_ref, *refs, sm_scale, window, soft_cap, page, pps, n_steps, hkv, gp, has_fresh, has_sink, has_lse):
-    q_ref, k0_ref, v0_ref = refs[0], refs[1], refs[2]
-    idx = 3
-    if pps == 2:
-        k1_ref, v1_ref = refs[idx], refs[idx + 1]
+    q_ref = refs[0]
+    idx = 1
+    krefs, vrefs = [], []
+    for _ in range(pps):
+        krefs.append(refs[idx]); vrefs.append(refs[idx + 1])
         idx += 2
-    else:
-        k1_ref = v1_ref = None
     if has_fresh:
         fk_ref, fv_ref = refs[idx], refs[idx + 1]
         idx += 2
@@ -330,7 +322,7 @@ def _kernel_entry(lens_ref, pt_ref, layer_ref, *refs, sm_scale, window, soft_cap
     idx += int(has_lse)
     m_scr, l_scr, acc_scr = refs[idx], refs[idx + 1], refs[idx + 2]
     _kernel(
-        lens_ref, pt_ref, layer_ref, q_ref, k0_ref, v0_ref, k1_ref, v1_ref, fk_ref, fv_ref, sink_ref, o_ref, lse_ref,
+        lens_ref, pt_ref, layer_ref, q_ref, tuple(krefs), tuple(vrefs), fk_ref, fv_ref, sink_ref, o_ref, lse_ref,
         m_scr, l_scr, acc_scr,
         sm_scale=sm_scale, window=window, soft_cap=soft_cap, page=page, pps=pps,
         n_steps=n_steps, hkv=hkv, gp=gp, has_fresh=has_fresh, has_sink=has_sink, has_lse=has_lse,

@@ -285,3 +285,19 @@ class TestFlashAttnAPI:
                 p = np.exp(s - s.max()); p /= p.sum()
                 ref = p @ vv[i, :, hh // g]
                 np.testing.assert_allclose(np.asarray(out)[i, 0, hh], ref, rtol=2e-3, atol=2e-3)
+
+
+class TestPagedDecodePps:
+    @pytest.mark.parametrize("pps", [1, 2, 3, 4])
+    def test_pps_variants_match(self, rng, pps):
+        b, hq, hkv, d, page = 2, 8, 2, 64, 16
+        lengths = [37, 61]
+        k_pages, v_pages, table, ks, vs = make_paged(rng, b, hkv, d, page, lengths, n_pages=16)
+        q = rng.standard_normal((b, hq, d)).astype(np.float32)
+        out = attention.paged_attention_decode(
+            jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+            jnp.asarray(lengths, jnp.int32), jnp.asarray(table), pages_per_step=pps,
+        )
+        for bb in range(b):
+            ref, _ = ref_attention(q[bb][None], ks[bb], vs[bb], causal=False)
+            np.testing.assert_allclose(np.asarray(out)[bb], ref[0], rtol=2e-2, atol=2e-2)
