@@ -224,3 +224,12 @@ __all__ = [
     "ue8m0_encode_ceil",
     "ue8m0_encode_from_amax",
 ]
+
+from .gguf import (  # noqa: F401,E402
+    ggml_dequantize,
+    ggml_moe_a8,
+    ggml_moe_a8_vec,
+    ggml_moe_get_block_size,
+    ggml_mul_mat_a8,
+    ggml_mul_mat_vec_a8,
+)
