@@ -27,6 +27,10 @@ class Request:
     prompt: List[int]
     max_new_tokens: int = 32
     temperature: float = 0.0
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
+    min_p: Optional[float] = None
+    stop_tokens: tuple = ()
     output: List[int] = dataclasses.field(default_factory=list)
     pages: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -113,10 +117,22 @@ class Engine:
         self._key = jax.random.PRNGKey(seed)
 
     # ------------------------------------------------------------------
-    def add_request(self, prompt: List[int], max_new_tokens: int = 32, temperature: float = 0.0) -> int:
+    def add_request(
+        self,
+        prompt: List[int],
+        max_new_tokens: int = 32,
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        min_p: Optional[float] = None,
+        stop_tokens=(),
+    ) -> int:
         rid = self._next_rid
         self._next_rid += 1
-        self.waiting.append(Request(rid, list(prompt), max_new_tokens, temperature))
+        self.waiting.append(Request(
+            rid, list(prompt), max_new_tokens, temperature,
+            top_k=top_k, top_p=top_p, min_p=min_p, stop_tokens=tuple(stop_tokens),
+        ))
         return rid
 
     def _slot(self, req: Request, pos: int) -> int:
@@ -200,9 +216,14 @@ class Engine:
         if req.temperature == 0.0:
             tok = int(jnp.argmax(logits))
         else:
-            tok = int(sample_tokens(logits[None], sub, temperature=req.temperature)[0])
+            tok = int(sample_tokens(
+                logits[None], sub, temperature=req.temperature,
+                top_k=None if req.top_k is None else jnp.asarray([req.top_k]),
+                top_p=None if req.top_p is None else jnp.asarray([req.top_p]),
+                min_p=None if req.min_p is None else jnp.asarray([req.min_p]),
+            )[0])
         req.output.append(tok)
-        if len(req.output) >= req.max_new_tokens:
+        if len(req.output) >= req.max_new_tokens or tok in req.stop_tokens:
             req.done = True
 
     def _decode_batch(self):
@@ -261,7 +282,11 @@ class Engine:
         n_new = np.asarray(n_new)
         for i, r in enumerate(reqs):
             take = min(int(n_new[i]), r.max_new_tokens - len(r.output))
-            r.output.extend(int(x) for x in new[i, :take])
+            for x in new[i, :take]:
+                r.output.append(int(x))
+                if int(x) in r.stop_tokens:
+                    r.done = True
+                    break
             if len(r.output) >= r.max_new_tokens:
                 r.done = True
 

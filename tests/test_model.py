@@ -402,3 +402,26 @@ class TestQwenOptions:
         got_k = np.asarray(kc)[0, :, 0, 0, :]  # [Hkv, D]
         np.testing.assert_allclose(got_k, kn[0], rtol=2e-4, atol=2e-4)
         assert np.isfinite(qn).all()
+
+
+class TestEngineSampling:
+    def test_stop_tokens_and_params(self, tiny_model, rng):
+        cfg, params = tiny_model
+        eng = Engine(cfg, params, max_batch=2, num_pages=32, page_size=16,
+                     prefill_bucket=16, enable_prefix_cache=False)
+        prompt = rng.integers(0, cfg.vocab_size, 5).tolist()
+        # find the greedy continuation, then use its 2nd token as stop
+        r0 = eng.add_request(prompt, max_new_tokens=6)
+        eng.run_until_done(max_steps=30)
+        out = eng.finished[r0].output
+        eng2 = Engine(cfg, params, max_batch=2, num_pages=32, page_size=16,
+                      prefill_bucket=16, enable_prefix_cache=False)
+        r1 = eng2.add_request(prompt, max_new_tokens=6, stop_tokens=[out[2]])
+        eng2.run_until_done(max_steps=30)
+        assert eng2.finished[r1].output == out[:3]
+        # sampled request with top_k runs and terminates
+        eng3 = Engine(cfg, params, max_batch=2, num_pages=32, page_size=16,
+                      prefill_bucket=16, enable_prefix_cache=False)
+        r2 = eng3.add_request(prompt, max_new_tokens=4, temperature=0.8, top_k=5, top_p=0.9)
+        eng3.run_until_done(max_steps=30)
+        assert len(eng3.finished[r2].output) == 4
