@@ -1,0 +1,136 @@
+"""Mixtral-family model: the Llama decoder with a routed MoE MLP.
+
+Reuses every Llama building block (models/llama.py: paged GQA attention,
+fused decode RoPE, layer-stacked weights with scalar-prefetched
+layer_id) and swaps the SwiGLU MLP for topk-softmax routing +
+fused_experts (ops/moe — the reference's moe.py:403-867 orchestration).
+Serving-side model for the reference's MoE kernel stack (grouped GEMMs,
+MoEAlign, TopKSoftMax).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.moe import MoeWeights, fused_experts, topk_softmax
+from ..ops.norm import rmsnorm
+from ..ops.rope import rope_decode_fused, rotary_embedding
+from ..ops.attention import flash_attention, paged_attention_decode
+from ..ops.kvcache import store_cache_all_layers, store_cache_stacked
+from . import llama
+
+
+@dataclasses.dataclass(frozen=True)
+class MixtralConfig(llama.LlamaConfig):
+    num_experts: int = 8
+    top_k: int = 2
+
+    @staticmethod
+    def mixtral_8x7b(**kw):
+        return MixtralConfig(
+            vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+            num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+            rope_theta=1e6, num_experts=8, top_k=2, **kw
+        )
+
+    @staticmethod
+    def tiny(**kw):
+        return MixtralConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=64,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+            max_position=256, dtype=jnp.float32, num_experts=4, top_k=2, **kw
+        )
+
+
+def init_weights(cfg: MixtralConfig, key) -> Dict[str, Any]:
+    params = llama.init_weights(
+        dataclasses.replace(cfg, quant=None), key
+    )
+    lw = params["layers"]
+    for name in ("gate", "up", "down"):
+        lw.pop(name)
+    l, h, i, e = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size, cfg.num_experts
+    ks = jax.random.split(jax.random.fold_in(key, 99), 3)
+    scale = 1.0 / (h ** 0.5)
+    lw["router"] = (jax.random.normal(ks[0], (l, e, h), jnp.float32) * scale).astype(cfg.dtype)
+    lw["moe_w1"] = (jax.random.normal(ks[1], (l, e, h, 2 * i), jnp.float32) * scale).astype(cfg.dtype)
+    lw["moe_w2"] = (jax.random.normal(ks[2], (l, e, i, h), jnp.float32) * (1.0 / i ** 0.5)).astype(cfg.dtype)
+    return params
+
+
+def _moe_mlp(h2, lw, lidx, cfg: MixtralConfig):
+    logits = jnp.dot(h2.astype(jnp.float32), lw["router"][lidx].astype(jnp.float32).T)
+    tw, tids = topk_softmax(logits, cfg.top_k, renormalize=True)
+    w = MoeWeights(w1=lw["moe_w1"][lidx], w2=lw["moe_w2"][lidx], fmt="bf16")
+    return fused_experts(h2, w, tw, tids).astype(cfg.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
+def decode_step(params, cfg: MixtralConfig, k_cache, v_cache, tokens, positions, page_tables, lengths, slot_loc, rope_cache):
+    b = tokens.shape[0]
+    x = params["embed"][tokens].astype(cfg.dtype)
+    lw = params["layers"]
+
+    def layer_fn(carry, lidx):
+        x, kc, vc = carry
+        h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
+        q, k, v = llama._qkv(h, lw, cfg, b, layer_id=lidx)
+        q, k = rope_decode_fused(positions, q, k, rope_cache)
+        attn = paged_attention_decode(
+            q, kc, vc, lengths, page_tables, layer_id=lidx, fresh_k=k, fresh_v=v
+        )
+        x = llama._linear(attn.reshape(b, -1), lw["o"], cfg, residual=x, layer_id=lidx)
+        h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
+        x = x + _moe_mlp(h2, lw, lidx, cfg)
+        return (x, kc, vc), (k, v)
+
+    (x, k_cache, v_cache), (k_all, v_all) = jax.lax.scan(
+        layer_fn, (x, k_cache, v_cache), jnp.arange(cfg.num_layers)
+    )
+    k_cache, v_cache = store_cache_all_layers(k_all, v_all, k_cache, v_cache, slot_loc)
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    logits = llama._linear(x, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
+    return logits, k_cache, v_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
+def prefill(params, cfg: MixtralConfig, k_cache, v_cache, tokens, positions, q_lens, slot_loc, rope_cache):
+    b, s = tokens.shape
+    x = params["embed"][tokens.reshape(-1)].astype(cfg.dtype)
+    lw = params["layers"]
+
+    def layer_fn(carry, lidx):
+        x, kc, vc = carry
+        h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
+        q, k, v = llama._qkv(h, lw, cfg, b * s, layer_id=lidx)
+        q, k = rotary_embedding(positions.reshape(-1), q, k, cfg.head_dim, rope_cache)
+        kc, vc = store_cache_stacked(k, v, kc, vc, slot_loc.reshape(-1), lidx)
+        attn = flash_attention(
+            q.reshape(b, s, cfg.num_heads, cfg.head_dim),
+            k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
+            v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
+            q_lens, q_lens, causal=True,
+        ).reshape(b * s, -1)
+        x = llama._linear(attn, lw["o"], cfg, residual=x, layer_id=lidx)
+        h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
+        x = x + _moe_mlp(h2, lw, lidx, cfg)
+        return (x, kc, vc), None
+
+    (x, k_cache, v_cache), _ = jax.lax.scan(
+        layer_fn, (x, k_cache, v_cache), jnp.arange(cfg.num_layers)
+    )
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    x = x.reshape(b, s, -1)
+    last = jnp.clip(q_lens - 1, 0, s - 1)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    logits = llama._linear(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
+    return logits, k_cache, v_cache
+
+
+make_caches = llama.make_caches
+build_rope_cache = llama.build_rope_cache
