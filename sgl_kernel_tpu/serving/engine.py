@@ -10,6 +10,7 @@ all compute is inside the jitted prefill/decode_step programs.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional
 
 import jax
@@ -77,6 +78,7 @@ class Engine:
         draft_cfg: Optional[llama.LlamaConfig] = None,
         draft_params=None,
         spec_gamma: int = 4,
+        mesh=None,
     ):
         self.cfg = cfg
         self.page_size = page_size
@@ -88,6 +90,18 @@ class Engine:
         self.params = params
         self.rope_cache = llama.build_rope_cache(cfg)
         self.k_cache, self.v_cache = llama.make_caches(cfg, num_pages, page_size)
+        # multi-chip execution: a ("dp", "tp") mesh turns the decode/prefill
+        # steps into shard_map programs (parallel/tp.py). dp must be 1 with
+        # this engine's single global page pool; tp shards heads + ffn.
+        self.mesh = mesh
+        self._pstep = self._pprefill = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel import tp as tp_lib
+
+            assert mesh.shape.get("dp", 1) == 1, "dp>1 needs per-shard page pools"
+            self._pstep = jax.jit(tp_lib.make_parallel_decode_step(cfg, mesh, params))
+            self._pprefill = jax.jit(tp_lib.make_parallel_prefill(cfg, mesh, params))
         self.native = None
         if enable_prefix_cache:
             try:
@@ -181,11 +195,19 @@ class Engine:
         slot_loc = np.full((1, bucket), -1, np.int32)
         slot_loc[0, :s] = [self._slot(req, p) for p in range(pre, pre + s)]
         if pre == 0:
-            logits, self.k_cache, self.v_cache = llama.prefill(
-                self.params, self.cfg, self.k_cache, self.v_cache,
-                jnp.asarray(tokens), jnp.asarray(positions),
-                jnp.asarray([s], jnp.int32), jnp.asarray(slot_loc), self.rope_cache,
-            )
+            prefill_fn = self._pprefill or functools.partial(llama.prefill, cfg=self.cfg)
+            if self._pprefill is not None:
+                logits, self.k_cache, self.v_cache = self._pprefill(
+                    self.params, self.k_cache, self.v_cache,
+                    jnp.asarray(tokens), jnp.asarray(positions),
+                    jnp.asarray([s], jnp.int32), jnp.asarray(slot_loc), self.rope_cache,
+                )
+            else:
+                logits, self.k_cache, self.v_cache = llama.prefill(
+                    self.params, self.cfg, self.k_cache, self.v_cache,
+                    jnp.asarray(tokens), jnp.asarray(positions),
+                    jnp.asarray([s], jnp.int32), jnp.asarray(slot_loc), self.rope_cache,
+                )
         else:
             prefix_max = cdiv(pre, self.page_size) * self.page_size
             logits, self.k_cache, self.v_cache = llama.prefill_extend(
@@ -246,11 +268,18 @@ class Engine:
             lengths[i] = r.seq_len
             slot_loc[i] = self._slot(r, pos)
             tables[i] = self._page_table(r)
-        logits, self.k_cache, self.v_cache = llama.decode_step(
-            self.params, self.cfg, self.k_cache, self.v_cache,
-            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
-            jnp.asarray(lengths), jnp.asarray(slot_loc), self.rope_cache,
-        )
+        if self._pstep is not None:
+            logits, self.k_cache, self.v_cache = self._pstep(
+                self.params, self.k_cache, self.v_cache,
+                jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
+                jnp.asarray(lengths), jnp.asarray(slot_loc), self.rope_cache,
+            )
+        else:
+            logits, self.k_cache, self.v_cache = llama.decode_step(
+                self.params, self.cfg, self.k_cache, self.v_cache,
+                jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
+                jnp.asarray(lengths), jnp.asarray(slot_loc), self.rope_cache,
+            )
         logits_np = logits[:b]
         for i, r in enumerate(reqs):
             self._append_token(r, logits_np[i])

@@ -425,3 +425,23 @@ class TestEngineSampling:
         r2 = eng3.add_request(prompt, max_new_tokens=4, temperature=0.8, top_k=5, top_p=0.9)
         eng3.run_until_done(max_steps=30)
         assert len(eng3.finished[r2].output) == 4
+
+
+class TestEngineMesh:
+    def test_tp_engine_matches_single(self, rng):
+        from sgl_kernel_tpu.parallel import mesh as mesh_lib
+
+        cfg = llama.LlamaConfig.tiny()  # fused=False by default
+        params = llama.init_weights(cfg, jax.random.PRNGKey(5))
+        prompt = rng.integers(0, cfg.vocab_size, 6).tolist()
+        single = Engine(cfg, params, max_batch=2, num_pages=32, page_size=16,
+                        prefill_bucket=16, enable_prefix_cache=False)
+        r0 = single.add_request(prompt, max_new_tokens=5)
+        single.run_until_done(max_steps=30)
+
+        m = mesh_lib.make_mesh({"dp": 1, "tp": 2})
+        eng = Engine(cfg, params, max_batch=2, num_pages=32, page_size=16,
+                     prefill_bucket=16, enable_prefix_cache=False, mesh=m)
+        r1 = eng.add_request(prompt, max_new_tokens=5)
+        eng.run_until_done(max_steps=30)
+        assert eng.finished[r1].output == single.finished[r0].output
