@@ -22,7 +22,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models import llama
 from ..ops.norm import rmsnorm
@@ -110,5 +110,5 @@ def make_pp_decode_step(cfg: llama.LlamaConfig, mesh: Mesh, params, n_micro: int
             P(None, None), P(None, None), P(None, None),
         ),
         out_specs=(P(None, None, None), cache_spec, cache_spec),
-        check_rep=False,
+        check_vma=False,
     )

@@ -16,7 +16,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models import llama
 
@@ -94,7 +94,7 @@ def make_parallel_decode_step(cfg: llama.LlamaConfig, mesh: Mesh, params):
             P(None, None),
         ),
         out_specs=(P("dp", None), _cache_spec(), _cache_spec()),
-        check_rep=False,
+        check_vma=False,
     )
 
 
@@ -122,5 +122,5 @@ def make_parallel_prefill(cfg: llama.LlamaConfig, mesh: Mesh, params):
             P(None, None),
         ),
         out_specs=(P("dp", None), _cache_spec(), _cache_spec()),
-        check_rep=False,
+        check_vma=False,
     )

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from sgl_kernel_tpu import parallel
 from sgl_kernel_tpu.models import llama
@@ -83,7 +83,7 @@ class TestEP:
                 run, mesh=mesh,
                 in_specs=(P(None, None), P("ep", None, None), P("ep", None, None), P(None, None), P(None, None)),
                 out_specs=P(None, None),
-                check_rep=False,
+                check_vma=False,
             )
         )(jnp.asarray(x), jnp.asarray(w1), jnp.asarray(w2), tw, tids)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
@@ -110,7 +110,7 @@ class TestRingAttention:
                 run, mesh=mesh,
                 in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp")),
                 out_specs=P(None, "sp"),
-                check_rep=False,
+                check_vma=False,
             )
         )(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-3, atol=3e-3)
@@ -140,7 +140,7 @@ class TestEPAllToAll:
                 run, mesh=mesh,
                 in_specs=(P("ep", None), P("ep", None, None), P("ep", None, None), P("ep", None), P("ep", None)),
                 out_specs=P("ep", None),
-                check_rep=False,
+                check_vma=False,
             )
         )(jnp.asarray(xs), jnp.asarray(w1), jnp.asarray(w2), tw, tids)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-2, atol=3e-2)
@@ -200,7 +200,7 @@ class TestUlysses:
                 mesh=mesh,
                 in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp")),
                 out_specs=P(None, "sp"),
-                check_rep=False,
+                check_vma=False,
             )
         )(q, k, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
