@@ -63,7 +63,117 @@ def sparse_attention_vertical_slash(
     return jnp.swapaxes(out, 1, 2).astype(q.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_vertical", "num_slash", "last_q"))
+def convert_vertical_slash_indexes(
+    q_seqlens,
+    kv_seqlens,
+    vertical_indexes,
+    slash_indexes,
+    context_size: int,
+    block_size_M: int,
+    block_size_N: int,
+    causal: bool = True,
+):
+    """Convert per-head vertical/slash index sets into the block-sparse
+    schedule (MInference layout; reference convert_vertical_slash_indexes,
+    sparse_flash_attn.py:595-668 — CUDA kernel declared-only on XPU).
+
+    Host-side metadata builder (runs once per prefill, like the
+    reference's plan step). vertical_indexes [B, H, NV] ascending column
+    ids; slash_indexes [B, H, NS] descending distances from the last
+    row's diagonal (column of slash s at query row r =
+    (kv_len - q_len) + r - s + ... evaluated at each M-block's end row,
+    the reference convention). Returns numpy
+    (block_count [B, H, R], block_offset [B, H, R, NS],
+     column_count [B, H, R], column_index [B, H, R, NV]) with R =
+    ceil(context_size / block_size_M); block_offset holds block_size_N-
+    aligned KV column starts.
+    """
+    import numpy as np
+
+    q_seqlens = np.asarray(q_seqlens)
+    kv_seqlens = np.asarray(kv_seqlens)
+    v_idx = np.asarray(vertical_indexes)
+    s_idx = np.asarray(slash_indexes)
+    b, h, nv = v_idx.shape
+    ns = s_idx.shape[2]
+    rows = (context_size + block_size_M - 1) // block_size_M
+    block_count = np.zeros((b, h, rows), np.int32)
+    block_offset = np.zeros((b, h, rows, ns), np.int32)
+    column_count = np.zeros((b, h, rows), np.int32)
+    column_index = np.zeros((b, h, rows, nv), np.int32)
+
+    for bb in range(b):
+        q_len, kv_len = int(q_seqlens[bb]), int(kv_seqlens[bb])
+        shift = kv_len - q_len
+        for hh in range(h):
+            for r in range(rows):
+                end_m = (r + 1) * block_size_M
+                col_bound = min(end_m + shift, kv_len) if causal else kv_len
+                if col_bound <= 0:
+                    continue
+                # slash s covers, across this q block's rows, the column
+                # band [shift + end_m - s - block_M, shift + end_m - s)
+                ends = shift + end_m - s_idx[bb, hh]
+                ends = ends[(ends > 0)]
+                if causal:
+                    ends = np.minimum(ends, col_bound)
+                ranges = sorted((max(int(e) - block_size_M, 0), int(e)) for e in ends if e > 0)
+                merged = []
+                for st, en in ranges:
+                    if merged and st <= merged[-1][1]:
+                        merged[-1] = (merged[-1][0], max(merged[-1][1], en))
+                    else:
+                        merged.append((st, en))
+                blocks = []
+                for st, en in merged:
+                    st_b = st // block_size_N * block_size_N
+                    while st_b < en and len(blocks) < ns:
+                        if not blocks or blocks[-1] != st_b:
+                            blocks.append(st_b)
+                        st_b += block_size_N
+                block_count[bb, hh, r] = len(blocks)
+                block_offset[bb, hh, r, : len(blocks)] = blocks
+                cols = [
+                    int(c) for c in v_idx[bb, hh]
+                    if c < col_bound and not any(st <= c < en for st, en in merged)
+                    and not any(bs <= c < bs + block_size_N for bs in blocks)
+                ][:nv]
+                column_count[bb, hh, r] = len(cols)
+                column_index[bb, hh, r, : len(cols)] = cols
+    return block_count, block_offset, column_count, column_index
+
+
+def convert_vertical_slash_indexes_mergehead(
+    q_seqlens,
+    kv_seqlens,
+    vertical_indexes,
+    slash_indexes,
+    vertical_indices_count,
+    slash_indices_count,
+    context_size: int,
+    block_size_M: int,
+    block_size_N: int,
+    causal: bool = True,
+):
+    """Per-head-truncated variant (reference :671-720): head h uses only
+    its first vertical_indices_count[h] / slash_indices_count[h] indices."""
+    import numpy as np
+
+    v_idx = np.asarray(vertical_indexes).copy()
+    s_idx = np.asarray(slash_indexes).copy()
+    vc = np.asarray(vertical_indices_count)
+    sc = np.asarray(slash_indices_count)
+    big = 1 << 30
+    for hh in range(v_idx.shape[1]):
+        v_idx[:, hh, int(vc[hh]) :] = big  # beyond-causal -> filtered out
+        s_idx[:, hh, int(sc[hh]) :] = big  # huge distance -> column <= 0
+    return convert_vertical_slash_indexes(
+        q_seqlens, kv_seqlens, v_idx, s_idx, context_size,
+        block_size_M, block_size_N, causal,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_vertical", "num_slash", "last_q", "sm_scale"))
 def build_vertical_slash_indexes(
     q,
     k,

@@ -301,3 +301,60 @@ class TestPagedDecodePps:
         for bb in range(b):
             ref, _ = ref_attention(q[bb][None], ks[bb], vs[bb], causal=False)
             np.testing.assert_allclose(np.asarray(out)[bb], ref[0], rtol=2e-2, atol=2e-2)
+
+
+class TestConvertVerticalSlash:
+    def test_properties(self, rng):
+        """Property oracle: every emitted block is slash-covered (clipped,
+        aligned), every emitted column is a requested vertical outside the
+        blocks, and nothing crosses the causal bound."""
+        from sgl_kernel_tpu.ops.attention.sparse_vs import convert_vertical_slash_indexes
+
+        bM, bN = 16, 16
+        q_len = kv_len = 64
+        verticals = np.asarray([[[0, 5, 20, 40]]], np.int32)
+        slashes = np.asarray([[[30, 10, 0]]], np.int32)  # descending
+        bc, bo, cc, ci = convert_vertical_slash_indexes(
+            [q_len], [kv_len], verticals, slashes, q_len, bM, bN, causal=True
+        )
+        rows = q_len // bM
+        for r in range(rows):
+            end_m = (r + 1) * bM
+            bound = min(end_m, kv_len)
+            blocks = bo[0, 0, r, : bc[0, 0, r]]
+            # aligned + below bound
+            assert all(x % bN == 0 for x in blocks)
+            assert all(x < bound for x in blocks)
+            # slash bands [end_m - s - bM, end_m - s) intersect the blocks
+            for s in slashes[0, 0]:
+                e = min(end_m - s, bound)
+                if e <= 0:
+                    continue
+                band = set(range(max(e - bM, 0), e))
+                covered = set()
+                for x in blocks:
+                    covered |= set(range(x, x + bN))
+                assert band & covered, (r, s)
+            cols = ci[0, 0, r, : cc[0, 0, r]]
+            for c in cols:
+                assert c in verticals[0, 0]
+                assert c < bound
+                assert all(not (x <= c < x + bN) for x in blocks)
+
+    def test_mergehead_truncates(self):
+        from sgl_kernel_tpu.ops.attention.sparse_vs import (
+            convert_vertical_slash_indexes, convert_vertical_slash_indexes_mergehead,
+        )
+
+        verticals = np.asarray([[[0, 17, 33, 49], [1, 18, 34, 50]]], np.int32)
+        slashes = np.asarray([[[20, 4], [22, 6]]], np.int32)
+        full = convert_vertical_slash_indexes([64], [64], verticals, slashes, 64, 16, 16)
+        trunc = convert_vertical_slash_indexes_mergehead(
+            [64], [64], verticals, slashes, np.asarray([2, 4]), np.asarray([1, 2]), 64, 16, 16
+        )
+        # head 1 untruncated -> identical; head 0's slash truncation can
+        # only shrink the block schedule (former slash coverage may
+        # reappear as explicit vertical columns)
+        for a, b in zip(full, trunc):
+            np.testing.assert_array_equal(a[0, 1], b[0, 1])
+        assert (trunc[0][0, 0] <= full[0][0, 0]).all()
