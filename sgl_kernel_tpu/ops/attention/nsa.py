@@ -146,6 +146,35 @@ def sparse_mla_prefill(q_nope, q_pe, kv_pool_flat, slot_indices, *, sm_scale: Op
 
 
 @functools.partial(jax.jit, static_argnames=("eps",))
+def fused_k_indexer_norm_rope_quant_store(
+    k, positions, cos_sin_cache, norm_weight, idx_cache, idx_scale_cache, slot_loc, *, eps: float = 1e-6
+):
+    """DSv4 k-indexer ingest (reference compress_norm_rope_store indexer
+    path, fused_norm_rope_v2_torch.py:474-557 — there the fp8 row + f32
+    scale pack into one 132-byte cache slot; here they live in two
+    aligned pools, the TPU-native layout): RMSNorm -> RoPE -> hadamard ->
+    per-token fp8 quant -> scatter at slot_loc.
+
+    k [T, D]; idx_cache [S, D] fp8; idx_scale_cache [S] f32; slot_loc [T]
+    (−1 drops). Returns the updated (idx_cache, idx_scale_cache).
+    """
+    from ..hadamard import hadamard_transform
+    from ..norm import rmsnorm
+    from ..quant import per_token_quant_fp8
+    from ..rope import rotary_embedding
+
+    t, d = k.shape
+    kn = rmsnorm(k, norm_weight, eps)
+    k_rot, _ = rotary_embedding(positions, kn[:, None, :], None, d, cos_sin_cache)
+    k_had = hadamard_transform(k_rot[:, 0], scale=1.0 / (d**0.5))
+    k8, scale = per_token_quant_fp8(k_had)
+    smax = idx_cache.shape[0]
+    safe = jnp.where(slot_loc >= 0, slot_loc, smax)
+    idx_cache = idx_cache.at[safe].set(k8, mode="drop")
+    idx_scale_cache = idx_scale_cache.at[safe].set(scale.reshape(t), mode="drop")
+    return idx_cache, idx_scale_cache
+
+
 def fused_q_indexer_rope_hadamard_quant(q, positions, cos_sin_cache, *, eps: float = 1e-10):
     """DSv4 q-indexer preprocessing (reference
     fused_q_indexer_rope_hadamard_quant_torch.py): RoPE the query, apply a

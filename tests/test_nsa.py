@@ -171,3 +171,35 @@ class TestRaggedIndexer:
             got = out[i][out[i] >= 0]
             exp_slots = (np.asarray(table)[i, best // page] * page + best % page)
             assert set(got.tolist()) == set(exp_slots.tolist())
+
+
+class TestKIndexerIngest:
+    def test_store_and_score_consistency(self, rng):
+        """The stored fp8 rows must reproduce norm+rope+hadamard+quant of
+        the inputs, and slot -1 must drop."""
+        from sgl_kernel_tpu.ops.attention.nsa import (
+            fused_k_indexer_norm_rope_quant_store, fused_q_indexer_rope_hadamard_quant,
+        )
+        from sgl_kernel_tpu.ops import rope as rope_mod
+
+        t, d, slots = 3, 128, 8
+        k = rng.standard_normal((t, d)).astype(np.float32)
+        w = (rng.random(d) + 0.5).astype(np.float32)
+        pos = jnp.asarray([0, 2, 5], jnp.int32)
+        cache = rope_mod.compute_cos_sin_cache(d, 16)
+        idx = jnp.zeros((slots, d), jnp.float8_e4m3fn)
+        sc = jnp.zeros((slots,), jnp.float32)
+        loc = jnp.asarray([1, -1, 4], jnp.int32)
+        idx2, sc2 = fused_k_indexer_norm_rope_quant_store(
+            jnp.asarray(k), pos, cache, jnp.asarray(w), idx, sc, loc
+        )
+        # reference via the q-side pipeline on pre-normed input
+        kn = np.asarray(k) / np.sqrt((k**2).mean(-1, keepdims=True) + 1e-6) * w
+        q8, qs = fused_q_indexer_rope_hadamard_quant(
+            jnp.asarray(kn)[:, None, :], pos, cache
+        )
+        got = np.asarray(idx2, np.float32)
+        np.testing.assert_allclose(got[1], np.asarray(q8, np.float32)[0, 0], rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(got[4], np.asarray(q8, np.float32)[2, 0], rtol=2e-2, atol=2e-2)
+        assert np.all(got[2] == 0)  # dropped row untouched
+        np.testing.assert_allclose(np.asarray(sc2)[1], np.asarray(qs).reshape(-1)[0], rtol=1e-4)
