@@ -12,7 +12,13 @@ from .fp4 import (  # noqa: F401
     scaled_fp4_quant,
 )
 from .qserve import qserve_w4a8_per_chn_gemm, qserve_w4a8_per_group_gemm  # noqa: F401
-from .scaled_mm import bmm_fp8, fp8_scaled_mm, int8_scaled_mm  # noqa: F401
+from .scaled_mm import (  # noqa: F401
+    bmm_fp8,
+    dsv3_fused_a_gemm,
+    dsv3_router_gemm,
+    fp8_scaled_mm,
+    int8_scaled_mm,
+)
 from .w4a16 import (  # noqa: F401
     awq_to_tpu_layout,
     dequant_w4,

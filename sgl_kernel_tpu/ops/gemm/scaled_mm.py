@@ -63,3 +63,20 @@ def bmm_fp8(a, b, scale_a, scale_b, out_dtype=jnp.bfloat16):
     )
     acc = acc * jnp.asarray(scale_a, jnp.float32) * jnp.asarray(scale_b, jnp.float32)
     return acc.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def dsv3_router_gemm(hidden, router_weight, out_dtype=jnp.bfloat16):
+    """DeepSeek-V3 router GEMM: [T, 7168] x [E, 7168]^T -> [T, E]
+    (reference dsv3_router_gemm, tests/test_dsv3_router_gemm.py). A
+    skinny matmul XLA already tiles optimally on the MXU."""
+    out = jnp.dot(hidden, router_weight.T, preferred_element_type=jnp.float32)
+    return out.astype(out_dtype)
+
+
+@jax.jit
+def dsv3_fused_a_gemm(hidden, wa_t):
+    """DeepSeek-V3 fused q_a/kv_a down-projection: [T, 7168] x
+    [7168, 2112] -> [T, 2112] (reference dsv3_fused_a_gemm,
+    tests/test_dsv3_fused_a_gemm.py; weight passed K-major)."""
+    return jnp.dot(hidden, wa_t, preferred_element_type=jnp.float32).astype(hidden.dtype)

@@ -292,3 +292,21 @@ class TestW4A16Stacked:
         got = w4a16_gemm(gate, jnp.stack(pk), jnp.stack(sc), a2=up, residual=res,
                          layer_id=jnp.int32(1), prologue="silu_mul", group_size=g)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+class TestDsv3Gemms:
+    def test_router_gemm(self, rng):
+        from sgl_kernel_tpu.ops.gemm import dsv3_router_gemm
+
+        a = jnp.asarray(rng.standard_normal((5, 256)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((16, 256)), jnp.float32)
+        out = dsv3_router_gemm(a, b, out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(a) @ np.asarray(b).T, rtol=1e-4, atol=1e-4)
+
+    def test_fused_a_gemm(self, rng):
+        from sgl_kernel_tpu.ops.gemm import dsv3_fused_a_gemm
+
+        a = jnp.asarray(rng.standard_normal((3, 128)), jnp.float32)
+        bt = jnp.asarray(rng.standard_normal((128, 64)), jnp.float32)
+        out = dsv3_fused_a_gemm(a, bt)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(a) @ np.asarray(bt), rtol=1e-4, atol=1e-4)
