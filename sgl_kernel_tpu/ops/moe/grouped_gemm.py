@@ -160,3 +160,55 @@ def _w4_kernel_entry(eids_ref, *refs, has_zeros, fmt, group_size, ngb, n_k):
         eids_ref, a_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
         fmt=fmt, group_size=group_size, ngb=ngb, n_k=n_k,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype"))
+def w4a8_grouped_mm(
+    x_q,
+    x_scales,
+    w,
+    w_scales,
+    block_expert_ids,
+    w_szeros=None,
+    x_sums=None,
+    *,
+    bm: int = 128,
+    bn: int = 1024,
+    bk: Optional[int] = None,
+    out_dtype=jnp.bfloat16,
+):
+    """Block-aligned grouped QServe-style W4A8 GEMM for MoE.
+
+    TPU-native coverage of the reference's declared-only
+    ``cutlass_w4a8_moe_mm`` (tests/test_cutlass_w4a8_moe_mm.py;
+    SURVEY.md §2.6): int8 activations against int4 per-expert weights
+    with per-channel weight scales and per-token activation scales,
+    optional asymmetric zeros via the rank-1 sum correction
+    (ops/gemm/qserve.py math, grouped over experts).
+
+    x_q [cap, K] int8 (expert-sorted, block-aligned); x_scales [cap] f32;
+    w [E, N//2, K] packed int4 codes (pack_w4_tpu, unsigned-shifted);
+    w_scales [E, N] f32 (s1 per channel); w_szeros opt [E, N] = zero*s1;
+    x_sums opt [cap] = per-token sums of the integer activations
+    (required with w_szeros). Returns [cap, N] out_dtype.
+    """
+    cap, k = x_q.shape
+    # int8 codes fit bf16 exactly; reuse the W4A16 kernel with ONE scale
+    # group spanning all of K (per-channel semantics == group_size = K)
+    a_bf = x_q.astype(jnp.bfloat16)
+    e, nh, _ = w.shape
+    n = nh * 2
+    # per-channel scales as a single K-group: [E, 1, N]
+    scales = w_scales.astype(jnp.float32).reshape(e, 1, n)
+    zeros = None if w_szeros is None else w_szeros.astype(jnp.float32).reshape(e, 1, n)
+    bk = bk or min(1024, k)
+    # the kernel applies per-group scales; with group_size=bk each k-tile
+    # contributes part * s -> sum_k (a w) * s == per-channel scaling, and
+    # the rank-1 zero term telescopes over k-tiles the same way
+    out = w4a16_grouped_mm(
+        a_bf, w, jnp.repeat(scales, k // bk, axis=1), block_expert_ids,
+        zeros=None if zeros is None else jnp.repeat(zeros, k // bk, axis=1),
+        group_size=bk, bm=bm, bn=bn, bk=bk, out_dtype=jnp.float32,
+    )
+    out = out * x_scales.astype(jnp.float32)[:, None]
+    return out.astype(out_dtype)

@@ -163,3 +163,33 @@ class TestFusedExperts:
         out = moe.fused_experts(jnp.asarray(x), weights, jnp.asarray(tw), jnp.asarray(tids), block_size=16)
         ref = moe_oracle(x, w1, w2, tw, tids)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+
+
+class TestW4A8Grouped:
+    def test_matches_dequant_oracle(self, rng):
+        from sgl_kernel_tpu.ops.gemm.w4a16 import pack_w4_tpu
+        from sgl_kernel_tpu.ops.moe import w4a8_grouped_mm
+
+        e, n, k, bm = 2, 128, 256, 8
+        cap = 3 * bm
+        eids = jnp.asarray([0, 1, 1], jnp.int32)
+        codes = rng.integers(0, 16, (e, n, k)).astype(np.uint8)  # unsigned 0..15
+        signed = ((codes.astype(np.int32) - 8) & 0xF).astype(np.uint8)
+        packed = jnp.stack([pack_w4_tpu(jnp.asarray(signed[i])) for i in range(e)])
+        s1 = (rng.random((e, n)) * 0.02 + 0.01).astype(np.float32)
+        zero = np.full((e, n), 8.0, np.float32)
+        x = rng.integers(-100, 100, (cap, k)).astype(np.int8)
+        xs = (rng.random(cap) * 0.01 + 0.005).astype(np.float32)
+        out = w4a8_grouped_mm(
+            jnp.asarray(x), jnp.asarray(xs), packed, jnp.asarray(s1), eids,
+            bm=bm, bn=128, out_dtype=jnp.float32,
+        )
+        # oracle: (codes - 8) * s1 weights (quantize_w4's signed-shift
+        # convention), scaled by per-token activation scales
+        wf = (codes.astype(np.float32) - 8.0) * s1[:, :, None]
+        ref = np.zeros((cap, n), np.float32)
+        for blk, eid in enumerate(np.asarray(eids)):
+            rows = slice(blk * bm, (blk + 1) * bm)
+            ref[rows] = x[rows].astype(np.float32) @ wf[eid].T
+        ref *= xs[:, None]
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2 * np.abs(ref).max())
