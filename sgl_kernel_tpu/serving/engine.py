@@ -79,12 +79,18 @@ class Engine:
         draft_params=None,
         spec_gamma: int = 4,
         mesh=None,
+        prefill_chunk: Optional[int] = None,
     ):
         self.cfg = cfg
         self.page_size = page_size
         self.max_batch = max_batch
         self.max_pages_per_seq = max_pages_per_seq or cdiv(cfg.max_position, page_size)
         self.prefill_bucket = prefill_bucket
+        # chunked prefill (the reference's chunkprefill two-launch design,
+        # flash_attention.cpp:1207-1325, lifted to the scheduler): prompts
+        # longer than prefill_chunk are ingested in chunks through the
+        # extend path, bounding per-step activation memory
+        self.prefill_chunk = prefill_chunk
         if params is None:
             params = llama.init_weights(cfg, jax.random.PRNGKey(seed))
         self.params = params
@@ -186,14 +192,23 @@ class Engine:
 
     def _prefill(self, req: Request):
         pre = req.prefix_len
-        s = len(req.prompt) - pre
+        total = len(req.prompt)
+        if self.prefill_chunk is not None:
+            while total - pre > self.prefill_chunk:
+                self._prefill_range(req, pre, pre + self.prefill_chunk)
+                pre = pre + self.prefill_chunk
+        logits = self._prefill_range(req, pre, total)
+        self._finish_prefill(req, logits)
+
+    def _prefill_range(self, req: Request, pre: int, end: int):
+        s = end - pre
         bucket = max(self.prefill_bucket, 1 << (s - 1).bit_length())
         tokens = np.zeros((1, bucket), np.int32)
-        tokens[0, :s] = req.prompt[pre:]
+        tokens[0, :s] = req.prompt[pre:end]
         positions = np.zeros((1, bucket), np.int32)
         positions[0, :s] = np.arange(pre, pre + s)
         slot_loc = np.full((1, bucket), -1, np.int32)
-        slot_loc[0, :s] = [self._slot(req, p) for p in range(pre, pre + s)]
+        slot_loc[0, :s] = [self._slot(req, p) for p in range(pre, end)]
         if pre == 0:
             prefill_fn = self._pprefill or functools.partial(llama.prefill, cfg=self.cfg)
             if self._pprefill is not None:
@@ -217,6 +232,9 @@ class Engine:
                 jnp.asarray(self._page_table(req)[None]), jnp.asarray(slot_loc),
                 self.rope_cache, prefix_max=prefix_max,
             )
+        return logits
+
+    def _finish_prefill(self, req: Request, logits):
         if self.draft_cfg is not None:
             sfull = len(req.prompt)
             bucket_d = max(self.prefill_bucket, 1 << (sfull - 1).bit_length())

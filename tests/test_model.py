@@ -445,3 +445,18 @@ class TestEngineMesh:
         r1 = eng.add_request(prompt, max_new_tokens=5)
         eng.run_until_done(max_steps=30)
         assert eng.finished[r1].output == single.finished[r0].output
+
+
+class TestChunkedPrefill:
+    def test_chunked_matches_full(self, tiny_model, rng):
+        cfg, params = tiny_model
+        prompt = rng.integers(0, cfg.vocab_size, 21).tolist()
+        full = Engine(cfg, params, max_batch=2, num_pages=32, page_size=16,
+                      prefill_bucket=8, enable_prefix_cache=False)
+        r0 = full.add_request(prompt, max_new_tokens=5)
+        full.run_until_done(max_steps=30)
+        chunked = Engine(cfg, params, max_batch=2, num_pages=32, page_size=16,
+                         prefill_bucket=8, enable_prefix_cache=False, prefill_chunk=8)
+        r1 = chunked.add_request(prompt, max_new_tokens=5)
+        chunked.run_until_done(max_steps=30)
+        assert chunked.finished[r1].output == full.finished[r0].output
