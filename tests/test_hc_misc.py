@@ -230,3 +230,23 @@ class TestCompressPrefillPlan:
         np.testing.assert_array_equal(np.asarray(src)[0, 1], np.arange(0, 8))
         # seq 1: events 2..9 live -> slots 2..7,0,1
         assert dst[1].tolist() == [2, 3, 4, 5, 6, 7, 0, 1]
+
+
+class TestCompatLayer:
+    def test_aliases_resolve_and_run(self, rng):
+        from sgl_kernel_tpu import compat
+        from sgl_kernel_tpu.ops import rope
+
+        # rope alias behaves like rotary_embedding
+        t, h, d = 3, 2, 32
+        q = jnp.asarray(rng.standard_normal((t, h, d)), jnp.float32)
+        cache = rope.compute_cos_sin_cache(d, 8)
+        pos = jnp.asarray([0, 1, 2], jnp.int32)
+        a, _ = compat.apply_rope_with_cos_sin_cache_inplace(pos, q, None, d, cache)
+        b, _ = rope.rotary_embedding(pos, q, None, d, cache)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        # fp8 helpers
+        assert compat.cvt_float_to_fp8_e4m3(2.0).dtype == jnp.float8_e4m3fn
+        assert int(compat.pack_fp8x2_e4m3(1.0, 2.0)) == 0x4038
+        assert compat.flash_mla_get_workspace_size() == 0
+        assert compat.ceil_div(7, 2) == 4 and compat.ceil_align(7, 8) == 8
