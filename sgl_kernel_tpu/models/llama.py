@@ -270,8 +270,7 @@ def decode_layers(lw, cfg: LlamaConfig, k_cache, v_cache, x, positions, page_tab
         q, k, v = _qkv(h, weights, cfg, b, layer_id=lidx)
         q, k = rope_decode_fused(positions, q, k, rope_cache)
         attn = paged_attention_decode(
-            q, kc, vc, lengths, page_tables, layer_id=lidx, fresh_k=k, fresh_v=v,
-            pages_per_step=4,
+            q, kc, vc, lengths, page_tables, layer_id=lidx, fresh_k=k, fresh_v=v
         )
         if tp_axis is None:
             x = _linear(attn.reshape(b, -1), weights["o"], cfg, residual=x, layer_id=lidx)

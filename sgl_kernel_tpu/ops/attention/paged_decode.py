@@ -172,7 +172,7 @@ def paged_attention_decode(
     sliding_window: Optional[int] = None,
     logit_soft_cap: Optional[float] = None,
     return_lse: bool = False,
-    pages_per_step: int = 2,
+    pages_per_step: int = 4,
 ):
     """Decode attention over a paged KV cache.
 
