@@ -40,6 +40,12 @@ struct Allocator {
   RadixNode root;
   uint64_t clock = 0;
   int64_t cached_pages = 0;
+  // live prefix locks: lock id -> exact set of pinned nodes. Pins are
+  // released by handle (not by token replay) so edge splits cannot strand
+  // a stale pin: a split adds the new tail to every lock set pinning the
+  // original edge, keeping ref_count == sum of lock-set occurrences.
+  std::unordered_map<int64_t, std::vector<RadixNode*>> locks;
+  int64_t next_lock = 1;
 };
 
 std::mutex g_mu;
@@ -125,7 +131,7 @@ void sn_assemble_tables(
 
 // Longest-prefix match: returns number of matched TOKENS (multiple of
 // page_size); writes the covering page ids into out_pages (cap max_out).
-static int32_t radix_walk(Allocator* a, const int32_t* tokens, int32_t n_tokens, int32_t* out_pages, int32_t max_out, int32_t lock_delta) {
+static int32_t radix_walk(Allocator* a, const int32_t* tokens, int32_t n_tokens, int32_t* out_pages, int32_t max_out, std::vector<RadixNode*>* pin_set) {
   a->clock++;
   RadixNode* node = &a->root;
   int32_t matched_tokens = 0;
@@ -143,12 +149,18 @@ static int32_t radix_walk(Allocator* a, const int32_t* tokens, int32_t n_tokens,
       // partial edge match: reuse the page-aligned covered prefix; a
       // partially-matched edge is still pinned as a whole
       int32_t pg = cmp / a->page_size;
-      if (pg > 0) child->ref_count += lock_delta;
+      if (pg > 0 && pin_set != nullptr) {
+        child->ref_count++;
+        pin_set->push_back(child);
+      }
       for (int32_t i = 0; i < pg && out_pages != nullptr && out_n < max_out; ++i) out_pages[out_n++] = child->pages[i];
       matched_tokens += pg * a->page_size;
       break;
     }
-    child->ref_count += lock_delta;
+    if (pin_set != nullptr) {
+      child->ref_count++;
+      pin_set->push_back(child);
+    }
     for (int32_t p : child->pages) {
       if (out_pages != nullptr && out_n < max_out) out_pages[out_n++] = p;
     }
@@ -164,24 +176,35 @@ int32_t sn_radix_match(int64_t h, const int32_t* tokens, int32_t n_tokens, int32
   std::lock_guard<std::mutex> lock(g_mu);
   Allocator* a = get(h);
   if (!a) return -1;
-  return radix_walk(a, tokens, n_tokens, out_pages, max_out, 0);
+  return radix_walk(a, tokens, n_tokens, out_pages, max_out, nullptr);
 }
 
 // Match + pin: increments ref_count along the matched path so eviction
-// cannot free pages a live request references.
-int32_t sn_radix_match_lock(int64_t h, const int32_t* tokens, int32_t n_tokens, int32_t* out_pages, int32_t max_out) {
+// cannot free pages a live request references. Writes a lock handle to
+// *out_lock; release with sn_radix_unlock(h, lock_id).
+int32_t sn_radix_match_lock(int64_t h, const int32_t* tokens, int32_t n_tokens, int32_t* out_pages, int32_t max_out, int64_t* out_lock) {
   std::lock_guard<std::mutex> lock(g_mu);
   Allocator* a = get(h);
   if (!a) return -1;
-  return radix_walk(a, tokens, n_tokens, out_pages, max_out, +1);
+  std::vector<RadixNode*> pins;
+  int32_t matched = radix_walk(a, tokens, n_tokens, out_pages, max_out, &pins);
+  int64_t id = a->next_lock++;
+  a->locks[id] = std::move(pins);
+  if (out_lock != nullptr) *out_lock = id;
+  return matched;
 }
 
-// Unpin a previously locked path (pass the same token prefix).
-int32_t sn_radix_unlock(int64_t h, const int32_t* tokens, int32_t n_tokens) {
+// Unpin a previously locked path by handle. Decrements exactly the nodes
+// this lock pinned (including tails added by later edge splits).
+int32_t sn_radix_unlock(int64_t h, int64_t lock_id) {
   std::lock_guard<std::mutex> lock(g_mu);
   Allocator* a = get(h);
   if (!a) return -1;
-  return radix_walk(a, tokens, n_tokens, nullptr, 0, -1);
+  auto it = a->locks.find(lock_id);
+  if (it == a->locks.end()) return -1;
+  for (RadixNode* n : it->second) n->ref_count--;
+  a->locks.erase(it);
+  return 0;
 }
 
 // Insert a page-aligned token prefix with its page ids. Tokens beyond
@@ -221,7 +244,18 @@ int32_t sn_radix_insert(int64_t h, const int32_t* tokens, int32_t n_tokens, cons
       tail->tokens.assign(child->tokens.begin() + split_tok, child->tokens.end());
       tail->pages.assign(child->pages.begin() + split_tok / ps, child->pages.end());
       tail->last_access = child->last_access;
+      // every lock pinning this edge must pin both halves: copy the pin
+      // count and add the tail to each lock set holding the head, keeping
+      // unlock-by-handle exact
       tail->ref_count = child->ref_count;
+      if (tail->ref_count > 0) {
+        for (auto& lk : a->locks) {
+          auto& v = lk.second;
+          size_t vn = v.size();
+          for (size_t i = 0; i < vn; ++i)
+            if (v[i] == child) v.push_back(tail.get());
+        }
+      }
       child->tokens.resize(split_tok);
       child->pages.resize(split_tok / ps);
       tail->parent = child;

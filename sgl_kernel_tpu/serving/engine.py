@@ -37,7 +37,7 @@ class Request:
     done: bool = False
     prefix_len: int = 0          # tokens reused from the radix cache
     shared_pages: int = 0        # leading cache-owned pages in ``pages``
-    locked_tokens: List[int] = dataclasses.field(default_factory=list)
+    lock_id: int = 0             # radix-cache pin handle (0 = none)
 
     @property
     def seq_len(self) -> int:
@@ -172,18 +172,23 @@ class Engine:
                 # reuse the longest cached page-aligned prefix, keeping at
                 # least one fresh token so prefill produces logits
                 probe = req.prompt[: len(req.prompt) - 1]
-                matched, shared = self.native.match_prefix_locked(probe)
+                matched, shared, req.lock_id = self.native.match_prefix_locked(probe)
                 req.prefix_len = matched
                 req.shared_pages = len(shared)
-                req.locked_tokens = probe[:matched]
             slack = self.spec_gamma if self.draft_cfg is not None else 0
             need = cdiv(req.seq_len + req.max_new_tokens + slack, self.page_size) - len(shared)
             pages = self.allocator.alloc(need)
+            if pages is None and self.native is not None:
+                # LRU-evict unpinned cached pages back to the free list (the
+                # reference radix cache's evict-on-pressure behavior) and retry
+                # — without this, retired requests' pages adopted by the cache
+                # starve new admissions forever.
+                self.native.evict(need - self.allocator.free)
+                pages = self.allocator.alloc(need)
             if pages is None:
-                if req.locked_tokens:
-                    self.native.unlock_prefix(req.locked_tokens)
-                    req.prefix_len = req.shared_pages = 0
-                    req.locked_tokens = []
+                if req.lock_id:
+                    self.native.unlock(req.lock_id)
+                    req.prefix_len = req.shared_pages = req.lock_id = 0
                 break
             req.pages = shared + pages
             self.waiting.pop(0)
@@ -345,7 +350,11 @@ class Engine:
                 continue
             if self.native is not None:
                 seq = r.prompt + r.output
-                full_pages = len(seq) // self.page_size
+                # The final emitted token was never fed through the model, so
+                # its KV slot is unwritten: only positions [0, len(seq)-1) hold
+                # valid KV. Inserting a page containing that slot would poison
+                # later prefix-cache hits with a garbage row.
+                full_pages = (len(seq) - 1) // self.page_size
                 adopted = 0
                 if full_pages > 0:
                     adopted = self.native.insert_prefix(
@@ -358,8 +367,9 @@ class Engine:
                 release = [p for i, p in enumerate(r.pages) if i not in keep]
                 if release:
                     self.allocator.release(release)
-                if r.locked_tokens:
-                    self.native.unlock_prefix(r.locked_tokens)
+                if r.lock_id:
+                    self.native.unlock(r.lock_id)
+                    r.lock_id = 0
             else:
                 self.allocator.release(r.pages)
             r.pages = []

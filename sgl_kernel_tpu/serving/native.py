@@ -22,11 +22,18 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_CSRC, "serving_native.cpp")
+    stale = not os.path.exists(_LIB_PATH) or (
+        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    )
+    if stale:
+        # Always rebuild when the source is newer than the library so edits to
+        # serving_native.cpp take effect (the .so is not version-controlled).
         try:
-            subprocess.run(["make", "-C", _CSRC], check=True, capture_output=True, timeout=120)
+            subprocess.run(["make", "-C", _CSRC, "-B"], check=True, capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -46,9 +53,12 @@ def _load():
     lib.sn_radix_insert.restype = ctypes.c_int32
     lib.sn_radix_insert.argtypes = [ctypes.c_int64, i32p, ctypes.c_int32, i32p, ctypes.c_int32]
     lib.sn_radix_match_lock.restype = ctypes.c_int32
-    lib.sn_radix_match_lock.argtypes = [ctypes.c_int64, i32p, ctypes.c_int32, i32p, ctypes.c_int32]
+    lib.sn_radix_match_lock.argtypes = [
+        ctypes.c_int64, i32p, ctypes.c_int32, i32p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.sn_radix_unlock.restype = ctypes.c_int32
-    lib.sn_radix_unlock.argtypes = [ctypes.c_int64, i32p, ctypes.c_int32]
+    lib.sn_radix_unlock.argtypes = [ctypes.c_int64, ctypes.c_int64]
     lib.sn_radix_evict.restype = ctypes.c_int32
     lib.sn_radix_evict.argtypes = [ctypes.c_int64, ctypes.c_int32]
     lib.sn_radix_cached_pages.restype = ctypes.c_int64
@@ -120,16 +130,23 @@ class NativeAllocator:
         n = self._lib.sn_radix_match(self._h, _ptr(toks), len(tokens), _ptr(out), len(out))
         return int(n), out[: n // self.page_size].tolist()
 
-    def match_prefix_locked(self, tokens: List[int]) -> Tuple[int, List[int]]:
-        """match_prefix + pin the path against eviction (unlock_prefix after)."""
+    def match_prefix_locked(self, tokens: List[int]) -> Tuple[int, List[int], int]:
+        """match_prefix + pin the path against eviction.
+
+        Returns (matched_tokens, pages, lock_id); release the pin with
+        ``unlock(lock_id)``. Handle-based release stays exact across later
+        edge splits (token replay does not).
+        """
         toks = _as_i32(tokens)
         out = np.empty(max(1, len(tokens) // self.page_size + 1), np.int32)
-        n = self._lib.sn_radix_match_lock(self._h, _ptr(toks), len(tokens), _ptr(out), len(out))
-        return int(n), out[: n // self.page_size].tolist()
+        lock_id = ctypes.c_int64(0)
+        n = self._lib.sn_radix_match_lock(
+            self._h, _ptr(toks), len(tokens), _ptr(out), len(out), ctypes.byref(lock_id)
+        )
+        return int(n), out[: n // self.page_size].tolist(), int(lock_id.value)
 
-    def unlock_prefix(self, tokens: List[int]):
-        toks = _as_i32(tokens)
-        self._lib.sn_radix_unlock(self._h, _ptr(toks), len(tokens))
+    def unlock(self, lock_id: int):
+        self._lib.sn_radix_unlock(self._h, lock_id)
 
     def insert_prefix(self, tokens: List[int], pages: List[int]) -> int:
         toks = _as_i32(tokens)
