@@ -74,6 +74,7 @@ from .ops.linear_attn import (  # noqa: F401
     causal_conv1d_fwd,
     causal_conv1d_update,
     chunk_gated_delta_rule,
+    gated_delta_rule_scan,
     gated_delta_rule_update,
     gdn_attention_decode,
     gdn_attention_prefill,

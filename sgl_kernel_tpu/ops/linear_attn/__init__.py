@@ -3,6 +3,7 @@
 from .causal_conv1d import causal_conv1d_fwd, causal_conv1d_update  # noqa: F401
 from .gdn import (  # noqa: F401
     chunk_gated_delta_rule,
+    gated_delta_rule_scan,
     gated_delta_rule_update,
     gdn_attention_decode,
     gdn_attention_prefill,

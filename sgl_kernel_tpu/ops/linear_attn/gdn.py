@@ -69,10 +69,9 @@ def gated_delta_rule_update(q, k, v, g, beta, state):
 
 
 @jax.jit
-def chunk_gated_delta_rule(q, k, v, g, beta, initial_state=None, seq_lens=None):
-    """Prefill recurrence. q/k [B, S, H, dk], v [B, S, H, dv],
-    g/beta [B, S, H]; initial_state [B, H, dv, dk]; seq_lens [B].
-    Returns (o [B, S, H, dv], final_state). State freezes beyond seq_len."""
+def gated_delta_rule_scan(q, k, v, g, beta, initial_state=None, seq_lens=None):
+    """Reference per-timestep recurrence (lax.scan over time). Kept as the
+    oracle for the chunked-parallel form below; O(S) sequential steps."""
     b, s, h, dk = q.shape
     dv = v.shape[-1]
     if initial_state is None:
@@ -95,6 +94,87 @@ def chunk_gated_delta_rule(q, k, v, g, beta, initial_state=None, seq_lens=None):
     )
     final_state, o = jax.lax.scan(step, initial_state.astype(jnp.float32), xs)
     return jnp.moveaxis(o, 0, 1).astype(v.dtype), final_state.astype(initial_state.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def chunk_gated_delta_rule(q, k, v, g, beta, initial_state=None, seq_lens=None, *, chunk: int = 64):
+    """Chunked-parallel gated delta rule (WY representation).
+
+    Reference analog: src/sycl/kernels/gdn_attn/
+    chunk_gated_delta_rule_kernels_xe20.hpp — the chunked form that turns
+    the O(S)-sequential delta-rule recurrence into per-chunk MXU matmuls
+    plus an S/chunk-step inter-chunk state scan.
+
+    Derivation (S_t [dv, dk]; gamma_t = exp(g_t)):
+        S_t = gamma_t S_{t-1} + u_t k_t^T,  u_t = beta_t (v_t - gamma_t S_{t-1} k_t)
+    Within a chunk with inclusive local decay G_t = sum_{j<=t} g_j:
+        (I + A) U = beta (V - e^G K S_0^T),  A[t,i] = beta_t e^{G_t-G_i} (k_t.k_i) 1[i<t]
+    so with Tinv = (I + A)^{-1}:
+        U  = U0 - W S_0^T,  U0 = Tinv (beta V),  W = Tinv (beta e^G K)
+        O  = (e^G Q) S_0^T + M U,   M[t,i] = e^{G_t-G_i} (q_t.k_i) 1[i<=t]
+        S' = e^{G_C} S_0 + sum_t e^{G_C-G_t} u_t k_t^T
+    U0, W, Tinv, M have no cross-chunk dependency and batch over
+    (B, H, n_chunks); only the cheap S' recurrence is sequential.
+
+    q/k [B, S, H, dk], v [B, S, H, dv], g/beta [B, S, H];
+    initial_state [B, H, dv, dk]; seq_lens [B].
+    Returns (o [B, S, H, dv], final_state); state freezes beyond seq_len.
+    """
+    b, s, h, dk = q.shape
+    dv = v.shape[-1]
+    if initial_state is None:
+        initial_state = jnp.zeros((b, h, dv, dk), jnp.float32)
+    if seq_lens is None:
+        seq_lens = jnp.full((b,), s, jnp.int32)
+    c = min(chunk, s)
+    pad = (-s) % c
+    n = (s + pad) // c
+
+    def prep(x, fill=0.0):
+        x = x.astype(jnp.float32)
+        if pad:
+            x = jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2), constant_values=fill)
+        # [B, S', H, ...] -> [B, H, N, C, ...]
+        x = jnp.moveaxis(x, 2, 1)
+        return x.reshape(b, h, n, c, *x.shape[3:])
+
+    valid = (jnp.arange(s + pad)[None, :] < seq_lens[:, None])[:, :, None]  # [B, S', 1]
+    valid_s = valid[:, :s]  # [B, S, 1]
+    gm = prep(jnp.where(valid_s, g.astype(jnp.float32), 0.0))
+    bm = prep(jnp.where(valid_s, beta.astype(jnp.float32), 0.0))
+    qc, kc, vc = prep(q), prep(k), prep(v)
+
+    G = jnp.cumsum(gm, axis=-1)                      # [B,H,N,C] inclusive
+    eG = jnp.exp(G)
+    tri_s = jnp.tril(jnp.ones((c, c), bool), k=-1)   # strict lower
+    tri = jnp.tril(jnp.ones((c, c), bool))           # inclusive
+    rel = jnp.exp(G[..., :, None] - G[..., None, :])  # e^{G_t - G_i}
+    kk = jnp.einsum("bhntd,bhnid->bhnti", kc, kc)
+    A = jnp.where(tri_s, bm[..., :, None] * rel * kk, 0.0)
+    eye = jnp.eye(c, dtype=jnp.float32)
+    Tinv = jax.scipy.linalg.solve_triangular(eye + A, jnp.broadcast_to(eye, A.shape), lower=True)
+    U0 = jnp.einsum("bhnti,bhniv->bhntv", Tinv, bm[..., None] * vc)
+    W = jnp.einsum("bhnti,bhnid->bhntd", Tinv, (bm * eG)[..., None] * kc)
+    qk = jnp.einsum("bhntd,bhnid->bhnti", qc, kc)
+    M = jnp.where(tri, rel * qk, 0.0)
+    eGq = eG[..., None] * qc                          # [B,H,N,C,dk]
+    carry_decay = jnp.exp(G[..., -1])                 # e^{G_C} [B,H,N]
+    tail_decay = jnp.exp(G[..., -1:] - G)             # e^{G_C - G_t} [B,H,N,C]
+
+    def step(S, xs):
+        u0, w, m_mat, egq, kcn, cdec, tdec = xs
+        # S [B,H,dv,dk]
+        u = u0 - jnp.einsum("bhtd,bhvd->bhtv", w, S)           # [B,H,C,dv]
+        o = jnp.einsum("bhtd,bhvd->bhtv", egq, S) + jnp.einsum("bhti,bhiv->bhtv", m_mat, u)
+        S_new = cdec[..., None, None] * S + jnp.einsum("bht,bhtv,bhtd->bhvd", tdec, u, kcn)
+        return S_new, o
+
+    xs = tuple(jnp.moveaxis(x, 2, 0) for x in (U0, W, M, eGq, kc, carry_decay, tail_decay))
+    final_state, o = jax.lax.scan(step, initial_state.astype(jnp.float32), xs)
+    o = jnp.moveaxis(o, 0, 2).reshape(b, h, n * c, dv)[:, :, :s]  # [B,H,S,dv]
+    o = jnp.moveaxis(o, 1, 2)
+    o = jnp.where(valid[:, :s, :, None], o, 0.0)
+    return o.astype(v.dtype), final_state.astype(initial_state.dtype)
 
 
 def _decay_terms(a, b, a_log, dt_bias):

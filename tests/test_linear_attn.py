@@ -187,3 +187,27 @@ class TestStateCache:
         assert np.all(np.asarray(out)[2] == 0)
         cache = state_cache_gather_scatter(cache, jnp.asarray([2]), jnp.asarray([7]))
         np.testing.assert_allclose(np.asarray(cache)[7], states[0], rtol=1e-6)
+
+
+class TestChunkedParallelGdn:
+    """The chunked WY-representation form must match the per-timestep scan
+    exactly (both f32): odd lengths, chunk boundaries, ragged batches."""
+
+    @pytest.mark.parametrize("s,chunk", [(10, 4), (64, 16), (65, 16), (128, 64), (33, 64)])
+    def test_matches_scan(self, rng, s, chunk):
+        from sgl_kernel_tpu.ops.linear_attn import gated_delta_rule_scan
+
+        b, h, dk, dv = 2, 3, 16, 32
+        mk = lambda *sh: jnp.asarray(rng.standard_normal(sh), jnp.float32)
+        q = mk(b, s, h, dk); k = mk(b, s, h, dk)
+        q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        k = k / jnp.linalg.norm(k, axis=-1, keepdims=True)
+        v = mk(b, s, h, dv)
+        g = -jnp.abs(mk(b, s, h)) * 0.5
+        beta = jax.nn.sigmoid(mk(b, s, h))
+        s0 = mk(b, h, dv, dk) * 0.3
+        lens = jnp.asarray(rng.integers(1, s + 1, b), jnp.int32)
+        o_ref, st_ref = gated_delta_rule_scan(q, k, v, g, beta, s0, lens)
+        o, st = chunk_gated_delta_rule(q, k, v, g, beta, s0, lens, chunk=chunk)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(st), np.asarray(st_ref), rtol=2e-4, atol=2e-4)
