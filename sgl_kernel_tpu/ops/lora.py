@@ -7,10 +7,10 @@ segments (one adapter per segment, seg_indptr/weight_indices), shrink-A
 projects to stacked ranks, expand-B scales and adds into the base output.
 
 On TPU the ragged segment structure maps onto the same machinery as MoE:
-per-token adapter ids expand from segments, and ``jax.lax.ragged_dot``-style
-grouped compute is emulated with a gather of per-token adapter weights for
-small ranks (LoRA ranks are tiny, so the A/B weights fit VMEM and gather
-cost is negligible next to the dense base GEMM).
+``jax.lax.ragged_dot`` (XLA's grouped GEMM) over the contiguous token
+segments, with the per-SEGMENT adapter weights gathered once — never a
+per-token weight copy. Rank masking stays per token (adapters in one
+batch may have different ranks).
 """
 
 from __future__ import annotations
@@ -38,12 +38,14 @@ def sgemm_lora_a_fwd(x, weights, seg_indptr, weight_indices, lora_ranks, stack_n
     """
     t = x.shape[0]
     num_loras, out_dim, k = weights.shape
-    seg_ids = _expand_segment_ids(seg_indptr, t)
-    adapter = weight_indices[seg_ids]  # [T]
-    w = weights[adapter]  # [T, out, K]
-    out = jnp.einsum("tk,tok->to", x.astype(jnp.float32), w.astype(jnp.float32))
+    sizes = (seg_indptr[1:] - seg_indptr[:-1]).astype(jnp.int32)  # [S]
+    w_seg = jnp.swapaxes(weights[weight_indices], 1, 2)  # [S, K, out]
+    out = jax.lax.ragged_dot(
+        x, w_seg.astype(x.dtype), sizes, preferred_element_type=jnp.float32
+    )
     max_rank = out_dim // stack_num
-    ranks = lora_ranks[adapter]  # [T]
+    seg_ids = _expand_segment_ids(seg_indptr, t)
+    ranks = lora_ranks[weight_indices[seg_ids]]  # [T]
     col = jnp.arange(out_dim) % max_rank
     mask = col[None, :] < ranks[:, None]
     return jnp.where(mask, out, 0).astype(x.dtype)
@@ -58,10 +60,13 @@ def sgemm_lora_b_fwd(x, weights, seg_indptr, weight_indices, lora_ranks, scaling
     t, max_rank = x.shape
     seg_ids = _expand_segment_ids(seg_indptr, t)
     adapter = weight_indices[seg_ids]
-    w = weights[adapter]  # [T, out, rank]
     ranks = lora_ranks[adapter]
     xm = jnp.where(jnp.arange(max_rank)[None, :] < ranks[:, None], x, 0)
-    out = jnp.einsum("tr,tor->to", xm.astype(jnp.float32), w.astype(jnp.float32))
+    sizes = (seg_indptr[1:] - seg_indptr[:-1]).astype(jnp.int32)
+    w_seg = jnp.swapaxes(weights[weight_indices], 1, 2)  # [S, rank, out]
+    out = jax.lax.ragged_dot(
+        xm, w_seg.astype(xm.dtype), sizes, preferred_element_type=jnp.float32
+    )
     out = out * scalings[adapter][:, None].astype(jnp.float32)
     if base_output is not None:
         out = out + base_output.astype(jnp.float32)

@@ -73,7 +73,7 @@ def _w4_kernel(
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("group_size", "fmt", "bm", "bn", "bk", "out_dtype"))
+@functools.partial(jax.jit, static_argnames=("group_size", "fmt", "bm", "bn", "bk", "out_dtype", "per_channel"))
 def w4a16_grouped_mm(
     x_sorted,
     w,
@@ -87,6 +87,7 @@ def w4a16_grouped_mm(
     bn: int = 1024,
     bk: Optional[int] = None,
     out_dtype=None,
+    per_channel: bool = False,
 ):
     """Block-aligned grouped W4A16 GEMM.
 
@@ -95,6 +96,9 @@ def w4a16_grouped_mm(
     w: [E, N//2, K] packed uint8 (pack_w4_tpu layout per expert);
     scales [E, K//G, N]; zeros opt [E, K//G, N] (z*s pre-product).
     block_expert_ids: [cap // bm] expert id per row-block (scalar-prefetched).
+    per_channel: scales/zeros are [E, 1, N] applied to every k-tile
+      (group_size must equal bk; the per-tile partials telescope to
+      per-channel scaling without materializing repeated scales).
     Returns [cap, N].
     """
     cap, k = x_sorted.shape
@@ -110,14 +114,19 @@ def w4a16_grouped_mm(
     n_k = k // bk
 
     scales_f = scales.astype(jnp.float32)
+    if per_channel:
+        assert ngb == 1 and scales.shape[1] == 1
+        s_spec = pl.BlockSpec((1, ngb, bn), lambda i, j, kk, eids: (eids[i], 0, j))
+    else:
+        s_spec = pl.BlockSpec((1, ngb, bn), lambda i, j, kk, eids: (eids[i], kk, j))
     in_specs = [
         pl.BlockSpec((bm, bk), lambda i, j, kk, eids: (i, kk)),
         pl.BlockSpec((1, bn // 2, bk), lambda i, j, kk, eids: (eids[i], j, kk)),
-        pl.BlockSpec((1, ngb, bn), lambda i, j, kk, eids: (eids[i], kk, j)),
+        s_spec,
     ]
     inputs = [x_sorted, w, scales_f]
     if zeros is not None:
-        in_specs.append(pl.BlockSpec((1, ngb, bn), lambda i, j, kk, eids: (eids[i], kk, j)))
+        in_specs.append(s_spec)
         inputs.append(zeros.astype(jnp.float32))
 
     kernel = functools.partial(
@@ -206,9 +215,9 @@ def w4a8_grouped_mm(
     # contributes part * s -> sum_k (a w) * s == per-channel scaling, and
     # the rank-1 zero term telescopes over k-tiles the same way
     out = w4a16_grouped_mm(
-        a_bf, w, jnp.repeat(scales, k // bk, axis=1), block_expert_ids,
-        zeros=None if zeros is None else jnp.repeat(zeros, k // bk, axis=1),
+        a_bf, w, scales, block_expert_ids, zeros=zeros,
         group_size=bk, bm=bm, bn=bn, bk=bk, out_dtype=jnp.float32,
+        per_channel=True,
     )
     out = out * x_scales.astype(jnp.float32)[:, None]
     return out.astype(out_dtype)
