@@ -67,16 +67,17 @@ def flash_attn_with_kvcache(
         total = cache_seqlens
 
     if sq == 1:
-        out = paged_attention_decode(
+        res = paged_attention_decode(
             q[:, 0], k_cache, v_cache, total, page_table,
             sm_scale=softmax_scale,
             sliding_window=window_size[0] if window_size[0] >= 0 else None,
             logit_soft_cap=softcap or None, sinks=sinks,
+            return_lse=return_softmax_lse,
         )
-        out = out[:, None]
         if return_softmax_lse:
-            raise NotImplementedError("lse on the paged decode path")
-        return out, k_cache, v_cache
+            out, lse = res
+            return out[:, None], lse[:, :, None], k_cache, v_cache  # [B,Hq,Sq=1]
+        return res[:, None], k_cache, v_cache
 
     # multi-token: gather the cache into dense [B, Skv] and run flash
     maxp = page_table.shape[1]

@@ -287,6 +287,38 @@ class TestFlashAttnAPI:
                 np.testing.assert_allclose(np.asarray(out)[i, 0, hh], ref, rtol=2e-3, atol=2e-3)
 
 
+class TestKvcacheDecodeLse:
+    def test_decode_lse(self, rng):
+        """flash_attn_with_kvcache(return_softmax_lse=True) on the sq=1
+        decode path — the reference returns base-2 lse [B, Hq, Sq]."""
+        from sgl_kernel_tpu.ops.attention.api import flash_attn_with_kvcache
+
+        b, hq, hkv, d, pages, page = 1, 4, 2, 64, 4, 32
+        kc = jnp.zeros((hkv, pages, page, d))
+        vc = jnp.zeros_like(kc)
+        table = jnp.asarray([[0, 1, 2, 3]], jnp.int32)
+        hist = 50
+        hk = rng.standard_normal((b, hist, hkv, d)).astype(np.float32)
+        hv = rng.standard_normal((b, hist, hkv, d)).astype(np.float32)
+        q0 = jnp.asarray(rng.standard_normal((b, hist, hq, d)), jnp.float32)
+        _, kc, vc = flash_attn_with_kvcache(
+            q0, kc, vc, jnp.asarray(hk), jnp.asarray(hv),
+            cache_seqlens=jnp.zeros(b, jnp.int32), page_table=table, causal=True,
+        )
+        qd = rng.standard_normal((b, 1, hq, d)).astype(np.float32)
+        out, lse, kc, vc = flash_attn_with_kvcache(
+            jnp.asarray(qd), kc, vc,
+            cache_seqlens=jnp.full(b, hist, jnp.int32), page_table=table,
+            return_softmax_lse=True,
+        )
+        assert lse.shape == (b, hq, 1)
+        g = hq // hkv
+        for hh in range(hq):
+            s = qd[0, 0, hh] @ np.asarray(hk)[0, :, hh // g].T / np.sqrt(d)
+            ref_lse = np.log2(np.exp(s - s.max()).sum()) + s.max() * np.log2(np.e)
+            np.testing.assert_allclose(np.asarray(lse)[0, hh, 0], ref_lse, rtol=1e-3, atol=1e-3)
+
+
 class TestPagedDecodePps:
     @pytest.mark.parametrize("pps", [1, 2, 3, 4])
     def test_pps_variants_match(self, rng, pps):
