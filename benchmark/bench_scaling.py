@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Multi-host scaling-efficiency harness (BASELINE.md: >=80% tokens/s
+scaling at 2+ hosts).
+
+Runs the hybrid dp(DCN) x tp(ICI) decode step at 1 and 2 (simulated)
+hosts with the per-host workload held constant (weak scaling — the
+serving deployment model: each host serves its own requests, TP inside
+the host). Efficiency = tokens/s(2 hosts) / (2 * tokens/s(1 host)).
+
+On this machine hosts are simulated with CPU device blocks
+(--xla_force_host_platform_device_count), so the absolute numbers are
+not TPU numbers; the structural claim that makes the >=80% target hold
+on real DCN is checked separately and printed here: the compiled 2-host
+step contains NO collective crossing a host boundary (see
+parallel/multihost.py:assert_no_dcn_collectives), so per-step time is
+host-local compute + ICI psum only, independent of host count.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import json  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from sgl_kernel_tpu.models import llama  # noqa: E402
+from sgl_kernel_tpu.parallel import tp as tp_lib  # noqa: E402
+from sgl_kernel_tpu.parallel.multihost import (  # noqa: E402
+    assert_no_dcn_collectives,
+    make_hybrid_mesh,
+)
+
+TPN = 4  # devices per (simulated) host
+B_PER_HOST = 8
+
+
+def build(dp):
+    mesh = make_hybrid_mesh({"dp": dp}, {"tp": TPN}, devices=jax.devices()[: dp * TPN])
+    cfg = llama.LlamaConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_layers=4, num_heads=8, num_kv_heads=4, head_dim=32,
+        max_position=128, dtype=jnp.float32,
+    )
+    params = llama.init_weights(cfg, jax.random.PRNGKey(0))
+    b = B_PER_HOST * dp
+    page, npages = 16, max(b, 2)
+    kc, vc = llama.make_caches(cfg, num_pages=npages, page_size=page)
+    rope = llama.build_rope_cache(cfg)
+    tokens = jnp.zeros(b, jnp.int32)
+    tables = jnp.asarray((np.arange(b) % npages).reshape(b, 1), jnp.int32)
+    args = (
+        params, kc, vc, tokens, tokens, tables, jnp.ones(b, jnp.int32),
+        (tables[:, 0] * page).astype(jnp.int32), rope,
+    )
+    step = tp_lib.make_parallel_decode_step(cfg, mesh, params)
+    compiled = jax.jit(step).lower(*args).compile()
+    return mesh, compiled, args, b
+
+
+def time_step(compiled, args, reps=30):
+    logits, _, _ = compiled(*args)
+    jax.block_until_ready(logits)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        logits, _, _ = compiled(*args)
+    jax.block_until_ready(logits)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    results = {}
+    for dp in (1, 2):
+        mesh, compiled, args, b = build(dp)
+        if dp > 1:
+            assert_no_dcn_collectives(compiled, mesh, n_ici=TPN)
+        sec = time_step(compiled, args)
+        results[dp] = b / sec
+        print(f"dp={dp}: {b} tok/step, {sec*1e3:.2f} ms/step, {results[dp]:.0f} tok/s")
+    eff = results[2] / (2 * results[1])
+    print(json.dumps({
+        "metric": "multihost_weak_scaling_2host",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "dcn_collectives_in_step": 0,
+    }))
+
+
+if __name__ == "__main__":
+    main()
