@@ -1,0 +1,172 @@
+"""Correctness tests for the manual-DMA paged decode kernel
+(`paged_attention_decode_dma`) against the dense fp64 oracle and the
+BlockSpec-pipelined kernel. Covers both pool layouts, split-KV, fresh-KV
+fusion, sinks+window, lse, and fp8 descale."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgl_kernel_tpu.ops import attention
+from sgl_kernel_tpu.ops.attention.paged_decode_dma import (
+    choose_num_splits,
+    paged_attention_decode_dma,
+)
+
+from ref_attention import ref_attention
+from test_attention import make_paged
+
+
+def to_layout(k_pages, layout):
+    """make_paged emits head-major [Hkv, P, page, D]; 'page' layout wants
+    [P, Hkv, page, D]."""
+    if layout == "page":
+        return np.moveaxis(k_pages, 0, 1)
+    return k_pages
+
+
+class TestDecodeDma:
+    @pytest.mark.parametrize("layout", ["head", "page"])
+    @pytest.mark.parametrize("hq,hkv", [(8, 8), (32, 8), (4, 1)])
+    def test_basic(self, rng, hq, hkv, layout):
+        b, d, page = 3, 64, 64
+        lengths = [170, 64, 33]
+        k_pages, v_pages, table, ks, vs = make_paged(rng, b, hkv, d, page, lengths, n_pages=16)
+        q = rng.standard_normal((b, hq, d)).astype(np.float32)
+        out = paged_attention_decode_dma(
+            jnp.asarray(q), jnp.asarray(to_layout(k_pages, layout)),
+            jnp.asarray(to_layout(v_pages, layout)),
+            jnp.asarray(lengths, jnp.int32), jnp.asarray(table),
+            layout=layout, chunk_pages=2,
+        )
+        for bb in range(b):
+            ref, _ = ref_attention(q[bb][None], ks[bb], vs[bb], causal=False)
+            np.testing.assert_allclose(np.asarray(out)[bb], ref[0], rtol=2e-2, atol=2e-2)
+
+    @pytest.mark.parametrize("layout", ["head", "page"])
+    @pytest.mark.parametrize("num_splits", [2, 4])
+    def test_split_kv(self, rng, layout, num_splits):
+        b, hq, hkv, d, page = 2, 8, 2, 64, 16
+        lengths = [370, 129]
+        k_pages, v_pages, table, ks, vs = make_paged(rng, b, hkv, d, page, lengths, n_pages=40)
+        q = rng.standard_normal((b, hq, d)).astype(np.float32)
+        out = paged_attention_decode_dma(
+            jnp.asarray(q), jnp.asarray(to_layout(k_pages, layout)),
+            jnp.asarray(to_layout(v_pages, layout)),
+            jnp.asarray(lengths, jnp.int32), jnp.asarray(table),
+            layout=layout, chunk_pages=2, num_splits=num_splits,
+        )
+        for bb in range(b):
+            ref, _ = ref_attention(q[bb][None], ks[bb], vs[bb], causal=False)
+            np.testing.assert_allclose(np.asarray(out)[bb], ref[0], rtol=2e-2, atol=2e-2)
+
+    def test_layer_stacked_pool(self, rng):
+        b, hq, hkv, d, page = 2, 4, 2, 64, 16
+        lengths = [37, 61]
+        k0, v0, table, ks0, vs0 = make_paged(rng, b, hkv, d, page, lengths, n_pages=8)
+        k1, v1, _, ks1, vs1 = make_paged(rng, b, hkv, d, page, lengths, n_pages=8)
+        kp = jnp.asarray(np.stack([k0, k1]))  # [L, Hkv, P, page, D]
+        vp = jnp.asarray(np.stack([v0, v1]))
+        q = rng.standard_normal((b, hq, d)).astype(np.float32)
+        for lid, (ks, vs) in enumerate([(ks0, vs0), (ks1, vs1)]):
+            out = paged_attention_decode_dma(
+                jnp.asarray(q), kp, vp, jnp.asarray(lengths, jnp.int32),
+                jnp.asarray(table), layer_id=lid, layout="head", chunk_pages=2,
+            )
+            for bb in range(b):
+                ref, _ = ref_attention(q[bb][None], ks[bb], vs[bb], causal=False)
+                np.testing.assert_allclose(np.asarray(out)[bb], ref[0], rtol=2e-2, atol=2e-2)
+
+    @pytest.mark.parametrize("num_splits", [1, 3])
+    def test_fresh_kv(self, rng, num_splits):
+        """lengths include the current token whose KV rides in fresh_k/v and
+        is not yet in the pool."""
+        b, hq, hkv, d, page = 2, 8, 2, 64, 16
+        lengths = [49, 97]
+        hist = [n - 1 for n in lengths]
+        k_pages, v_pages, table, ks, vs = make_paged(rng, b, hkv, d, page, hist, n_pages=16)
+        fk = rng.standard_normal((b, hkv, d)).astype(np.float32)
+        fv = rng.standard_normal((b, hkv, d)).astype(np.float32)
+        q = rng.standard_normal((b, hq, d)).astype(np.float32)
+        out = paged_attention_decode_dma(
+            jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+            jnp.asarray(lengths, jnp.int32), jnp.asarray(table),
+            fresh_k=jnp.asarray(fk), fresh_v=jnp.asarray(fv),
+            layout="head", chunk_pages=2, num_splits=num_splits,
+        )
+        for bb in range(b):
+            kk = np.concatenate([ks[bb], fk[bb][None]], 0)
+            vv = np.concatenate([vs[bb], fv[bb][None]], 0)
+            ref, _ = ref_attention(q[bb][None], kk, vv, causal=False)
+            np.testing.assert_allclose(np.asarray(out)[bb], ref[0], rtol=2e-2, atol=2e-2)
+
+    @pytest.mark.parametrize("num_splits", [1, 2])
+    def test_sliding_window_and_sinks(self, rng, num_splits):
+        b, hq, hkv, d, page = 1, 4, 2, 64, 64
+        lengths = [200]
+        k_pages, v_pages, table, ks, vs = make_paged(rng, b, hkv, d, page, lengths, n_pages=8)
+        q = rng.standard_normal((b, hq, d)).astype(np.float32)
+        sinks = rng.standard_normal(hq).astype(np.float32)
+        out = paged_attention_decode_dma(
+            jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+            jnp.asarray(lengths, jnp.int32), jnp.asarray(table),
+            sinks=jnp.asarray(sinks), sliding_window=64,
+            layout="head", chunk_pages=1, num_splits=num_splits,
+        )
+        ref, _ = ref_attention(
+            q[0][None], ks[0], vs[0], causal=False, window=64, sinks=sinks,
+            q_len=1, kv_len=lengths[0],
+        )
+        np.testing.assert_allclose(np.asarray(out)[0], ref[0], rtol=2e-2, atol=2e-2)
+
+    def test_lse_and_soft_cap(self, rng):
+        b, hq, hkv, d, page = 1, 2, 2, 64, 64
+        lengths = [90]
+        k_pages, v_pages, table, ks, vs = make_paged(rng, b, hkv, d, page, lengths, n_pages=4)
+        q = rng.standard_normal((b, hq, d)).astype(np.float32)
+        out, lse = paged_attention_decode_dma(
+            jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+            jnp.asarray(lengths, jnp.int32), jnp.asarray(table),
+            return_lse=True, layout="head", chunk_pages=2,
+        )
+        ref, ref_lse = ref_attention(q[0][None], ks[0], vs[0], causal=False)
+        np.testing.assert_allclose(np.asarray(lse)[0], ref_lse[:, 0], rtol=1e-3, atol=1e-3)
+        out_c = paged_attention_decode_dma(
+            jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+            jnp.asarray(lengths, jnp.int32), jnp.asarray(table),
+            logit_soft_cap=30.0, layout="head", chunk_pages=2,
+        )
+        ref_c = attention.paged_attention_decode(
+            jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+            jnp.asarray(lengths, jnp.int32), jnp.asarray(table), logit_soft_cap=30.0,
+        )
+        np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref_c), rtol=2e-3, atol=2e-3)
+
+    def test_fp8_kv_with_descale(self, rng):
+        b, hq, hkv, d, page = 2, 8, 4, 64, 64
+        lengths = [100, 60]
+        k_pages, v_pages, table, ks, vs = make_paged(rng, b, hkv, d, page, lengths, n_pages=8)
+        k_scale, v_scale = 0.06, 0.04
+        kq = jnp.asarray(k_pages / k_scale).astype(jnp.float8_e4m3fn)
+        vq = jnp.asarray(v_pages / v_scale).astype(jnp.float8_e4m3fn)
+        q = rng.standard_normal((b, hq, d)).astype(np.float32)
+        out = paged_attention_decode_dma(
+            jnp.asarray(q, jnp.bfloat16), kq, vq,
+            jnp.asarray(lengths, jnp.int32), jnp.asarray(table),
+            k_scale=k_scale, v_scale=v_scale, layout="head", chunk_pages=2,
+        )
+        for bb in range(b):
+            ref, _ = ref_attention(q[bb][None], ks[bb], vs[bb], causal=False)
+            np.testing.assert_allclose(np.asarray(out, np.float32)[bb], ref[0], rtol=0.12, atol=0.12)
+
+
+class TestSplitHeuristic:
+    def test_no_split_large_batch(self):
+        assert choose_num_splits(16, 8192, 64, 8) == 1
+
+    def test_no_split_short_context(self):
+        assert choose_num_splits(1, 512, 64, 8) == 1
+
+    def test_split_small_batch_long_context(self):
+        assert choose_num_splits(1, 16384, 64, 8) > 1
+        assert choose_num_splits(2, 16384, 64, 8) >= 2
