@@ -20,14 +20,17 @@ from sgl_kernel_tpu.ops.attention.paged_decode_dma import paged_attention_decode
 PAGE = 64
 
 
-def run(name, b, ctx, hq, hkv, d, kernel, records, reps=512, **kw):
+def run(name, b, ctx, hq, hkv, d, kernel, records, reps=512, kv_dtype=jnp.bfloat16, **kw):
     rng = np.random.default_rng(0)
     blocks = ctx // PAGE
     n_pages = b * blocks + 1
     layout = kw.get("layout", "head")
     shape = (1, hkv, n_pages, PAGE, d) if layout == "head" else (1, n_pages, hkv, PAGE, d)
-    kp = jnp.asarray(rng.standard_normal(shape) * 0.3, jnp.bfloat16)
-    vp = jnp.asarray(rng.standard_normal(shape) * 0.3, jnp.bfloat16)
+    kp = jnp.asarray(rng.standard_normal(shape) * 0.3, jnp.bfloat16).astype(kv_dtype)
+    vp = jnp.asarray(rng.standard_normal(shape) * 0.3, jnp.bfloat16).astype(kv_dtype)
+    if kv_dtype != jnp.bfloat16:
+        kw.setdefault("k_scale", 1.0)
+        kw.setdefault("v_scale", 1.0)
     lengths = jnp.full((b,), ctx, jnp.int32)
     table = jnp.asarray(rng.permutation(np.arange(1, n_pages)).reshape(b, blocks), jnp.int32)
     q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
@@ -37,7 +40,7 @@ def run(name, b, ctx, hq, hkv, d, kernel, records, reps=512, **kw):
         return carry + o * jnp.bfloat16(1e-8)
 
     sec = bench_chain(step, q, reps=reps)
-    kv_gb = 2 * b * ctx * hkv * d * 2 / 1e9
+    kv_gb = 2 * b * ctx * hkv * d * jnp.dtype(kv_dtype).itemsize / 1e9
     records.append(report(name, sec, kv_gbs=round(kv_gb / sec, 1)))
 
 
@@ -50,6 +53,10 @@ CONFIGS = {
     "page16c8": lambda r: run("page16c8", 16, 1024, 32, 8, 128, paged_attention_decode_dma, r, chunk_pages=8, layout="page"),
     "page16c16": lambda r: run("page16c16", 16, 1024, 32, 8, 128, paged_attention_decode_dma, r, chunk_pages=16, layout="page"),
     "head16c16": lambda r: run("head16c16", 16, 1024, 32, 8, 128, paged_attention_decode_dma, r, chunk_pages=16, layout="head"),
+    # fp8 KV pages: half the DMA bytes (the fp8-KV win case)
+    "fp8page16c8": lambda r: run("fp8page16c8", 16, 1024, 32, 8, 128, paged_attention_decode_dma, r, chunk_pages=8, layout="page", kv_dtype=jnp.float8_e4m3fn),
+    "fp8page16c16": lambda r: run("fp8page16c16", 16, 1024, 32, 8, 128, paged_attention_decode_dma, r, chunk_pages=16, layout="page", kv_dtype=jnp.float8_e4m3fn),
+    "fp8old16": lambda r: run("fp8old16", 16, 1024, 32, 8, 128, paged_attention_decode, r, kv_dtype=jnp.float8_e4m3fn),
     # long-context small-batch (split-KV territory)
     "old1x8k": lambda r: run("old1x8k", 1, 8192, 32, 8, 128, paged_attention_decode, r),
     "head1x8k": lambda r: run("head1x8k", 1, 8192, 32, 8, 128, paged_attention_decode_dma, r, chunk_pages=8),

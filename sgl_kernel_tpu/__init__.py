@@ -60,6 +60,7 @@ from .ops.hadamard import hadamard_transform  # noqa: F401
 from .ops.hc import hc_post, hc_split_sinkhorn, mhc_pre  # noqa: F401
 from .ops.kvcache import (  # noqa: F401
     store_cache,
+    store_cache_head_major,
     store_cache_mla,
     transfer_kv_all_layer,
     transfer_kv_all_layer_lf_pf,

@@ -19,7 +19,8 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import flash_attention, paged_attention_decode
+from ..ops.attention import flash_attention
+from ..ops.attention.paged_decode_dma import paged_attention_decode_dma
 from ..ops.kvcache import store_cache_all_layers, store_cache_stacked
 from ..ops.moe import MoeWeights, fused_experts, topk_softmax
 from ..ops.norm import rmsnorm
@@ -72,7 +73,7 @@ def decode_step(params, cfg: GptOssConfig, k_cache, v_cache, tokens, positions, 
             h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
             q, k, v = llama._qkv(h, lw, cfg, b, layer_id=lidx)
             q, k = rope_decode_fused(positions, q, k, rope_cache)
-            attn = paged_attention_decode(
+            attn = paged_attention_decode_dma(
                 q, kc, vc, lengths, page_tables, layer_id=lidx,
                 fresh_k=k, fresh_v=v, sinks=lw["sinks"][lidx],
                 sliding_window=window,

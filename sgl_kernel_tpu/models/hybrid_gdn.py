@@ -19,7 +19,8 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import flash_attention, paged_attention_decode
+from ..ops.attention import flash_attention
+from ..ops.attention.paged_decode_dma import paged_attention_decode_dma
 from ..ops.kvcache import store_cache_stacked
 from ..ops.linear_attn import gdn_attention_decode, gdn_attention_prefill
 from ..ops.norm import rmsnorm
@@ -134,7 +135,7 @@ def decode_step(params, cfg: HybridGdnConfig, k_cache, v_cache, conv_state, ssm_
             h = rmsnorm(x, lw["input_norm"][half], cfg.rms_eps)
             q, k, v = llama._qkv(h, lw, cfg, b, layer_id=half)
             q, k = rope_decode_fused(positions, q, k, rope_cache)
-            attn = paged_attention_decode(
+            attn = paged_attention_decode_dma(
                 q, k_cache, v_cache, lengths, page_tables, layer_id=half,
                 fresh_k=k, fresh_v=v,
             )

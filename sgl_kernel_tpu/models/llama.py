@@ -25,7 +25,8 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import flash_attention, merge_state, paged_attention_decode
+from ..ops.attention import flash_attention, merge_state
+from ..ops.attention.paged_decode_dma import paged_attention_decode_dma
 from ..ops.gemm.w4a16 import quantize_w4, w4a16_gemm
 from ..ops.kvcache import store_cache, store_cache_all_layers, store_cache_stacked
 from ..ops.norm import rmsnorm
@@ -173,9 +174,12 @@ def _linear(x, w, cfg: LlamaConfig, residual=None, layer_id=None):
 
 
 def make_caches(cfg: LlamaConfig, num_pages: int, page_size: int, kv_dtype=None):
-    """Stacked per-layer paged pools [L, Hkv, P, page, D] (x2 for K and V)."""
+    """Stacked per-layer page-major pools [L, P, Hkv, page, D] (x2 for K
+    and V). Page-major keeps each page one contiguous [Hkv, page, D]
+    block — the unit the manual-DMA decode kernel streams (measured 821
+    vs 270 GB/s against per-(head,page) DMAs; docs/PERF.md)."""
     kv_dtype = kv_dtype or cfg.kv_dtype or cfg.dtype
-    shape = (cfg.num_layers, cfg.num_kv_heads, num_pages, page_size, cfg.head_dim)
+    shape = (cfg.num_layers, num_pages, cfg.num_kv_heads, page_size, cfg.head_dim)
     return jnp.zeros(shape, kv_dtype), jnp.zeros(shape, kv_dtype)
 
 
@@ -269,7 +273,7 @@ def decode_layers(lw, cfg: LlamaConfig, k_cache, v_cache, x, positions, page_tab
         h = rmsnorm(x, weights["input_norm"][lidx], cfg.rms_eps)
         q, k, v = _qkv(h, weights, cfg, b, layer_id=lidx)
         q, k = rope_decode_fused(positions, q, k, rope_cache)
-        attn = paged_attention_decode(
+        attn = paged_attention_decode_dma(
             q, kc, vc, lengths, page_tables, layer_id=lidx, fresh_k=k, fresh_v=v
         )
         if tp_axis is None:
@@ -378,11 +382,10 @@ def prefill_extend(
     )  # [B, prefix_max]
 
     def gather_prefix(kc, lidx):
-        l, h, p, pg, d = kc.shape
-        flat = kc.reshape(l * h, p * pg, d)
-        rows = lidx * h + jnp.arange(h)
-        g = flat[rows[:, None, None], pre_slots[None, :, :]]  # [H, B, pre, D]
-        return jnp.transpose(g, (1, 2, 0, 3))  # [B, pre, H, D]
+        # page-major pool [L, P, H, page, D]
+        pid = pre_slots // page_sz
+        off = pre_slots % page_sz
+        return kc[lidx, pid, :, off]  # [B, pre, H, D]
 
     def layer_fn(carry, lidx):
         x, kc, vc = carry

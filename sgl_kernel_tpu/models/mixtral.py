@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from ..ops.moe import MoeWeights, fused_experts, topk_softmax
 from ..ops.norm import rmsnorm
 from ..ops.rope import rope_decode_fused, rotary_embedding
-from ..ops.attention import flash_attention, paged_attention_decode
+from ..ops.attention import flash_attention
+from ..ops.attention.paged_decode_dma import paged_attention_decode_dma
 from ..ops.kvcache import store_cache_all_layers, store_cache_stacked
 from . import llama
 
@@ -81,7 +82,7 @@ def decode_step(params, cfg: MixtralConfig, k_cache, v_cache, tokens, positions,
         h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
         q, k, v = llama._qkv(h, lw, cfg, b, layer_id=lidx)
         q, k = rope_decode_fused(positions, q, k, rope_cache)
-        attn = paged_attention_decode(
+        attn = paged_attention_decode_dma(
             q, kc, vc, lengths, page_tables, layer_id=lidx, fresh_k=k, fresh_v=v
         )
         x = llama._linear(attn.reshape(b, -1), lw["o"], cfg, residual=x, layer_id=lidx)

@@ -8,9 +8,11 @@ these wrappers translate the flash-attn calling conventions onto the
 framework's padded/paged kernels.
 
 Layout note (TPU-native divergence, documented): paged KV pools use the
-framework's head-major layout [Hkv, P, page, D] (ops/attention/
-paged_decode.py), not flash-attn's [P, page, Hkv, D] — head-major keeps
-each head's pages contiguous for the Pallas block specs.
+framework's page-major layout [P, Hkv, page, D] (ops/attention/
+paged_decode_dma.py "page"), close to flash-attn's [P, page, Hkv, D]:
+each page is one contiguous block (the decode kernel's DMA unit), with
+(head, token) ordered head-first inside the page for MXU-friendly
+per-head slicing.
 """
 
 from __future__ import annotations
@@ -21,16 +23,15 @@ import jax
 import jax.numpy as jnp
 
 from .flash_prefill import flash_attention
-from .paged_decode import paged_attention_decode
+from .paged_decode_dma import paged_attention_decode_dma
 
 
 def _store(cache, rows, slots):
-    """rows [T, H, D] -> cache [H, P, page, D] at flat slots [T] (drop <0)."""
-    h, p, page, d = cache.shape
-    flat = cache.reshape(h, p * page, d)
-    safe = jnp.where(slots >= 0, slots, p * page)
-    flat = flat.at[:, safe].set(jnp.swapaxes(rows, 0, 1).astype(cache.dtype), mode="drop")
-    return flat.reshape(cache.shape)
+    """rows [T, H, D] -> cache [P, H, page, D] at flat slots [T] (drop <0)."""
+    p, h, page, d = cache.shape
+    pid = jnp.where(slots >= 0, slots // page, p)
+    off = jnp.where(slots >= 0, slots % page, 0)
+    return cache.at[pid, :, off].set(rows.astype(cache.dtype), mode="drop")
 
 
 def flash_attn_with_kvcache(
@@ -48,14 +49,14 @@ def flash_attn_with_kvcache(
     softcap: float = 0.0,
     return_softmax_lse: bool = False,
 ):
-    """q [B, Sq, Hq, D]; paged caches [Hkv, P, page, D]; page_table
+    """q [B, Sq, Hq, D]; paged caches [P, Hkv, page, D]; page_table
     [B, maxp]; cache_seqlens [B] = tokens already in the cache. When k/v
     ([B, Sq, Hkv, D]) are given they are appended at positions
     cache_seqlens..cache_seqlens+Sq-1 before attention (the flash-attn
     incremental-decoding contract). Returns out [B, Sq, Hq, D]
     (+ base-2 lse [B, Hq, Sq])."""
     b, sq, hq, d = q.shape
-    page = k_cache.shape[2]
+    page = k_cache.shape[-2]  # [P, Hkv, page, D]
 
     if k is not None:
         pos = cache_seqlens[:, None] + jnp.arange(sq)[None, :]  # [B, Sq]
@@ -67,7 +68,7 @@ def flash_attn_with_kvcache(
         total = cache_seqlens
 
     if sq == 1:
-        res = paged_attention_decode(
+        res = paged_attention_decode_dma(
             q[:, 0], k_cache, v_cache, total, page_table,
             sm_scale=softmax_scale,
             sliding_window=window_size[0] if window_size[0] >= 0 else None,
@@ -81,14 +82,11 @@ def flash_attn_with_kvcache(
 
     # multi-token: gather the cache into dense [B, Skv] and run flash
     maxp = page_table.shape[1]
-    hkv = k_cache.shape[0]
-    flat_k = k_cache.reshape(hkv, -1, d)
-    flat_v = v_cache.reshape(hkv, -1, d)
     slot_grid = page_table[:, :, None] * page + jnp.arange(page)[None, None, :]
     slot_grid = slot_grid.reshape(b, maxp * page)
-    kd = jnp.swapaxes(flat_k[:, slot_grid], 0, 1)  # [B, Hkv, Skv, D] -> want [B,Skv,Hkv,D]
-    kd = jnp.swapaxes(kd, 1, 2)
-    vd = jnp.swapaxes(jnp.swapaxes(flat_v[:, slot_grid], 0, 1), 1, 2)
+    pid, off = slot_grid // page, slot_grid % page
+    kd = k_cache[pid, :, off]  # [B, Skv, Hkv, D]
+    vd = v_cache[pid, :, off]
     res = flash_attention(
         q, kd, vd, jnp.full((b,), sq, jnp.int32), total,
         q_start=total - sq, kv_start=jnp.zeros_like(total),

@@ -35,13 +35,27 @@ import jax.numpy as jnp
 
 @jax.jit
 def store_cache(k, v, k_pool, v_pool, loc):
-    """Scatter k/v [T, H, D] into head-major paged pools [H, P, page, D] at
+    """Scatter k/v [T, H, D] into page-major paged pools [P, H, page, D] at
     flat slot indices loc [T] (slot = page_id * page_size + offset; the
-    pool layout matches ops/attention/paged_decode). loc < 0 skips."""
+    pool layout matches ops/attention/paged_decode_dma "page" — each page
+    is one contiguous [H, page, D] block, the unit the decode kernel DMAs).
+    loc < 0 skips."""
+    p, h, page, d = k_pool.shape
+    pid = jnp.where(loc >= 0, loc // page, p)  # OOB drops (scatter mode "drop")
+    off = jnp.where(loc >= 0, loc % page, 0)
+    k_pool = k_pool.at[pid, :, off].set(k.astype(k_pool.dtype), mode="drop")
+    v_pool = v_pool.at[pid, :, off].set(v.astype(v_pool.dtype), mode="drop")
+    return k_pool, v_pool
+
+
+@jax.jit
+def store_cache_head_major(k, v, k_pool, v_pool, loc):
+    """Legacy head-major variant: pools [H, P, page, D] (the BlockSpec
+    decode kernel's layout, kept for compat)."""
     h, p, page, d = k_pool.shape
     flat_k = k_pool.reshape(h, p * page, d)
     flat_v = v_pool.reshape(h, p * page, d)
-    safe = jnp.where(loc >= 0, loc, p * page)  # OOB drops (scatter mode "drop")
+    safe = jnp.where(loc >= 0, loc, p * page)
     flat_k = flat_k.at[:, safe].set(jnp.swapaxes(k, 0, 1).astype(k_pool.dtype), mode="drop")
     flat_v = flat_v.at[:, safe].set(jnp.swapaxes(v, 0, 1).astype(v_pool.dtype), mode="drop")
     return flat_k.reshape(k_pool.shape), flat_v.reshape(v_pool.shape)
@@ -49,35 +63,32 @@ def store_cache(k, v, k_pool, v_pool, loc):
 
 @jax.jit
 def store_cache_stacked(k, v, k_pool, v_pool, loc, layer_id):
-    """store_cache into layer-stacked pools [L, H, P, page, D] at ``layer_id``
-    without slicing the stack (keeps the layer-scan carry copy-free)."""
-    l, h, p, page, d = k_pool.shape
-    fk = k_pool.reshape(l * h, p * page, d)
-    fv = v_pool.reshape(l * h, p * page, d)
-    rows = layer_id * h + jnp.arange(h)
-    safe = jnp.where(loc >= 0, loc, p * page)
-    kt = jnp.swapaxes(k, 0, 1).astype(k_pool.dtype)  # [H, T, D]
-    vt = jnp.swapaxes(v, 0, 1).astype(v_pool.dtype)
-    fk = fk.at[rows[:, None], safe[None, :]].set(kt, mode="drop")
-    fv = fv.at[rows[:, None], safe[None, :]].set(vt, mode="drop")
-    return fk.reshape(k_pool.shape), fv.reshape(v_pool.shape)
+    """store_cache into layer-stacked page-major pools [L, P, H, page, D]
+    at ``layer_id`` without slicing the stack (keeps the layer-scan carry
+    copy-free)."""
+    l, p, h, page, d = k_pool.shape
+    pid = jnp.where(loc >= 0, loc // page, p)
+    off = jnp.where(loc >= 0, loc % page, 0)
+    # advanced indices (scalar layer, pid [T], off [T]) around the head
+    # slice -> result [T, H, D], matching k
+    k_pool = k_pool.at[layer_id, pid, :, off].set(k.astype(k_pool.dtype), mode="drop")
+    v_pool = v_pool.at[layer_id, pid, :, off].set(v.astype(v_pool.dtype), mode="drop")
+    return k_pool, v_pool
 
 
 @jax.jit
 def store_cache_all_layers(k_all, v_all, k_pool, v_pool, loc):
     """Batched scatter of one decode step's K/V for every layer at once:
-    k_all/v_all [L, T, H, D] -> pools [L, H, P, page, D]. One scatter per
+    k_all/v_all [L, T, H, D] -> pools [L, P, H, page, D]. One scatter per
     pool instead of one per layer (the deferred-store decode path)."""
-    l, h, p, page, d = k_pool.shape
-    fk = k_pool.reshape(l * h, p * page, d)
-    fv = v_pool.reshape(l * h, p * page, d)
-    rows = (jnp.arange(l)[:, None] * h + jnp.arange(h)[None, :])  # [L, H]
-    safe = jnp.where(loc >= 0, loc, p * page)
-    kt = jnp.swapaxes(k_all, 1, 2).astype(k_pool.dtype)  # [L, H, T, D]
-    vt = jnp.swapaxes(v_all, 1, 2).astype(v_pool.dtype)
-    fk = fk.at[rows[:, :, None], safe[None, None, :]].set(kt, mode="drop")
-    fv = fv.at[rows[:, :, None], safe[None, None, :]].set(vt, mode="drop")
-    return fk.reshape(k_pool.shape), fv.reshape(v_pool.shape)
+    l, p, h, page, d = k_pool.shape
+    pid = jnp.where(loc >= 0, loc // page, p)
+    off = jnp.where(loc >= 0, loc % page, 0)
+    kt = jnp.swapaxes(k_all, 0, 1).astype(k_pool.dtype)  # [T, L, H, D]
+    vt = jnp.swapaxes(v_all, 0, 1).astype(v_pool.dtype)
+    k_pool = k_pool.at[:, pid, :, off].set(kt, mode="drop")
+    v_pool = v_pool.at[:, pid, :, off].set(vt, mode="drop")
+    return k_pool, v_pool
 
 
 @jax.jit

@@ -33,8 +33,8 @@ def local_config(cfg: llama.LlamaConfig, tp: int) -> llama.LlamaConfig:
 
 
 def _cache_spec():
-    # [L, Hkv, P, page, D]: heads on tp, pages on dp
-    return P(None, "tp", "dp", None, None)
+    # page-major [L, P, Hkv, page, D]: pages on dp, heads on tp
+    return P(None, "dp", "tp", None, None)
 
 
 def _param_specs(params):

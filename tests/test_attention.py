@@ -256,8 +256,8 @@ class TestFlashAttnAPI:
         from sgl_kernel_tpu.ops.attention.api import flash_attn_with_kvcache
 
         b, hq, hkv, d, pages, page = 2, 4, 2, 64, 4, 16
-        kc = jnp.zeros((hkv, pages, page, d))
-        vc = jnp.zeros((hkv, pages, page, d))
+        kc = jnp.zeros((pages, hkv, page, d))
+        vc = jnp.zeros((pages, hkv, page, d))
         table = jnp.asarray([[0, 1], [2, 3]], jnp.int32)
         # seed cache with 3 tokens each
         hist_k = rng.standard_normal((b, 3, hkv, d)).astype(np.float32)
@@ -294,7 +294,7 @@ class TestKvcacheDecodeLse:
         from sgl_kernel_tpu.ops.attention.api import flash_attn_with_kvcache
 
         b, hq, hkv, d, pages, page = 1, 4, 2, 64, 4, 32
-        kc = jnp.zeros((hkv, pages, page, d))
+        kc = jnp.zeros((pages, hkv, page, d))
         vc = jnp.zeros_like(kc)
         table = jnp.asarray([[0, 1, 2, 3]], jnp.int32)
         hist = 50

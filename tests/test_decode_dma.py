@@ -161,12 +161,14 @@ class TestDecodeDma:
 
 
 class TestSplitHeuristic:
-    def test_no_split_large_batch(self):
+    def test_single_core_never_splits(self):
+        # measured: the folded-batch loop saturates one core unsplit
+        assert choose_num_splits(1, 16384, 64, 8) == 1
         assert choose_num_splits(16, 8192, 64, 8) == 1
 
     def test_no_split_short_context(self):
-        assert choose_num_splits(1, 512, 64, 8) == 1
+        assert choose_num_splits(1, 512, 64, 8, num_cores=2) == 1
 
-    def test_split_small_batch_long_context(self):
-        assert choose_num_splits(1, 16384, 64, 8) > 1
-        assert choose_num_splits(2, 16384, 64, 8) >= 2
+    def test_split_small_batch_long_context_multicore(self):
+        assert choose_num_splits(1, 16384, 64, 8, num_cores=2) > 1
+        assert choose_num_splits(1, 16384, 64, 8, num_cores=4) >= 2

@@ -399,7 +399,7 @@ class TestQwenOptions:
         kn = k_ / np.sqrt((k_**2).mean(-1, keepdims=True) + cfg.rms_eps) * lw["k_norm"][0]
         # seq 0 wrote position 0 -> layer 0, page 0, row 0: cache == normed k
         # (rope at position 0 is identity)
-        got_k = np.asarray(kc)[0, :, 0, 0, :]  # [Hkv, D]
+        got_k = np.asarray(kc)[0, 0, :, 0, :]  # page-major pool: [Hkv, D]
         np.testing.assert_allclose(got_k, kn[0], rtol=2e-4, atol=2e-4)
         assert np.isfinite(qn).all()
 

@@ -65,26 +65,64 @@ class TestSampling:
 
 class TestKvCache:
     def test_store_cache_roundtrip(self, rng):
+        # page-major pools [P, H, page, D]
         h, p, page, d, t = 2, 4, 8, 16, 5
-        kp = jnp.zeros((h, p, page, d))
-        vp = jnp.zeros((h, p, page, d))
+        kp = jnp.zeros((p, h, page, d))
+        vp = jnp.zeros((p, h, page, d))
         k = rng.standard_normal((t, h, d)).astype(np.float32)
         v = rng.standard_normal((t, h, d)).astype(np.float32)
         loc = jnp.asarray([0, 3, 8, 17, 31], jnp.int32)  # pages 0,0,1,2,3
         kp2, vp2 = kvcache.store_cache(jnp.asarray(k), jnp.asarray(v), kp, vp, loc)
-        flat = np.asarray(kp2).reshape(h, p * page, d)
+        got = np.asarray(kp2)
         for i, l in enumerate([0, 3, 8, 17, 31]):
-            np.testing.assert_allclose(flat[:, l], k[i].reshape(h, d), rtol=1e-6)
+            np.testing.assert_allclose(got[l // page, :, l % page], k[i], rtol=1e-6)
 
     def test_store_cache_negative_skips(self, rng):
         h, p, page, d = 1, 2, 4, 8
-        kp = jnp.ones((h, p, page, d))
-        vp = jnp.ones((h, p, page, d))
+        kp = jnp.ones((p, h, page, d))
+        vp = jnp.ones((p, h, page, d))
         k = rng.standard_normal((2, h, d)).astype(np.float32)
         kp2, _ = kvcache.store_cache(jnp.asarray(k), jnp.asarray(k), kp, vp, jnp.asarray([-1, 2]))
+        got = np.asarray(kp2)
+        assert np.all(got[0, :, 0] == 1.0)  # loc -1 dropped
+        np.testing.assert_allclose(got[0, :, 2], k[1], rtol=1e-6)
+
+    def test_store_cache_head_major_roundtrip(self, rng):
+        h, p, page, d, t = 2, 4, 8, 16, 3
+        kp = jnp.zeros((h, p, page, d))
+        vp = jnp.zeros((h, p, page, d))
+        k = rng.standard_normal((t, h, d)).astype(np.float32)
+        loc = jnp.asarray([0, 9, 30], jnp.int32)
+        kp2, _ = kvcache.store_cache_head_major(jnp.asarray(k), jnp.asarray(k), kp, vp, loc)
         flat = np.asarray(kp2).reshape(h, p * page, d)
-        assert np.all(flat[:, 0] == 1.0)  # loc -1 dropped
-        np.testing.assert_allclose(flat[:, 2], k[1].reshape(h, d), rtol=1e-6)
+        for i, l in enumerate([0, 9, 30]):
+            np.testing.assert_allclose(flat[:, l], k[i], rtol=1e-6)
+
+    def test_store_cache_stacked_page_major(self, rng):
+        l, p, h, page, d, t = 3, 4, 2, 8, 16, 4
+        kp = jnp.zeros((l, p, h, page, d))
+        vp = jnp.zeros((l, p, h, page, d))
+        k = rng.standard_normal((t, h, d)).astype(np.float32)
+        v = rng.standard_normal((t, h, d)).astype(np.float32)
+        loc = jnp.asarray([2, 8, 17, -1], jnp.int32)
+        kp2, vp2 = kvcache.store_cache_stacked(jnp.asarray(k), jnp.asarray(v), kp, vp, loc, jnp.int32(1))
+        got = np.asarray(kp2)
+        assert np.all(got[0] == 0) and np.all(got[2] == 0)
+        for i, s in enumerate([2, 8, 17]):
+            np.testing.assert_allclose(got[1, s // page, :, s % page], k[i], rtol=1e-6)
+
+    def test_store_cache_all_layers_page_major(self, rng):
+        l, p, h, page, d, t = 2, 3, 2, 4, 8, 3
+        kp = jnp.zeros((l, p, h, page, d))
+        vp = jnp.zeros((l, p, h, page, d))
+        k_all = rng.standard_normal((l, t, h, d)).astype(np.float32)
+        v_all = rng.standard_normal((l, t, h, d)).astype(np.float32)
+        loc = jnp.asarray([1, 5, 11], jnp.int32)
+        kp2, vp2 = kvcache.store_cache_all_layers(jnp.asarray(k_all), jnp.asarray(v_all), kp, vp, loc)
+        got = np.asarray(vp2)
+        for li in range(l):
+            for i, s in enumerate([1, 5, 11]):
+                np.testing.assert_allclose(got[li, s // page, :, s % page], v_all[li, i], rtol=1e-6)
 
     def test_transfer_per_layer(self, rng):
         src_k = jnp.asarray(rng.standard_normal((16, 2, 8)), jnp.float32)
