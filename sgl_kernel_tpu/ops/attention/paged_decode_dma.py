@@ -47,12 +47,13 @@ def _upcast(x, dtype):
     exact for normals AND denormals (bf16 denormal x 2^120 reproduces
     2^-6 x 0.m). e5m2 is bit-upper-half of f16 by construction."""
     if x.dtype == jnp.float8_e4m3fn:
-        u16 = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.uint16)
-        h = ((u16 & 0x80) << 8) | ((u16 & 0x7F) << 4)
+        # shifts on i32 (i16 vector shli does not legalize on Mosaic)
+        u32 = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
+        h = (((u32 & 0x80) << 8) | ((u32 & 0x7F) << 4)).astype(jnp.uint16)
         return (jax.lax.bitcast_convert_type(h, jnp.bfloat16) * jnp.bfloat16(2.0 ** 120)).astype(dtype)
     if x.dtype == jnp.float8_e5m2:
-        u16 = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.uint16) << 8
-        return jax.lax.bitcast_convert_type(u16, jnp.float16).astype(dtype)
+        u32 = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32) << 8
+        return jax.lax.bitcast_convert_type(u32.astype(jnp.uint16), jnp.float16).astype(dtype)
     return x.astype(dtype)
 
 

@@ -48,6 +48,32 @@ _E2M1_MAG = (0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0)
 
 GROUPS_PER_KTILE = 8  # bk = 8 * group_size
 
+# Per-shape tile table, (N, K, m_bucket) -> (bm, bn, bk). Measured on-chip
+# (benchmark/tune_w4a16.py sweep; the reference's analog is the per-dim
+# tile instantiation grids in src/FMHAPrefillXe20.cmake:11-87 picked by
+# host heuristics). m_bucket: 0 = decode (M <= 32), 1 = small prefill
+# (M <= 256), 2 = large prefill. Fallback: the global defaults below.
+_TILE_TABLE = {}
+
+
+def _m_bucket(m: int) -> int:
+    return 0 if m <= 32 else (1 if m <= 256 else 2)
+
+
+def pick_tiles(m: int, n: int, k: int, group_size: int):
+    """(bm, bn, bk) for this shape: exact table hit or measured defaults."""
+    hit = _TILE_TABLE.get((n, k, _m_bucket(m)))
+    if hit is not None:
+        bm, bn, bk = hit
+        return bm, bn, bk
+    from ...utils import round_up as _ru
+    return min(256, _ru(m, 8)), 2048, GROUPS_PER_KTILE * group_size
+
+
+def register_tiles(table):
+    """Merge tuner output {(n, k, m_bucket): (bm, bn, bk)} into the table."""
+    _TILE_TABLE.update(table)
+
 
 def _decode_tile(w_ref, fmt: str):
     """Packed uint8 tile [bn/2, bk] -> bf16 codes [bn, bk] (unscaled)."""
@@ -164,12 +190,14 @@ def w4a16_gemm(
         assert w.shape == (n // 2, k) and w.dtype == jnp.uint8, (w.shape, w.dtype)
         assert scales.shape == (k // group_size, n), (scales.shape, (k // group_size, n))
 
-    bm = bm or min(256, round_up(m, 8))
+    tbm, tbn, tbk = pick_tiles(m, n, k, group_size)
+    bm = bm or tbm
+    bn = tbn if bn == 2048 else bn  # explicit bn kwarg overrides the table
     bn = min(bn, n)
     while n % bn != 0:  # largest power-of-two-ish divisor <= requested bn
         bn //= 2
     assert bn >= 2, (n, bn)  # tiny N (tests) still works, just less efficient
-    bk = bk or min(GROUPS_PER_KTILE * group_size, k)
+    bk = bk or min(tbk, k)
     assert n % bn == 0 and k % bk == 0 and bk % group_size == 0, (n, bn, k, bk)
     ngb = bk // group_size
 

@@ -80,7 +80,8 @@ def per_token_quant_fp8(x, *, dtype=FP8_E4M3):
 
 @partial(
     jax.jit,
-    static_argnames=("group_size", "eps", "qmin", "qmax", "dtype", "scale_ue8m0", "fuse_silu_and_mul"),
+    static_argnames=("group_size", "eps", "qmin", "qmax", "dtype", "scale_ue8m0",
+                     "column_major_scales", "fuse_silu_and_mul"),
 )
 def per_token_group_quant_8bit(
     x,
@@ -91,6 +92,7 @@ def per_token_group_quant_8bit(
     qmax: Optional[float] = None,
     dtype=FP8_E4M3,
     scale_ue8m0: bool = False,
+    column_major_scales: bool = False,
     fuse_silu_and_mul: bool = False,
     masked_m=None,
 ):
@@ -135,6 +137,10 @@ def per_token_group_quant_8bit(
         valid = rows < masked_m[:, None]
         q = jnp.where(valid[..., None], q, jnp.zeros_like(q))
         scales = jnp.where(valid[..., None], scales, jnp.zeros_like(scales))
+    if column_major_scales:
+        # reference runtime flag (per_token_group_quant_8bit.hpp:173-180):
+        # scales laid out [..., K/G, M] for column-major-consuming GEMMs
+        scales = jnp.swapaxes(scales, -1, -2)
     return q, scales
 
 
