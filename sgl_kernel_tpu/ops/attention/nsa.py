@@ -18,33 +18,226 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
+from ...utils import cdiv, pallas_interpret, round_up
 from .mla import D_CKV, D_LATENT, D_ROPE
+from .paged_decode_dma import _upcast
 
 FAST_TOPK_K = 2048  # reference contract: fixed topk (top_k.py:27-33)
 
 
-@functools.partial(jax.jit, static_argnames=("topk",))
-def fp8_paged_mqa_logits(q, kv_pages, weights, lengths, page_table, *, topk: Optional[int] = None):
-    """Indexer scoring: logits[b, t] = sum_h w[h] * relu(q[b,h] . k[t]).
+def _mqa_logits_kernel(
+    lens_ref, pt_ref,          # scalar prefetch [B], [B, n_blocks]
+    q_ref,                     # VMEM [B, Hp, D] bf16
+    w_ref,                     # VMEM [B, Hp] f32
+    k_hbm,                     # ANY [P, page, D]
+    ks_hbm,                    # ANY [P, page] f32 or None
+    out_hbm,                   # ANY [B, n_blocks*page] f32 (output)
+    kb, ksb, ob,               # scratch: [2, cpp, page, D], [2, cpp, page] f32, [2, span] f32
+    in_sem, out_sem,           # DMA sems (2, 2) / (2,)
+    *,
+    page: int,
+    cpp: int,
+    n_chunks: int,
+    batch: int,
+    has_scale: bool,
+):
+    """Streaming NSA indexer scoring (reference Fp8MqaLogitsXe20.cpp +
+    the 2-stage schedule in fp8_paged_mqa_logits.py): folds every
+    (sequence, chunk) into one flat double-buffered DMA loop — the paged
+    KV is never materialized in HBM (the round-1 XLA path gathered
+    [B, max_tokens, D], an O(ctx) blowup per decode step)."""
+    span = page * cpp
 
-    q: [B, H, D] (fp8 or bf16); kv_pages: [P, page, D]; weights: [H];
-    lengths [B]; page_table [B, max_pages]. Returns logits [B, max_tokens]
-    with -inf beyond length (reference contract: fp8_paged_mqa_logits,
-    torch_extension_sycl.cc:489-493; pure-torch prefill oracle nsa.py).
+    def seq_of(t):
+        return t // n_chunks
+
+    def chunk_of(t):
+        return jax.lax.rem(t, n_chunks)
+
+    def valid(t):
+        return chunk_of(t) * span < lens_ref[seq_of(t)]
+
+    def in_dmas(t, slot):
+        i, c = seq_of(t), chunk_of(t)
+        out = []
+        for j in range(cpp):
+            pid = pt_ref[i, c * cpp + j]
+            out.append(pltpu.make_async_copy(k_hbm.at[pid], kb.at[slot, j], in_sem.at[slot, 0]))
+            if has_scale:
+                out.append(pltpu.make_async_copy(ks_hbm.at[pid], ksb.at[slot, j], in_sem.at[slot, 1]))
+        return out
+
+    def out_dma(t, slot):
+        i, c = seq_of(t), chunk_of(t)
+        return pltpu.make_async_copy(
+            ob.at[slot], out_hbm.at[i, pl.ds(c * span, span)], out_sem.at[slot]
+        )
+
+    T = batch * n_chunks
+
+    @pl.when(valid(0))
+    def _warm():
+        for d in in_dmas(0, 0):
+            d.start()
+
+    def body(t, carry):
+        in_issued, done = carry
+        nxt = jnp.logical_and(t + 1 < T, valid(t + 1))
+
+        @pl.when(nxt)
+        def _next():
+            for d in in_dmas(t + 1, jax.lax.rem(in_issued, 2)):
+                d.start()
+        in_issued = in_issued + jnp.where(nxt, 1, 0)
+
+        @pl.when(valid(t))
+        def _this():
+            slot = jax.lax.rem(done, 2)
+            for d in in_dmas(t, slot):
+                d.wait()
+            # the out DMA issued 2 valid-chunks ago reused this ob slot
+            @pl.when(done >= 2)
+            def _drain():
+                out_dma(t, slot).wait()
+            i = seq_of(t)
+            k = _upcast(kb[slot].reshape(span, -1), q_ref.dtype)
+            sc = jax.lax.dot_general(
+                q_ref[i], k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Hp, span]
+            logits = jax.lax.dot_general(
+                w_ref[i].reshape(1, -1), jnp.maximum(sc, 0.0),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )[0]  # [span]
+            if has_scale:
+                logits = logits * ksb[slot].reshape(span)
+            ob[slot] = logits
+            out_dma(t, slot).start()
+        done = done + jnp.where(valid(t), 1, 0)
+        return (in_issued, done)
+
+    init = jnp.where(valid(0), 1, 0)
+    _, done = jax.lax.fori_loop(0, T, body, (init, 0))
+
+    # drain the in-flight output DMAs (shape-identical descriptors; the
+    # wait is on the semaphore + byte count)
+    @pl.when(done >= 1)
+    def _d1():
+        out_dma(0, jax.lax.rem(done - 1, 2)).wait()
+
+    @pl.when(done >= 2)
+    def _d2():
+        out_dma(0, jax.lax.rem(done - 2, 2)).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_pages",))
+def fp8_paged_mqa_logits(q, kv_pages, weights, lengths, page_table,
+                         kv_scales=None, *, chunk_pages: int = 16):
+    """Indexer scoring: logits[b, t] = sum_h w[b,h] * relu(q[b,h] . k[t]) * s[t].
+
+    q: [B, H, D] (fp8 or bf16); kv_pages: [P, page, D] (fp8 or bf16);
+    weights: [B, H] (or [H], broadcast); kv_scales: optional [P, page] f32
+    per-token descale (the reference packs fp8 row + f32 scale into one
+    132-byte cache line, nsa.py:159); lengths [B]; page_table [B, max_pages].
+    Returns logits [B, max_tokens] f32 with -inf beyond length (reference
+    fp8_paged_mqa_logits, torch_extension_sycl.cc:489-493).
+
+    Pallas manual-DMA streaming kernel — the selected pages stream through
+    a double-buffered VMEM window; nothing O(ctx) is materialized.
     """
     b, h, d = q.shape
     n_pages, page, _ = kv_pages.shape
-    max_tokens = page_table.shape[1] * page
-    # gather pages -> [B, max_tokens, D]
-    k = kv_pages[page_table].reshape(b, max_tokens, d)
-    qk = jnp.einsum(
-        "bhd,btd->bht", q.astype(jnp.float32), k.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+    n_blocks = page_table.shape[1]
+    max_tokens = n_blocks * page
+    if weights.ndim == 1:
+        weights = jnp.broadcast_to(weights[None, :], (b, h))
+
+    hp = round_up(h, 8)
+    # compute dtype: fp8 operands upcast to bf16 (MXU-native); f32 stays f32
+    if q.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        qf = _upcast(q, jnp.bfloat16)
+    elif q.dtype == jnp.float32 and kv_pages.dtype == jnp.float32:
+        qf = q
+    else:
+        qf = q.astype(jnp.bfloat16)
+    if hp != h:
+        qf = jnp.pad(qf, ((0, 0), (0, hp - h), (0, 0)))
+        weights = jnp.pad(weights, ((0, 0), (0, hp - h)))
+    wf = weights.astype(jnp.float32)
+
+    cpp = min(chunk_pages, n_blocks, max(1, 2048 // page))
+    if n_blocks % cpp:
+        pad = cpp - n_blocks % cpp
+        page_table = jnp.pad(page_table, ((0, 0), (0, pad)))
+        n_blocks += pad
+    n_chunks = n_blocks // cpp
+    span = page * cpp
+    has_scale = kv_scales is not None
+
+    inputs = [qf, wf, kv_pages]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    # q/w live in VMEM blocks (whole array)
+    in_specs[0] = pl.BlockSpec((b, hp, d), lambda g, lens, pt: (0, 0, 0))
+    in_specs[1] = pl.BlockSpec((b, hp), lambda g, lens, pt: (0, 0))
+    if has_scale:
+        inputs.append(kv_scales.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+
+    kernel = functools.partial(
+        _mqa_logits_entry,
+        page=page, cpp=cpp, n_chunks=n_chunks, batch=b, has_scale=has_scale,
     )
-    logits = jnp.einsum("bht,h->bt", jax.nn.relu(qk), weights.astype(jnp.float32))
-    pos = jnp.arange(max_tokens)[None, :]
-    return jnp.where(pos < lengths[:, None], logits, -jnp.inf)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(1,),
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            scratch_shapes=[
+                pltpu.VMEM((2, cpp, page, d), kv_pages.dtype),
+                pltpu.VMEM((2, cpp, page), jnp.float32),
+                pltpu.VMEM((2, span), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b, n_blocks * page), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hp * max_tokens * d,
+            bytes_accessed=b * max_tokens * d * kv_pages.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=pallas_interpret(),
+    )(lengths.astype(jnp.int32), page_table.astype(jnp.int32), *inputs)[0]
+
+    pos = jnp.arange(n_blocks * page)[None, :]
+    out = jnp.where(pos < lengths[:, None], out, -jnp.inf)
+    return out[:, :max_tokens] if out.shape[1] != max_tokens else out
+
+
+def _mqa_logits_entry(lens_ref, pt_ref, q_ref, w_ref, k_hbm, *rest, has_scale, **kw):
+    if has_scale:
+        ks_hbm, out_hbm = rest[0], rest[1]
+        rest = rest[2:]
+    else:
+        ks_hbm, out_hbm = None, rest[0]
+        rest = rest[1:]
+    kb, ksb, ob, in_sem, out_sem = rest
+    _mqa_logits_kernel(
+        lens_ref, pt_ref, q_ref, w_ref, k_hbm, ks_hbm, out_hbm,
+        kb, ksb, ob, in_sem, out_sem, has_scale=has_scale, **kw,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("clean_logits",))

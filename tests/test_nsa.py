@@ -27,6 +27,57 @@ class TestIndexer:
         np.testing.assert_allclose(float(out[0, 5]), ref, rtol=1e-4)
         assert np.isinf(np.asarray(out)[1, 25]) and np.asarray(out)[1, 25] < 0
 
+    def test_fp8_mqa_logits_full_oracle(self, rng):
+        """Whole-array oracle over ragged lengths and multiple DMA chunks."""
+        b, h, d, page, npages = 3, 4, 64, 16, 24
+        q = rng.standard_normal((b, h, d)).astype(np.float32)
+        kv = rng.standard_normal((npages, page, d)).astype(np.float32)
+        w = rng.standard_normal((b, h)).astype(np.float32)
+        nb = 7
+        table = rng.permutation(np.arange(1, npages))[: b * nb].reshape(b, nb).astype(np.int32)
+        lengths = np.asarray([nb * page, 3 * page + 5, 1], np.int32)
+        out = np.asarray(nsa.fp8_paged_mqa_logits(
+            jnp.asarray(q), jnp.asarray(kv), jnp.asarray(w),
+            jnp.asarray(lengths), jnp.asarray(table), chunk_pages=2,
+        ))
+        assert out.shape == (b, nb * page)
+        gathered = kv[table].reshape(b, nb * page, d)
+        ref = np.einsum(
+            "bh,bht->bt", w, np.maximum(np.einsum("bhd,btd->bht", q, gathered), 0.0)
+        )
+        pos = np.arange(nb * page)[None, :]
+        ref = np.where(pos < lengths[:, None], ref, -np.inf)
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+    def test_fp8_mqa_logits_fp8_with_scales(self, rng):
+        """fp8 q + fp8 kv pages + per-token f32 descale (the reference's
+        132-byte packed row contract, nsa.py:159)."""
+        b, h, d, page, npages = 2, 4, 64, 16, 8
+        q = (rng.standard_normal((b, h, d)) * 0.5).astype(np.float32)
+        kv = (rng.standard_normal((npages, page, d)) * 0.5).astype(np.float32)
+        ksc = (0.5 + rng.random((npages, page))).astype(np.float32)
+        w = rng.standard_normal((b, h)).astype(np.float32)
+        table = np.asarray([[1, 2, 3], [4, 5, 6]], np.int32)
+        lengths = np.asarray([48, 20], np.int32)
+        q8 = jnp.asarray(q).astype(jnp.float8_e4m3fn)
+        kv8 = jnp.asarray(kv).astype(jnp.float8_e4m3fn)
+        out = np.asarray(nsa.fp8_paged_mqa_logits(
+            q8, kv8, jnp.asarray(w), jnp.asarray(lengths), jnp.asarray(table),
+            jnp.asarray(ksc), chunk_pages=2,
+        ))
+        qd = np.asarray(q8.astype(jnp.float32))
+        kd = np.asarray(kv8.astype(jnp.float32))
+        gathered = kd[table].reshape(b, 48, d)
+        sct = ksc[table].reshape(b, 48)
+        ref = np.einsum(
+            "bh,bht->bt", w, np.maximum(np.einsum("bhd,btd->bht", qd, gathered), 0.0)
+        ) * sct
+        pos = np.arange(48)[None, :]
+        ref = np.where(pos < lengths[:, None], ref, -np.inf)
+        finite = np.isfinite(ref)
+        np.testing.assert_allclose(out[finite], ref[finite], rtol=2e-2, atol=2e-2)
+        assert (out[~finite] == -np.inf).all()
+
     def test_fast_topk(self, rng):
         b, t = 2, 256
         logits = rng.standard_normal((b, t)).astype(np.float32)
