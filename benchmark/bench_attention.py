@@ -68,13 +68,75 @@ def bench_mla(rng, b, ctx, h, records):
     records.append(report(f"mla_decode:{b}-{ctx}-{h}-{PAGE}", sec, kv_gbs=round(kv_gb / sec, 1)))
 
 
+def bench_decode_dma(rng, b, ctx, hq, hkv, d, records, kv_dtype=jnp.bfloat16,
+                     num_splits=1):
+    from sgl_kernel_tpu.ops.attention.paged_decode_dma import paged_attention_decode_dma
+
+    blocks = ctx // PAGE
+    n_pages = b * blocks + 1
+    kp = (jax.random.normal(jax.random.PRNGKey(0), (n_pages, hkv, PAGE, d), jnp.bfloat16) * 0.3).astype(kv_dtype)
+    vp = (jax.random.normal(jax.random.PRNGKey(1), (n_pages, hkv, PAGE, d), jnp.bfloat16) * 0.3).astype(kv_dtype)
+    lengths = jnp.full((b,), ctx, jnp.int32)
+    table = jnp.asarray(rng.permutation(np.arange(1, n_pages)).reshape(b, blocks), jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+    fk = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.bfloat16)
+
+    def step(carry):
+        o = paged_attention_decode_dma(
+            carry, kp, vp, lengths, table, fresh_k=fk, fresh_v=fk,
+            num_splits=num_splits,
+        )
+        return carry + o * jnp.bfloat16(1e-8)
+
+    sec = bench_chain(step, q, reps=128 if ctx <= 2048 else 32)
+    kv_gb = 2 * b * ctx * hkv * d * jnp.dtype(kv_dtype).itemsize / 1e9
+    tag = "" if kv_dtype == jnp.bfloat16 else "-fp8"
+    stag = "" if num_splits == 1 else f"-s{num_splits}"
+    records.append(report(
+        f"paged_decode_dma{tag}{stag}:{b}-{ctx}-{hq}-{hkv}-{d}-{PAGE}", sec,
+        kv_gbs=round(kv_gb / sec, 1)))
+
+
+def bench_prefill_features(rng, records):
+    b, s, hq, hkv, d = 1, 4096, 32, 8, 128
+    q = jnp.asarray(rng.standard_normal((b, s, hq, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16)
+    for name, kw in [
+        ("window", dict(causal=True, sliding_window=1024)),
+        ("softcap", dict(causal=True, logit_soft_cap=30.0)),
+    ]:
+        def step(carry, kw=kw):
+            o = flash_attention(carry, k, v, **kw)
+            return carry + o * jnp.bfloat16(1e-8)
+
+        sec = bench_chain(step, q, reps=8)
+        records.append(report(f"flash_prefill_{name}:{b}-{s}-{hq}-{hkv}-{d}", sec))
+
+
 def main():
     rng = np.random.default_rng(0)
     records = []
+    # BlockSpec pipelined kernel (legacy path)
     bench_decode(rng, 16, 1024, 32, 8, 128, records)
     bench_decode(rng, 8, 4096, 32, 8, 128, records)
+    # manual-DMA kernel grid (the model decode path)
+    for b, ctx in [(1, 1024), (1, 8192), (4, 4096), (16, 1024), (16, 8192), (64, 1024)]:
+        bench_decode_dma(rng, b, ctx, 32, 8, 128, records)
+    bench_decode_dma(rng, 16, 1024, 32, 8, 128, records, kv_dtype=jnp.float8_e4m3fn)
+    bench_decode_dma(rng, 1, 8192, 32, 8, 128, records, kv_dtype=jnp.float8_e4m3fn)
+    bench_decode_dma(rng, 1, 8192, 32, 8, 128, records, num_splits=4)
+    # GQA variants
+    bench_decode_dma(rng, 16, 1024, 32, 32, 128, records)  # MHA
+    bench_decode_dma(rng, 16, 1024, 64, 8, 64, records)
+    # prefill
     bench_prefill(rng, 1, 2048, 32, 8, 128, records)
+    bench_prefill(rng, 1, 8192, 32, 8, 128, records)
+    bench_prefill(rng, 8, 2048, 32, 8, 128, records)
+    bench_prefill_features(rng, records)
+    # MLA
     bench_mla(rng, 16, 1024, 16, records)
+    bench_mla(rng, 4, 8192, 16, records)
     compare_to_baseline(records, load_baseline())
 
 

@@ -68,6 +68,18 @@ def compare_to_baseline(records, baseline):
             print(f"{name}: {ms:.3f} ms (no baseline)")
 
 
+def check_regressions(records, baseline, threshold: float = 0.10):
+    """Entries slower than baseline by > threshold (the reference CI gate:
+    pr-test-xpu.yml fails the PR on baseline diffs). Returns [(name, ms,
+    base_ms, pct), ...]."""
+    bad = []
+    for rec in records:
+        base = baseline.get(rec["name"])
+        if base and rec["ms"] > base * (1 + threshold):
+            bad.append((rec["name"], rec["ms"], base, (rec["ms"] - base) / base * 100))
+    return bad
+
+
 def update_baseline(records, path=None):
     path = path or os.path.join(os.path.dirname(__file__), "baseline.json")
     baseline = load_baseline(path)

@@ -1,0 +1,315 @@
+#!/usr/bin/env python
+"""Elementwise / sampling / NSA / GDN / LoRA / speculative op latency grid.
+
+Reference analogs: bench_rmsnorm.py, bench_rope.py, bench_activation.py,
+bench_top_k_top_p.py, bench_lora.py and the NSA/GDN kernel suites —
+key schema op:{shape-dash-list} like update_baseline_from_log.py."""
+
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "..")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchmark.bench_lib import bench_chain, compare_to_baseline, load_baseline, report
+
+records = []
+rng = np.random.default_rng(0)
+
+
+def add(name, sec, **extra):
+    records.append(report(name, sec, **extra))
+
+
+def feed(o, carry):
+    """Fold output into the bf16 carry without growing it."""
+    flat = o.reshape(-1)
+    w = min(flat.shape[0], carry.reshape(-1).shape[0])
+    c = carry.reshape(-1).at[:w].add((flat[:w] * 1e-6).astype(carry.dtype))
+    return c.reshape(carry.shape)
+
+
+def bench_norm():
+    from sgl_kernel_tpu.ops.norm import fused_add_rmsnorm, rmsnorm
+
+    for t, h in [(16, 4096), (1024, 4096), (16, 8192)]:
+        x = jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16)
+        w = jnp.ones((h,), jnp.bfloat16)
+        sec = bench_chain(lambda c: feed(rmsnorm(c, w, 1e-5), c), x, reps=128)
+        add(f"rmsnorm:{t}-{h}", sec, gbs=round(2 * t * h * 2 / sec / 1e9, 1))
+    t, h = 1024, 4096
+    x = jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16)
+    r = jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16)
+    w = jnp.ones((h,), jnp.bfloat16)
+
+    def far(c):
+        o, res = fused_add_rmsnorm(c, r, w, 1e-5)
+        return feed(o, c)
+
+    sec = bench_chain(far, x, reps=128)
+    add(f"fused_add_rmsnorm:{t}-{h}", sec, gbs=round(3 * t * h * 2 / sec / 1e9, 1))
+
+
+def bench_rope():
+    from sgl_kernel_tpu.ops.rope import compute_cos_sin_cache, rope_decode_fused, rotary_embedding
+
+    cache = compute_cos_sin_cache(128, 8192, 500000.0)
+    for b in (16, 256):
+        q = jnp.asarray(rng.standard_normal((b, 32, 128)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((b, 8, 128)), jnp.bfloat16)
+        pos = jnp.full((b,), 1000, jnp.int32)
+
+        def step(c, k=k, pos=pos):
+            qq, _ = rope_decode_fused(pos, c, k, cache)
+            return feed(qq, c)
+
+        sec = bench_chain(step, q, reps=128)
+        add(f"rope_decode_fused:{b}-32-8-128", sec)
+    t = 4096
+    q = jnp.asarray(rng.standard_normal((t, 32, 128)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((t, 8, 128)), jnp.bfloat16)
+    pos = jnp.arange(t, dtype=jnp.int32)
+
+    def step(c):
+        qq, _ = rotary_embedding(pos, c, k, 128, cache)
+        return feed(qq, c)
+
+    sec = bench_chain(step, q, reps=32)
+    add(f"rotary_embedding:{t}-32-128", sec)
+
+
+def bench_activation():
+    from sgl_kernel_tpu.ops.activation import silu_and_mul, swiglu_alpha_limit
+
+    for t in (16, 1024):
+        x = jnp.asarray(rng.standard_normal((t, 2 * 14336)), jnp.bfloat16)
+        sec = bench_chain(lambda c: feed(silu_and_mul(c), c), x, reps=64)
+        add(f"silu_and_mul:{t}-14336", sec, gbs=round(3 * t * 14336 * 2 / sec / 1e9, 1))
+    x = jnp.asarray(rng.standard_normal((1024, 2 * 14336)), jnp.bfloat16)
+    sec = bench_chain(lambda c: feed(swiglu_alpha_limit(c), c), x, reps=64)
+    add("swiglu_alpha_limit:1024-14336", sec)
+
+
+def bench_sampling():
+    from sgl_kernel_tpu.ops.sampling import (
+        top_k_renorm_probs, top_k_top_p_sampling_from_probs, top_p_renorm_probs,
+    )
+
+    v = 128256
+    for b in (16, 64):
+        p = jax.nn.softmax(jnp.asarray(rng.standard_normal((b, v)), jnp.float32))
+        key = jax.random.PRNGKey(0)
+
+        def step(c, key=key):
+            toks = top_k_top_p_sampling_from_probs(
+                c, key, jnp.full((c.shape[0],), 50), jnp.full((c.shape[0],), 0.9))
+            return c.at[:, 0].add(toks.astype(jnp.float32) * 1e-9)
+
+        sec = bench_chain(step, p, reps=16)
+        add(f"top_k_top_p_sampling:{b}-{v}", sec)
+    p = jax.nn.softmax(jnp.asarray(rng.standard_normal((16, v)), jnp.float32))
+    sec = bench_chain(lambda c: top_k_renorm_probs(c, jnp.full((16,), 50)) + c * 1e-9, p, reps=16)
+    add(f"top_k_renorm:16-{v}", sec)
+    sec = bench_chain(lambda c: top_p_renorm_probs(c, jnp.full((16,), 0.9)) + c * 1e-9, p, reps=16)
+    add(f"top_p_renorm:16-{v}", sec)
+
+
+def bench_nsa():
+    from sgl_kernel_tpu.ops.attention.nsa import (
+        fast_topk, fp8_paged_mqa_logits, sparse_mla_decode,
+    )
+
+    page, d, h = 64, 128, 32
+    for b, ctx in [(4, 8192), (1, 32768)]:
+        blocks = ctx // page
+        n_pages = b * blocks + 1
+        kv = jnp.asarray(rng.standard_normal((n_pages, page, d)) * 0.3, jnp.bfloat16)
+        w = jnp.asarray(np.abs(rng.standard_normal((b, h))), jnp.float32)
+        table = jnp.asarray(rng.permutation(np.arange(1, n_pages))[: b * blocks].reshape(b, blocks), jnp.int32)
+        lengths = jnp.full((b,), ctx, jnp.int32)
+        q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.bfloat16)
+
+        def step(c, kv=kv, w=w, lengths=lengths, table=table):
+            lg = fp8_paged_mqa_logits(c, kv, w, lengths, table)
+            return c.at[:, 0, 0].add(lg[:, 0] * 1e-9)
+
+        sec = bench_chain(step, q, reps=16)
+        add(f"nsa_indexer_logits:{b}-{ctx}-{h}-{d}", sec,
+            gbs=round(b * ctx * d * 2 / sec / 1e9, 1))
+
+    b, ctx = 4, 8192
+    logits = jnp.asarray(rng.standard_normal((b, ctx)), jnp.float32)
+    lengths = jnp.full((b,), ctx, jnp.int32)
+    sec = bench_chain(lambda c: c + fast_topk(c, lengths, 2048).astype(jnp.float32) * 0, logits, reps=16)
+    add(f"nsa_fast_topk:{b}-{ctx}-2048", sec)
+
+    nslots, kk = 64 * 1024, 2048
+    pool = jnp.asarray(rng.standard_normal((nslots, 576)) * 0.1, jnp.bfloat16)
+    qn = jnp.asarray(rng.standard_normal((b, 16, 512)), jnp.bfloat16)
+    qp = jnp.asarray(rng.standard_normal((b, 16, 64)), jnp.bfloat16)
+    slots = jnp.asarray(rng.integers(0, nslots, (b, kk)), jnp.int32)
+
+    def step(c):
+        o = sparse_mla_decode(c, qp, pool, slots)
+        return feed(o, c)
+
+    sec = bench_chain(step, qn, reps=16)
+    add(f"nsa_sparse_mla_decode:{b}-16-{kk}", sec,
+        gbs=round(b * kk * 576 * 2 / sec / 1e9, 1))
+
+
+def bench_gdn():
+    from sgl_kernel_tpu.ops.linear_attn.gdn import chunk_gated_delta_rule, gated_delta_rule_update
+
+    b, s, h, dk, dv = 1, 4096, 8, 128, 128
+    q = jnp.asarray(rng.standard_normal((b, s, h, dk)) * 0.1, jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, s, h, dk)) * 0.1, jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, s, h, dv)) * 0.1, jnp.bfloat16)
+    g = jnp.asarray(-np.abs(rng.standard_normal((b, s, h))) * 0.1, jnp.float32)
+    beta = jnp.asarray(rng.random((b, s, h)), jnp.float32)
+
+    def step(c):
+        o, st = chunk_gated_delta_rule(c, k, v, g, beta)
+        return feed(o, c)
+
+    sec = bench_chain(step, q, reps=8)
+    add(f"gdn_chunk_prefill:{b}-{s}-{h}-{dk}", sec)
+
+    bd = 64
+    qd = jnp.asarray(rng.standard_normal((bd, h, dk)) * 0.1, jnp.bfloat16)
+    kd = jnp.asarray(rng.standard_normal((bd, h, dk)) * 0.1, jnp.bfloat16)
+    vd = jnp.asarray(rng.standard_normal((bd, h, dv)) * 0.1, jnp.bfloat16)
+    gd = jnp.asarray(-np.abs(rng.standard_normal((bd, h))) * 0.1, jnp.float32)
+    bb = jnp.asarray(rng.random((bd, h)), jnp.float32)
+    st = jnp.asarray(rng.standard_normal((bd, h, dk, dv)) * 0.1, jnp.float32)
+
+    def dstep(c):
+        o, st2 = gated_delta_rule_update(qd, kd, vd, gd, bb, c)
+        return c + st2 * 1e-9
+
+    sec = bench_chain(dstep, st, reps=64)
+    add(f"gdn_decode_update:{bd}-{h}-{dk}-{dv}", sec)
+
+
+def bench_lora():
+    from sgl_kernel_tpu.ops.lora import sgemm_lora_a_fwd, sgemm_lora_b_fwd
+
+    t, k, rank, nl = 256, 4096, 64, 4
+    x = jnp.asarray(rng.standard_normal((t, k)), jnp.bfloat16)
+    wa = jnp.asarray(rng.standard_normal((nl, rank, k)) * 0.02, jnp.bfloat16)
+    wb = jnp.asarray(rng.standard_normal((nl, k, rank)) * 0.02, jnp.bfloat16)
+    seg = jnp.asarray([0, 64, 160, 200, 256], jnp.int32)
+    widx = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    ranks = jnp.full((nl,), rank, jnp.int32)
+
+    def astep(c):
+        o = sgemm_lora_a_fwd(c, wa, seg, widx, ranks)
+        return feed(o, c)
+
+    sec = bench_chain(astep, x, reps=32)
+    add(f"lora_sgemm_a:{t}-{k}-{rank}", sec)
+
+    xr = jnp.asarray(rng.standard_normal((t, rank)), jnp.bfloat16)
+    scal = jnp.ones((nl,), jnp.float32)
+
+    def bstep(c):
+        o = sgemm_lora_b_fwd(c, wb, seg, widx, ranks, scal)
+        return feed(o, c)
+
+    sec = bench_chain(bstep, xr, reps=32)
+    add(f"lora_sgemm_b:{t}-{k}-{rank}", sec)
+
+
+def bench_spec_grammar_merge():
+    from sgl_kernel_tpu.ops.attention.merge_state import merge_states
+    from sgl_kernel_tpu.ops.grammar import apply_token_bitmask
+    from sgl_kernel_tpu.ops.speculative import verify_tree_greedy
+
+    n, t, h, d = 8, 64, 32, 128
+    v = jnp.asarray(rng.standard_normal((n, t, h, d)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((n, t, h)), jnp.float32)
+
+    def mstep(c):
+        o, _ = merge_states(c, s)
+        return c + o[None] * 1e-9
+
+    sec = bench_chain(mstep, v, reps=32)
+    add(f"merge_states:{n}-{t}-{h}-{d}", sec)
+
+    b, vv = 16, 128256
+    logits = jnp.asarray(rng.standard_normal((b, vv)), jnp.float32)
+    bm = jnp.asarray(rng.integers(0, 2**31, (b, (vv + 31) // 32)), jnp.int32)
+    sec = bench_chain(lambda c: apply_token_bitmask(c, bm) * 1e-9 + c, logits, reps=32)
+    add(f"grammar_bitmask:{b}-{vv}", sec)
+
+    b, nd, steps = 16, 8, 4
+    cand = jnp.asarray(rng.integers(0, 1000, (b, nd)), jnp.int32)
+    ridx = jnp.tile(jnp.arange(nd, dtype=jnp.int32)[None], (b, 1))
+    rnext = jnp.asarray(np.tile(np.r_[np.arange(1, nd), -1][None], (b, 1)), jnp.int32)
+    rsib = jnp.full((b, nd), -1, jnp.int32)
+    tgt = jnp.asarray(rng.integers(0, 1000, (b, nd)), jnp.int32)
+
+    def vstep(c):
+        pred, acc, num = verify_tree_greedy(c, ridx, rnext, rsib, tgt, steps)
+        return c.at[:, 0].add(num.astype(jnp.int32) * 0)
+
+    sec = bench_chain(vstep, cand, reps=64)
+    add(f"verify_tree_greedy:{b}-{nd}-{steps}", sec)
+
+
+def bench_hadamard():
+    from sgl_kernel_tpu.ops.hadamard import hadamard_transform
+
+    x = jnp.asarray(rng.standard_normal((1024, 128)), jnp.bfloat16)
+    sec = bench_chain(lambda c: feed(hadamard_transform(c, 0.0883883), c), x, reps=64)
+    add("hadamard:1024-128", sec)
+
+
+def bench_store():
+    from sgl_kernel_tpu.ops.kvcache import store_cache, store_cache_all_layers
+
+    l, p, h, page, d, t = 32, 129, 8, 128, 128, 16
+    kp = jnp.zeros((l, p, h, page, d), jnp.bfloat16)
+    vp = jnp.zeros_like(kp)
+    ka = jnp.asarray(rng.standard_normal((l, t, h, d)), jnp.bfloat16)
+    loc = jnp.asarray(np.arange(t) * page + 5, jnp.int32)
+
+    def step(carry):
+        ka_, kp_, vp_ = carry
+        kp_, vp_ = store_cache_all_layers(ka_, ka_, kp_, vp_, loc)
+        ka_ = ka_ + kp_[:, :t, 0, 0, 0].reshape(l, t, 1, 1) * jnp.bfloat16(1e-9)
+        return (ka_, kp_, vp_)
+
+    sec = bench_chain(step, (ka, kp, vp), reps=64)
+    add(f"store_cache_all_layers:{l}-{t}-{h}-{d}", sec, us=round(sec * 1e6, 1))
+
+    kp1 = jnp.zeros((p, h, page, d), jnp.bfloat16)
+    vp1 = jnp.zeros_like(kp1)
+    k1 = jnp.asarray(rng.standard_normal((t, h, d)), jnp.bfloat16)
+
+    def step1(carry):
+        k_, kp_, vp_ = carry
+        kp_, vp_ = store_cache(k_, k_, kp_, vp_, loc)
+        k_ = k_ + kp_[:t, 0, 0, 0].reshape(t, 1, 1) * jnp.bfloat16(1e-9)
+        return (k_, kp_, vp_)
+
+    sec = bench_chain(step1, (k1, kp1, vp1), reps=64)
+    add(f"store_cache:{t}-{h}-{d}", sec, us=round(sec * 1e6, 1))
+
+
+def main():
+    for fn in (bench_norm, bench_rope, bench_activation, bench_sampling,
+               bench_nsa, bench_gdn, bench_lora, bench_spec_grammar_merge,
+               bench_hadamard, bench_store):
+        try:
+            fn()
+        except Exception as e:  # keep the grid going; missing entries show in diff
+            print(f"SKIP {fn.__name__}: {type(e).__name__} {str(e)[:200]}", flush=True)
+    compare_to_baseline(records, load_baseline())
+
+
+if __name__ == "__main__":
+    main()

@@ -2,7 +2,11 @@
 """Run the benchmark suite and update/check baseline.json.
 
 Reference analog: the pr-test-xpu.yml bench loop + update_baseline_from_log.py.
-Usage: python benchmark/run_all.py [--update]
+Usage: python benchmark/run_all.py [--update | --check] [--only substr]
+
+--update rewrites baseline.json from this run; --check exits 1 when any
+entry regresses >10% vs baseline (the CI perf gate); --only runs the
+subset of scripts whose filename contains substr.
 """
 
 import json
@@ -10,19 +14,33 @@ import subprocess
 import sys
 import os
 
-SCRIPTS = ["bench_w4a16_gemm.py", "bench_attention.py", "bench_fused_moe.py", "bench_quant_gemm.py"]
+SCRIPTS = [
+    "bench_w4a16_gemm.py",
+    "bench_attention.py",
+    "bench_fused_moe.py",
+    "bench_quant_gemm.py",
+    "bench_quant_ops.py",
+    "bench_misc_ops.py",
+    "bench_kvcacheio.py",
+]
 
 
 def main():
     update = "--update" in sys.argv
+    check = "--check" in sys.argv
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
     here = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(here)
     records = []
     for script in SCRIPTS:
+        if only and only not in script:
+            continue
         print(f"== {script} ==", flush=True)
         proc = subprocess.run(
             [sys.executable, os.path.join(here, script)],
-            capture_output=True, text=True, cwd=root, timeout=1800,
+            capture_output=True, text=True, cwd=root, timeout=3600,
         )
         print(proc.stdout)
         if proc.returncode != 0:
@@ -34,12 +52,19 @@ def main():
                     records.append(json.loads(line))
                 except json.JSONDecodeError:
                     pass
-    if update:
-        sys.path.insert(0, here)
-        from bench_lib import update_baseline
+    sys.path.insert(0, here)
+    from bench_lib import check_regressions, load_baseline, update_baseline
 
+    if update:
         update_baseline(records)
         print(f"baseline.json updated with {len(records)} entries")
+    if check:
+        bad = check_regressions(records, load_baseline())
+        for name, ms, base, pct in bad:
+            print(f"REGRESSION {name}: {ms:.4f} ms vs {base:.4f} (+{pct:.1f}%)")
+        if bad:
+            sys.exit(1)
+        print(f"perf gate OK ({len(records)} entries)")
 
 
 if __name__ == "__main__":

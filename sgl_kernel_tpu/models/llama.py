@@ -267,14 +267,18 @@ def decode_layers(lw, cfg: LlamaConfig, k_cache, v_cache, x, positions, page_tab
         # stacked caches AND stacked weights stay whole: the attention and
         # GEMM kernels select the layer via scalar-prefetched layer_id, so
         # the scan body contains no per-layer dynamic-slice of big arrays
-        # (a sliced Pallas operand would be a materialized HBM copy)
-        x, kc, vc = carry
+        # (a sliced Pallas operand would be a materialized HBM copy).
+        # The pools are closure constants, NOT scan carry: threading a
+        # read-only multi-GB buffer through the carry defeats XLA's
+        # in-place analysis for the deferred store below (measured
+        # ~7 ms/step of pool copies on the headline decode).
+        x = carry
         weights = lw
         h = rmsnorm(x, weights["input_norm"][lidx], cfg.rms_eps)
         q, k, v = _qkv(h, weights, cfg, b, layer_id=lidx)
         q, k = rope_decode_fused(positions, q, k, rope_cache)
         attn = paged_attention_decode_dma(
-            q, kc, vc, lengths, page_tables, layer_id=lidx, fresh_k=k, fresh_v=v
+            q, k_cache, v_cache, lengths, page_tables, layer_id=lidx, fresh_k=k, fresh_v=v
         )
         if tp_axis is None:
             x = _linear(attn.reshape(b, -1), weights["o"], cfg, residual=x, layer_id=lidx)
@@ -284,11 +288,9 @@ def decode_layers(lw, cfg: LlamaConfig, k_cache, v_cache, x, positions, page_tab
             x = x + _maybe_psum(_linear(attn.reshape(b, -1), weights["o"], cfg, layer_id=lidx), tp_axis)
             h2 = rmsnorm(x, weights["post_norm"][lidx], cfg.rms_eps)
             x = x + _maybe_psum(_mlp(h2, weights, cfg, layer_id=lidx), tp_axis)
-        return (x, kc, vc), (k, v)
+        return x, (k, v)
 
-    (x, k_cache, v_cache), (k_all, v_all) = jax.lax.scan(
-        layer_fn, (x, k_cache, v_cache), jnp.arange(n_stack)
-    )
+    x, (k_all, v_all) = jax.lax.scan(layer_fn, x, jnp.arange(n_stack))
     k_cache, v_cache = store_cache_all_layers(k_all, v_all, k_cache, v_cache, slot_loc)
     return x, k_cache, v_cache
 

@@ -39,13 +39,28 @@ def store_cache(k, v, k_pool, v_pool, loc):
     flat slot indices loc [T] (slot = page_id * page_size + offset; the
     pool layout matches ops/attention/paged_decode_dma "page" — each page
     is one contiguous [H, page, D] block, the unit the decode kernel DMAs).
-    loc < 0 skips."""
+    loc < 0 skips.
+
+    Scatters go through a flat [P*H*page, D] view with ONE advanced index:
+    interior advanced indices around a slice (``pool.at[pid, :, off]``)
+    reorder the indexed axes to the front, which XLA lowers as transposes
+    of the multi-GB pool around the scatter — measured ~7 ms/step on the
+    headline decode (docs/PERF.md round 2)."""
     p, h, page, d = k_pool.shape
-    pid = jnp.where(loc >= 0, loc // page, p)  # OOB drops (scatter mode "drop")
+    slot = _page_major_slots(loc, p, h, page)  # [T, H]
+    fk = k_pool.reshape(p * h * page, d)
+    fv = v_pool.reshape(p * h * page, d)
+    fk = fk.at[slot].set(k.astype(k_pool.dtype), mode="drop")
+    fv = fv.at[slot].set(v.astype(v_pool.dtype), mode="drop")
+    return fk.reshape(k_pool.shape), fv.reshape(v_pool.shape)
+
+
+def _page_major_slots(loc, p, h, page):
+    """loc [T] flat (page*page_size+offset) -> flat [T, H] row ids in the
+    [P*H*page] page-major view; loc < 0 maps out of range (drop)."""
+    pid = jnp.where(loc >= 0, loc // page, p)
     off = jnp.where(loc >= 0, loc % page, 0)
-    k_pool = k_pool.at[pid, :, off].set(k.astype(k_pool.dtype), mode="drop")
-    v_pool = v_pool.at[pid, :, off].set(v.astype(v_pool.dtype), mode="drop")
-    return k_pool, v_pool
+    return (pid * (h * page) + off)[:, None] + jnp.arange(h)[None, :] * page
 
 
 @jax.jit
@@ -67,28 +82,34 @@ def store_cache_stacked(k, v, k_pool, v_pool, loc, layer_id):
     at ``layer_id`` without slicing the stack (keeps the layer-scan carry
     copy-free)."""
     l, p, h, page, d = k_pool.shape
-    pid = jnp.where(loc >= 0, loc // page, p)
-    off = jnp.where(loc >= 0, loc % page, 0)
-    # advanced indices (scalar layer, pid [T], off [T]) around the head
-    # slice -> result [T, H, D], matching k
-    k_pool = k_pool.at[layer_id, pid, :, off].set(k.astype(k_pool.dtype), mode="drop")
-    v_pool = v_pool.at[layer_id, pid, :, off].set(v.astype(v_pool.dtype), mode="drop")
-    return k_pool, v_pool
+    slot = _page_major_slots(loc, p, h, page)  # [T, H]
+    fk = k_pool.reshape(l, p * h * page, d)
+    fv = v_pool.reshape(l, p * h * page, d)
+    fk = fk.at[layer_id, slot].set(k.astype(k_pool.dtype), mode="drop")
+    fv = fv.at[layer_id, slot].set(v.astype(v_pool.dtype), mode="drop")
+    return fk.reshape(k_pool.shape), fv.reshape(v_pool.shape)
 
 
 @jax.jit
 def store_cache_all_layers(k_all, v_all, k_pool, v_pool, loc):
     """Batched scatter of one decode step's K/V for every layer at once:
-    k_all/v_all [L, T, H, D] -> pools [L, P, H, page, D]. One scatter per
-    pool instead of one per layer (the deferred-store decode path)."""
+    k_all/v_all [L, T, H, D] -> pools [L, P, H, page, D] (the deferred-store
+    decode path). The scatter runs on the FULLY flat [L*P*H*page, D] view
+    with one leading advanced index and a trailing [D] window — interior
+    advanced indices (``pool.at[:, pid, :, off]``) make XLA transpose the
+    multi-GB pool around the scatter (~7 ms/step measured on the headline
+    decode; docs/PERF.md round 2)."""
     l, p, h, page, d = k_pool.shape
-    pid = jnp.where(loc >= 0, loc // page, p)
-    off = jnp.where(loc >= 0, loc % page, 0)
-    kt = jnp.swapaxes(k_all, 0, 1).astype(k_pool.dtype)  # [T, L, H, D]
-    vt = jnp.swapaxes(v_all, 0, 1).astype(v_pool.dtype)
-    k_pool = k_pool.at[:, pid, :, off].set(kt, mode="drop")
-    v_pool = v_pool.at[:, pid, :, off].set(vt, mode="drop")
-    return k_pool, v_pool
+    slot = _page_major_slots(loc, p, h, page)  # [T, H]
+    rows = (jnp.arange(l) * (p * h * page))[:, None, None] + slot[None]  # [L, T, H]
+    # re-apply the drop encoding: per-layer OOB offsets would land in the
+    # NEXT layer's region of the flat view
+    rows = jnp.where((loc >= 0)[None, :, None], rows, l * p * h * page)
+    fk = k_pool.reshape(l * p * h * page, d)
+    fv = v_pool.reshape(l * p * h * page, d)
+    fk = fk.at[rows].set(k_all.astype(k_pool.dtype), mode="drop")
+    fv = fv.at[rows].set(v_all.astype(v_pool.dtype), mode="drop")
+    return fk.reshape(k_pool.shape), fv.reshape(v_pool.shape)
 
 
 @jax.jit
