@@ -26,6 +26,10 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import pallas_interpret
 
 
 # ---------------------------------------------------------------------------
@@ -91,14 +95,13 @@ def store_cache_stacked(k, v, k_pool, v_pool, loc, layer_id):
 
 
 @jax.jit
-def store_cache_all_layers(k_all, v_all, k_pool, v_pool, loc):
-    """Batched scatter of one decode step's K/V for every layer at once:
-    k_all/v_all [L, T, H, D] -> pools [L, P, H, page, D] (the deferred-store
-    decode path). The scatter runs on the FULLY flat [L*P*H*page, D] view
-    with one leading advanced index and a trailing [D] window — interior
-    advanced indices (``pool.at[:, pid, :, off]``) make XLA transpose the
-    multi-GB pool around the scatter (~7 ms/step measured on the headline
-    decode; docs/PERF.md round 2)."""
+def store_cache_all_layers_xla(k_all, v_all, k_pool, v_pool, loc):
+    """XLA-scatter variant of store_cache_all_layers (fallback for page
+    sizes the DMA kernel can't window). The scatter runs on the FULLY flat
+    [L*P*H*page, D] view with one leading advanced index and a trailing
+    [D] window — interior advanced indices (``pool.at[:, pid, :, off]``)
+    make XLA transpose the multi-GB pool around the scatter (~7 ms/step
+    measured on the headline decode; docs/PERF.md round 2)."""
     l, p, h, page, d = k_pool.shape
     slot = _page_major_slots(loc, p, h, page)  # [T, H]
     rows = (jnp.arange(l) * (p * h * page))[:, None, None] + slot[None]  # [L, T, H]
@@ -110,6 +113,103 @@ def store_cache_all_layers(k_all, v_all, k_pool, v_pool, loc):
     fk = fk.at[rows].set(k_all.astype(k_pool.dtype), mode="drop")
     fv = fv.at[rows].set(v_all.astype(v_pool.dtype), mode="drop")
     return fk.reshape(k_pool.shape), fv.reshape(v_pool.shape)
+
+
+_WIN = 8  # DMA window extent in the page dim (Mosaic sublane tiling unit)
+
+
+def _store_all_layers_kernel(pid_ref, woff_ref, row_ref, k_all_ref, v_all_ref,
+                             k_in, v_in, ko_ref, vo_ref, kwin, vwin, sem,
+                             *, t_count: int, n_pages: int):
+    """Windowed read-modify-write store: per token DMA the aligned
+    [L, H, _WIN, D] page window in, overwrite one row with the fresh KV via
+    a vector select, DMA it back. Tokens are serialized (wait-out before
+    next read) so same-window tokens — spec decode writes several adjacent
+    offsets of one page — stay correct. XLA's scatter lowering walks the
+    L*T*H rows one by one (~0.3 ms isolated, ~1.2 ms in-model per step at
+    Llama-8B shapes); this kernel moves 32x the bytes but in 64 big strided
+    DMAs, ~50 us. Pools are input_output_aliased: in-place by construction."""
+    del k_in, v_in  # aliased: ko_ref/vo_ref ARE the pool buffers
+
+    def body(t, _):
+        pid = pid_ref[t]
+        woff = woff_ref[t]
+        row = row_ref[t]
+
+        @pl.when(pid < n_pages)
+        def _():
+            kd = pltpu.make_async_copy(
+                ko_ref.at[:, pid, :, pl.ds(woff, _WIN), :], kwin, sem.at[0])
+            vd = pltpu.make_async_copy(
+                vo_ref.at[:, pid, :, pl.ds(woff, _WIN), :], vwin, sem.at[1])
+            kd.start()
+            vd.start()
+            kd.wait()
+            vd.wait()
+            mask = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, _WIN, 1), 2) == row)
+            kwin[...] = jnp.where(mask, k_all_ref[:, t][:, :, None, :], kwin[...])
+            vwin[...] = jnp.where(mask, v_all_ref[:, t][:, :, None, :], vwin[...])
+            ko = pltpu.make_async_copy(
+                kwin, ko_ref.at[:, pid, :, pl.ds(woff, _WIN), :], sem.at[0])
+            vo = pltpu.make_async_copy(
+                vwin, vo_ref.at[:, pid, :, pl.ds(woff, _WIN), :], sem.at[1])
+            ko.start()
+            vo.start()
+            ko.wait()
+            vo.wait()
+        return 0
+
+    jax.lax.fori_loop(0, t_count, body, 0)
+
+
+@jax.jit
+def store_cache_all_layers(k_all, v_all, k_pool, v_pool, loc):
+    """Batched scatter of one decode step's K/V for every layer at once:
+    k_all/v_all [L, T, H, D] -> pools [L, P, H, page, D] (the deferred-store
+    decode path). Pallas windowed read-modify-write DMA kernel; falls back
+    to the XLA scatter when the page size can't host an aligned window."""
+    l, p, h, page, d = k_pool.shape
+    if page % _WIN:
+        return store_cache_all_layers_xla(k_all, v_all, k_pool, v_pool, loc)
+    t = loc.shape[0]
+    pid = jnp.where(loc >= 0, loc // page, p).astype(jnp.int32)
+    off = jnp.where(loc >= 0, loc % page, 0).astype(jnp.int32)
+    woff = (off // _WIN) * _WIN
+    row = off - woff
+    ka = k_all.astype(k_pool.dtype)
+    va = v_all.astype(v_pool.dtype)
+    kernel = functools.partial(_store_all_layers_kernel, t_count=t, n_pages=p)
+    return tuple(pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((l, t, h, d), lambda g, pid, woff, row: (0, 0, 0, 0)),
+                pl.BlockSpec((l, t, h, d), lambda g, pid, woff, row: (0, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((l, h, _WIN, d), k_pool.dtype),
+                pltpu.VMEM((l, h, _WIN, d), v_pool.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+        ],
+        input_output_aliases={5: 0, 6: 1},  # flattened inputs incl. 3 prefetch args
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=pallas_interpret(),
+    )(pid, woff, row, ka, va, k_pool, v_pool))
 
 
 @jax.jit

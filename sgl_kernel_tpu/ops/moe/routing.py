@@ -35,18 +35,37 @@ def _score(x, scoring_func: str):
     raise ValueError(f"unknown scoring_func {scoring_func}")
 
 
-def _finalize(weights, ids, *, renormalize, routed_scaling_factor, apply_on_output, num_fused_shared_experts, num_experts):
-    if renormalize:
-        weights = weights / jnp.maximum(jnp.sum(weights, axis=-1, keepdims=True), 1e-20)
-    if apply_on_output and routed_scaling_factor not in (0, 1.0):
-        weights = weights * routed_scaling_factor
+def _finalize(weights, ids, *, renormalize, routed_scaling_factor, apply_on_output,
+              num_fused_shared_experts, num_experts, rsf_in_renorm=False,
+              shared_unit_when_renorm=False):
+    """Shared top-k epilogue. Two reference conventions exist:
+
+    - TopKSigMoid.cpp:167-177: the scaling factor is FOLDED INTO the
+      renormalization (scale = rsf / row_sum) and the fused shared expert
+      weighs 1.0 when renormalizing, row_sum / rsf otherwise
+      (``rsf_in_renorm=shared_unit_when_renorm=True``).
+    - BiasedTopK.cpp:161-165 / MoE_fused_gate.cpp:297-323: the routed
+      weights renormalize by 1/row_sum, then multiply by rsf only when
+      ``apply_routed_scaling_factor_on_output``; the shared expert always
+      weighs row_sum / rsf.
+    """
+    rs = routed_scaling_factor if routed_scaling_factor else 1.0
+    row_sum = jnp.sum(weights, axis=-1, keepdims=True)
     if num_fused_shared_experts:
         t = weights.shape[0]
-        rs = routed_scaling_factor if routed_scaling_factor else 1.0
         shared_ids = jnp.broadcast_to(
             num_experts + jnp.arange(num_fused_shared_experts, dtype=ids.dtype), (t, num_fused_shared_experts)
         )
-        shared_w = jnp.full((t, num_fused_shared_experts), 1.0 / rs, weights.dtype)
+        if shared_unit_when_renorm and renormalize:
+            shared_w = jnp.ones((t, num_fused_shared_experts), weights.dtype)
+        else:
+            shared_w = jnp.broadcast_to(row_sum / rs, (t, num_fused_shared_experts)).astype(weights.dtype)
+    if renormalize:
+        scale = (rs if rsf_in_renorm else 1.0) / (row_sum + 1e-20)
+        weights = weights * scale
+    if apply_on_output and routed_scaling_factor not in (0, 1.0):
+        weights = weights * routed_scaling_factor
+    if num_fused_shared_experts:
         weights = jnp.concatenate([weights, shared_w], axis=-1)
         ids = jnp.concatenate([ids, shared_ids], axis=-1)
     return weights, ids
@@ -74,7 +93,8 @@ def topk_sigmoid(
     apply_routed_scaling_factor_on_output: bool = False,
     num_fused_shared_experts: int = 0,
 ):
-    """Sigmoid scoring top-k (TopKSigMoid.cpp semantics)."""
+    """Sigmoid scoring top-k (TopKSigMoid.cpp semantics: the scaling factor
+    rides inside the renormalization, TopKSigMoid.cpp:167-177)."""
     scores = _score(gating_output, "sigmoid")
     w, ids = jax.lax.top_k(scores, topk)
     w, ids = _finalize(
@@ -85,6 +105,8 @@ def topk_sigmoid(
         apply_on_output=apply_routed_scaling_factor_on_output,
         num_fused_shared_experts=num_fused_shared_experts,
         num_experts=gating_output.shape[-1],
+        rsf_in_renorm=not apply_routed_scaling_factor_on_output,
+        shared_unit_when_renorm=True,
     )
     return w, ids
 

@@ -65,7 +65,7 @@ class TestRouting:
         w, ids = moe.topk_sigmoid(jnp.asarray(g), k, routed_scaling_factor=2.0, num_fused_shared_experts=1)
         assert ids.shape == (t, k + 1)
         assert np.all(np.asarray(ids)[:, -1] == e)
-        np.testing.assert_allclose(np.asarray(w)[:, -1], 0.5)
+        np.testing.assert_allclose(np.asarray(w)[:, -1], 1.0)  # renormalize=True -> shared weight 1.0 (TopKSigMoid.cpp:167)
 
     def test_hash_topk(self, rng):
         t, e, k, vocab = 6, 16, 2, 100

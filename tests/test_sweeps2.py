@@ -1,0 +1,254 @@
+"""Second sweep batch: MoE routing/grouped-GEMM grids, RoPE variant grids,
+GDN chunked-vs-sequential consistency grids, conv1d, merge_states N-way
+(VERDICT round-1 #9 continued)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgl_kernel_tpu.ops import moe
+from sgl_kernel_tpu.ops.rope import compute_cos_sin_cache, rotary_embedding
+
+
+class TestRoutingSweep:
+    @pytest.mark.parametrize("e", [8, 64])
+    @pytest.mark.parametrize("k", [1, 2, 8])
+    @pytest.mark.parametrize("renorm", [False, True])
+    def test_topk_softmax_grid(self, rng, e, k, renorm):
+        if k > e:
+            pytest.skip("k>e")
+        g = rng.standard_normal((16, e)).astype(np.float32)
+        w, ids = moe.topk_softmax(jnp.asarray(g), k, renormalize=renorm)
+        p = np.exp(g - g.max(-1, keepdims=True))
+        p = p / p.sum(-1, keepdims=True)
+        ref_ids = np.argsort(-p, axis=-1, kind="stable")[:, :k]
+        # same expert set (ties can reorder)
+        for t in range(16):
+            assert set(np.asarray(ids)[t].tolist()) == set(ref_ids[t].tolist())
+        ref_w = np.take_along_axis(p, np.asarray(ids), axis=1)
+        if renorm:
+            ref_w = ref_w / ref_w.sum(-1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(w), ref_w, rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("renorm", [False, True])
+    @pytest.mark.parametrize("rsf,on_out", [(0.0, False), (2.5, False), (2.5, True)])
+    def test_topk_sigmoid_grid(self, rng, renorm, rsf, on_out):
+        """TopKSigMoid.cpp:167-177 semantics: rsf folds into the renorm
+        scale (rsf / row_sum); with the on-output flag the multiply happens
+        after the 1/row_sum renorm — same product, but renorm=False then
+        differs (raw weights vs raw*rsf)."""
+        e, k = 16, 4
+        g = rng.standard_normal((8, e)).astype(np.float32)
+        w, ids = moe.topk_sigmoid(
+            jnp.asarray(g), k, renormalize=renorm, routed_scaling_factor=rsf,
+            apply_routed_scaling_factor_on_output=on_out,
+        )
+        s = 1 / (1 + np.exp(-g))
+        ref_ids = np.argsort(-s, axis=-1, kind="stable")[:, :k]
+        for t in range(8):
+            assert set(np.asarray(ids)[t].tolist()) == set(ref_ids[t].tolist())
+        ref_w = np.take_along_axis(s, np.asarray(ids), axis=1)
+        rs = rsf if rsf else 1.0
+        if renorm:
+            ref_w = ref_w * (rs / (ref_w.sum(-1, keepdims=True) + 1e-20))
+        elif rsf and on_out:
+            ref_w = ref_w * rsf
+        np.testing.assert_allclose(np.asarray(w), ref_w, rtol=1e-5, atol=1e-6)
+
+    def test_topk_sigmoid_shared_expert(self, rng):
+        """Shared expert weight: 1.0 when renormalizing, row_sum/rsf when
+        not (TopKSigMoid.cpp:167)."""
+        e, k = 16, 2
+        g = rng.standard_normal((4, e)).astype(np.float32)
+        w_r, ids_r = moe.topk_sigmoid(
+            jnp.asarray(g), k, renormalize=True, routed_scaling_factor=2.0,
+            num_fused_shared_experts=1,
+        )
+        assert np.all(np.asarray(ids_r)[:, -1] == e)
+        np.testing.assert_allclose(np.asarray(w_r)[:, -1], 1.0)
+        w_n, _ = moe.topk_sigmoid(
+            jnp.asarray(g), k, renormalize=False, routed_scaling_factor=2.0,
+            num_fused_shared_experts=1,
+        )
+        s = 1 / (1 + np.exp(-g))
+        row_sum = np.sort(s, -1)[:, -k:].sum(-1)
+        np.testing.assert_allclose(np.asarray(w_n)[:, -1], row_sum / 2.0, rtol=1e-5)
+
+    @pytest.mark.parametrize("block", [8, 16, 64])
+    @pytest.mark.parametrize("e", [4, 16])
+    def test_align_block_size_grid(self, rng, block, e):
+        t, k = 13, 2
+        ids = jnp.asarray(rng.integers(0, e, (t, k)), jnp.int32)
+        w = jnp.asarray(rng.random((t, k)), jnp.float32)
+        al = moe.moe_align_block_size(ids, w, e, block)
+        pair_ids = np.asarray(al.sorted_pair_ids)
+        experts = np.asarray(al.block_expert_ids)
+        npids = np.asarray(ids).reshape(-1)
+        # every real pair appears exactly once, in a block of its expert
+        seen = 0
+        for blk in range(len(experts)):
+            rows = pair_ids[blk * block:(blk + 1) * block]
+            for r in rows:
+                if r < t * k:
+                    assert npids[r] == experts[blk]
+                    seen += 1
+        assert seen == t * k
+
+    def test_grouped_gemm_vs_dense(self, rng):
+        from sgl_kernel_tpu.ops.moe.grouped_gemm import w4a16_grouped_mm
+        from sgl_kernel_tpu.ops.gemm.w4a16 import dequant_w4, quantize_w4
+
+        e, n, k, bm, g = 3, 128, 256, 8, 64
+        cap = 4 * bm
+        xs = rng.standard_normal((cap, k)).astype(np.float32)
+        beids = np.asarray([0, 2, 2, 1], np.int32)
+        packs, scs, wds = [], [], []
+        for _ in range(e):
+            wf = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
+            pk, sc, _ = quantize_w4(jnp.asarray(wf), group_size=g)
+            packs.append(pk)
+            scs.append(sc)
+            wds.append(np.asarray(dequant_w4(pk, sc, group_size=g, dtype=jnp.float32)))
+        out = w4a16_grouped_mm(
+            jnp.asarray(xs, jnp.bfloat16), jnp.stack(packs), jnp.stack(scs),
+            jnp.asarray(beids), group_size=g, bm=bm, bn=128,
+        )
+        for blk in range(4):
+            ref = xs[blk * bm:(blk + 1) * bm] @ wds[beids[blk]].T
+            np.testing.assert_allclose(
+                np.asarray(out, np.float32)[blk * bm:(blk + 1) * bm], ref,
+                rtol=3e-2, atol=3e-2,
+            )
+
+
+class TestRopeSweep:
+    @pytest.mark.parametrize("is_neox", [True, False])
+    @pytest.mark.parametrize("d", [32, 64, 128])
+    def test_variants_vs_oracle(self, rng, is_neox, d):
+        t, h = 6, 2
+        base = 10000.0
+        cache = compute_cos_sin_cache(d, 64, base)
+        pos = np.asarray([0, 1, 5, 9, 33, 63], np.int32)
+        q = rng.standard_normal((t, h, d)).astype(np.float32)
+        out, _ = rotary_embedding(jnp.asarray(pos), jnp.asarray(q), None, d, cache, is_neox=is_neox)
+        inv = 1.0 / base ** (np.arange(0, d, 2) / d)
+        ang = pos[:, None] * inv[None]
+        cos, sin = np.cos(ang)[:, None], np.sin(ang)[:, None]
+        if is_neox:
+            x1, x2 = q[..., : d // 2], q[..., d // 2:]
+            ref = np.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+        else:
+            x1, x2 = q[..., 0::2], q[..., 1::2]
+            ref = np.stack([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1).reshape(q.shape)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+    def test_llama3_scaling_matches_formula(self):
+        d, omax = 64, 128
+        cache = compute_cos_sin_cache(
+            d, 256, 500000.0, scaling_factor=8.0, low_freq_factor=1.0,
+            high_freq_factor=4.0, original_max_position=omax,
+        )
+        inv = 1.0 / 500000.0 ** (np.arange(0, d, 2) / d)
+        wavelen = 2 * np.pi / inv
+        smooth = np.clip((omax / wavelen - 1.0) / (4.0 - 1.0), 0, 1)
+        scaled = np.where(
+            wavelen > omax / 1.0, inv / 8.0,
+            np.where(wavelen < omax / 4.0, inv, inv / 8.0 * (1 - smooth) + inv * smooth),
+        )
+        pos = 100
+        ref_cos = np.cos(pos * scaled)
+        got = np.asarray(cache)[pos, : d // 2]
+        np.testing.assert_allclose(got, ref_cos, rtol=1e-5, atol=1e-5)
+
+
+class TestGdnSweep:
+    @pytest.mark.parametrize("s", [32, 65, 127, 192])
+    @pytest.mark.parametrize("chunk", [32, 64])
+    def test_chunked_matches_sequential(self, rng, s, chunk):
+        from sgl_kernel_tpu.ops.linear_attn.gdn import (
+            chunk_gated_delta_rule, gated_delta_rule_scan,
+        )
+
+        b, h, dk, dv = 1, 2, 32, 32
+        q = (rng.standard_normal((b, s, h, dk)) * 0.3).astype(np.float32)
+        k = (rng.standard_normal((b, s, h, dk)) * 0.3).astype(np.float32)
+        v = (rng.standard_normal((b, s, h, dv)) * 0.3).astype(np.float32)
+        g = (-np.abs(rng.standard_normal((b, s, h))) * 0.1).astype(np.float32)
+        beta = rng.random((b, s, h)).astype(np.float32)
+        o_c, st_c = chunk_gated_delta_rule(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(g),
+            jnp.asarray(beta), chunk=chunk,
+        )
+        o_s, st_s = gated_delta_rule_scan(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(g),
+            jnp.asarray(beta),
+        )
+        np.testing.assert_allclose(np.asarray(o_c), np.asarray(o_s), rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(st_c), np.asarray(st_s), rtol=2e-3, atol=2e-3)
+
+    @pytest.mark.parametrize("lens", [(17, 30), (32, 1)])
+    def test_varlen(self, rng, lens):
+        from sgl_kernel_tpu.ops.linear_attn.gdn import (
+            chunk_gated_delta_rule, gated_delta_rule_scan,
+        )
+
+        b, s, h, dk = 2, 32, 2, 16
+        q = (rng.standard_normal((b, s, h, dk)) * 0.3).astype(np.float32)
+        k = (rng.standard_normal((b, s, h, dk)) * 0.3).astype(np.float32)
+        v = (rng.standard_normal((b, s, h, dk)) * 0.3).astype(np.float32)
+        g = (-np.abs(rng.standard_normal((b, s, h))) * 0.1).astype(np.float32)
+        beta = rng.random((b, s, h)).astype(np.float32)
+        sl = jnp.asarray(lens, jnp.int32)
+        o_c, st_c = chunk_gated_delta_rule(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(g),
+            jnp.asarray(beta), seq_lens=sl, chunk=16,
+        )
+        o_s, st_s = gated_delta_rule_scan(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(g),
+            jnp.asarray(beta), seq_lens=sl,
+        )
+        for bb, ln in enumerate(lens):
+            np.testing.assert_allclose(
+                np.asarray(o_c)[bb, :ln], np.asarray(o_s)[bb, :ln], rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(st_c), np.asarray(st_s), rtol=2e-3, atol=2e-3)
+
+
+class TestConvSweep:
+    @pytest.mark.parametrize("width", [2, 3, 4])
+    @pytest.mark.parametrize("act", [None, "silu"])
+    def test_fwd_grid(self, rng, width, act):
+        from sgl_kernel_tpu.ops.linear_attn.causal_conv1d import causal_conv1d_fwd
+
+        t, c = 12, 8
+        x = rng.standard_normal((t, c)).astype(np.float32)  # [B=1, S, D]
+        w = rng.standard_normal((c, width)).astype(np.float32)
+        b = rng.standard_normal(c).astype(np.float32)
+        out, final = causal_conv1d_fwd(
+            jnp.asarray(x)[None], jnp.asarray(w), jnp.asarray(b), activation=act
+        )
+        pad = np.concatenate([np.zeros((width - 1, c)), x], 0)  # [W-1+S, D]
+        ref = np.stack([
+            sum(w[:, j] * pad[i + j] for j in range(width)) + b
+            for i in range(t)
+        ], 0)
+        if act == "silu":
+            ref = ref / (1 + np.exp(-ref))
+        np.testing.assert_allclose(np.asarray(out)[0], ref, rtol=1e-4, atol=1e-4)
+        # final conv states = last W-1 raw inputs
+        np.testing.assert_allclose(np.asarray(final)[0], x[-(width - 1):], rtol=1e-5)
+
+
+class TestMergeStatesSweep:
+    @pytest.mark.parametrize("n", [2, 3, 7])
+    def test_nway_permutation_invariant(self, rng, n):
+        from sgl_kernel_tpu.ops.attention.merge_state import merge_states
+
+        t, h, d = 4, 2, 16
+        v = rng.standard_normal((n, t, h, d)).astype(np.float32)
+        s = rng.standard_normal((n, t, h)).astype(np.float32)
+        o1, s1 = merge_states(jnp.asarray(v), jnp.asarray(s))
+        perm = rng.permutation(n)
+        o2, s2 = merge_states(jnp.asarray(v[perm]), jnp.asarray(s[perm]))
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-5)
