@@ -20,6 +20,7 @@ import numpy as np
 from ..models import llama
 from ..ops.sampling import sample_tokens
 from ..utils import cdiv
+from ..utils.metrics import Metrics, logger
 
 
 @dataclasses.dataclass
@@ -80,6 +81,7 @@ class Engine:
         spec_gamma: int = 4,
         mesh=None,
         prefill_chunk: Optional[int] = None,
+        log_every: int = 0,
     ):
         self.cfg = cfg
         self.page_size = page_size
@@ -135,6 +137,9 @@ class Engine:
         self.finished: Dict[int, Request] = {}
         self._next_rid = 0
         self._key = jax.random.PRNGKey(seed)
+        # runtime counters (SURVEY §5 observability; utils/metrics.py)
+        self.metrics = Metrics()
+        self.log_every = log_every
 
     # ------------------------------------------------------------------
     def add_request(
@@ -183,16 +188,21 @@ class Engine:
                 # reference radix cache's evict-on-pressure behavior) and retry
                 # — without this, retired requests' pages adopted by the cache
                 # starve new admissions forever.
-                self.native.evict(need - self.allocator.free)
+                self.metrics.inc("pages_evicted", self.native.evict(need - self.allocator.free))
                 pages = self.allocator.alloc(need)
             if pages is None:
                 if req.lock_id:
                     self.native.unlock(req.lock_id)
                     req.prefix_len = req.shared_pages = req.lock_id = 0
+                self.metrics.inc("admission_blocked")
                 break
             req.pages = shared + pages
             self.waiting.pop(0)
-            self._prefill(req)
+            self.metrics.inc("requests_admitted")
+            self.metrics.inc("prefix_cache_hit_tokens", req.prefix_len)
+            with self.metrics.time("prefill"):
+                self._prefill(req)
+            self.metrics.inc("tokens_prefilled", len(req.prompt) - req.prefix_len)
             self.running.append(req)
 
     def _prefill(self, req: Request):
@@ -306,6 +316,8 @@ class Engine:
         logits_np = logits[:b]
         for i, r in enumerate(reqs):
             self._append_token(r, logits_np[i])
+        self.metrics.inc("tokens_decoded", b)
+        self.metrics.set_gauge("decode_batch", b)
 
     def _spec_decode_batch(self, reqs):
         from ..models import spec
@@ -332,10 +344,14 @@ class Engine:
         )
         new = np.asarray(new)
         n_new = np.asarray(n_new)
+        # n_new per request = accepted drafts + 1 bonus token (models/spec.py)
+        self.metrics.inc("spec_proposed", self.spec_gamma * b)
+        self.metrics.inc("spec_accepted", int(n_new[:b].sum()) - b)
         for i, r in enumerate(reqs):
             take = min(int(n_new[i]), r.max_new_tokens - len(r.output))
             for x in new[i, :take]:
                 r.output.append(int(x))
+                self.metrics.inc("tokens_decoded")
                 if int(x) in r.stop_tokens:
                     r.done = True
                     break
@@ -374,14 +390,24 @@ class Engine:
                 self.allocator.release(r.pages)
             r.pages = []
             self.finished[r.rid] = r
+            self.metrics.inc("requests_finished")
         self.running = still
 
     # ------------------------------------------------------------------
     def step(self):
         """One scheduler iteration: admit+prefill, one decode step, retire."""
-        self._admit()
-        self._decode_batch()
-        self._retire()
+        with self.metrics.time("step"):
+            self._admit()
+            with self.metrics.time("decode"):
+                self._decode_batch()
+            self._retire()
+        self.metrics.inc("scheduler_steps")
+        free = self.allocator.free  # int (native) or free-list (python)
+        self.metrics.set_gauge("free_pages", free if isinstance(free, int) else len(free))
+        self.metrics.set_gauge("running", len(self.running))
+        self.metrics.set_gauge("waiting", len(self.waiting))
+        if self.log_every and self.metrics.counters["scheduler_steps"] % self.log_every == 0:
+            logger.info(self.metrics.log_line())
 
     def run_until_done(self, max_steps: int = 10_000):
         steps = 0
