@@ -48,11 +48,14 @@ RECOVER_WAIT = float(os.environ.get("SGL_KERNEL_TPU_RECOVER_WAIT", "5"))
 
 def device_healthy(root: str) -> bool:
     """Health probe in a fresh subprocess: build + run a trivial jitted
-    program on whatever backend the suite uses. A wedged device/tunnel makes
-    this hang or die; the probe's own process isolates us from that."""
+    program. A wedged device/tunnel makes this hang or die; the probe's own
+    process isolates us from that. Defaults to the CPU backend (the suite
+    runs on the CPU mesh, and the shared TPU may be legitimately busy);
+    set SGL_KERNEL_TPU_PROBE_TPU=1 to probe the real chip."""
+    plat = "None" if os.environ.get("SGL_KERNEL_TPU_PROBE_TPU") else "'cpu'"
     code = (
-        "import jax; jax.config.update('jax_platforms', 'cpu') "
-        "if __import__('os').environ.get('JAX_PLATFORMS','')=='cpu' else None; "
+        f"import jax; p = {plat}; "
+        "jax.config.update('jax_platforms', p) if p else None; "
         "import jax.numpy as jnp; "
         "assert float(jax.jit(lambda x: (x*x).sum())(jnp.ones(8))) == 8.0; "
         "print('healthy')"
