@@ -29,6 +29,13 @@ from .ops.attention import (  # noqa: F401
 )
 from .ops.attention.api import flash_attn_varlen_func, flash_attn_with_kvcache  # noqa: F401
 from .ops.attention.mla import mla_decode, mla_prefill  # noqa: F401
+from .ops.attention.sparse_vs import (  # noqa: F401
+    build_vertical_slash_indexes,
+    convert_vertical_slash_indexes,
+    convert_vertical_slash_indexes_mergehead,
+    sparse_attention_vertical_slash,
+    sparse_attn_func,
+)
 from .ops.attention.nsa import (  # noqa: F401
     fast_topk,
     fast_topk_transform_fused,

@@ -6,9 +6,19 @@ the declared-only mha_fwd_sparse surface, SURVEY §2.6): attention restricted
 to a per-head set of *vertical* columns (always-attended tokens) and
 *slash* diagonals (fixed offsets behind each query).
 
-This implementation materializes the sparse mask per (head, q-tile) and
-runs masked attention — the same contract the reference fallback provides;
-a tile-skipping Pallas variant is the round-2 optimization.
+Two execution paths:
+
+- ``sparse_attention_vertical_slash``: materializes the sparse mask per
+  (head, q-tile) and runs masked attention — the same contract the
+  reference fallback provides (exact index-set semantics, O(S^2) work).
+- ``sparse_attn_func``: the tile-skipping Pallas kernel consuming the
+  block schedule from ``convert_vertical_slash_indexes`` (the reference's
+  real sparse path, sparse_flash_attn.py::sparse_attn_func). Work is
+  O(selected blocks + vertical columns): slash KV blocks stream through a
+  double-buffered VMEM window, vertical columns are gathered once per
+  prefill, and skipped tiles cost nothing. Block semantics match
+  MInference: every position inside a selected block is attended (the
+  block-granular approximation), vertical columns are exact.
 """
 
 from __future__ import annotations
@@ -18,6 +28,10 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils import cdiv, pallas_interpret, round_up
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "causal"))
@@ -205,3 +219,181 @@ def build_vertical_slash_indexes(
     )
     _, s_idx = jax.lax.top_k(diag_mass, num_slash)
     return v_idx.astype(jnp.int32), s_idx.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Tile-skipping block-sparse kernel (reference sparse_attn_func)
+# ---------------------------------------------------------------------------
+
+
+def _bs_kernel(bc_ref, bo_ref, cc_ref,      # prefetch [B,H,R], [B,H,R,NS], [B,H,R]
+               q_ref,                       # VMEM [1,1,bm,D]
+               ci_ref,                      # VMEM [1,1,1,NVp] int32 column ids
+               kc_ref, vc_ref,              # VMEM [1,1,1,NVp,D] gathered columns
+               k_hbm, v_hbm,                # ANY [B,H,Sk,D]
+               o_ref,                       # VMEM [1,1,bm,D]
+               kb, vb, in_sem,              # scratch [2,bn,D] x2, DMA sem (2,2)
+               *, bm: int, bn: int, ns: int, causal: bool, sm_scale: float):
+    b, h, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nb = bc_ref[b, h, r]
+    cc = cc_ref[b, h, r]
+    nvp = ci_ref.shape[-1]
+    d = q_ref.shape[-1]
+    rows = r * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
+    q = q_ref[0, 0]
+
+    def dmas(t, slot):
+        off = bo_ref[b, h, r, t]
+        return (
+            pltpu.make_async_copy(k_hbm.at[b, h, pl.ds(off, bn), :], kb.at[slot], in_sem.at[slot, 0]),
+            pltpu.make_async_copy(v_hbm.at[b, h, pl.ds(off, bn), :], vb.at[slot], in_sem.at[slot, 1]),
+        )
+
+    @pl.when(nb > 0)
+    def _warm():
+        for dma in dmas(0, 0):
+            dma.start()
+
+    # --- stage 1: exact vertical columns (gathered to VMEM by the caller)
+    colids = ci_ref[0, 0, 0]  # [NVp]
+    s_cols = jax.lax.dot_general(
+        q, kc_ref[0, 0, 0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale  # [bm, NVp]
+    cmask = jax.lax.broadcasted_iota(jnp.int32, (bm, nvp), 1) < cc
+    if causal:
+        cmask = cmask & (colids[None, :] <= rows)
+    s_cols = jnp.where(cmask, s_cols, -jnp.inf)
+    m0 = jnp.maximum(jnp.max(s_cols, axis=-1, keepdims=True), -1e30)  # [bm,1]
+    p0 = jnp.exp(s_cols - m0)
+    l0 = jnp.sum(p0, axis=-1, keepdims=True)
+    acc0 = jax.lax.dot_general(
+        p0.astype(kc_ref.dtype), vc_ref[0, 0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bm, D]
+
+    # --- stage 2: slash KV blocks, double-buffered stream
+    def body(t, carry):
+        m, l, acc = carry
+
+        @pl.when(t + 1 < nb)
+        def _next():
+            for dma in dmas(t + 1, jax.lax.rem(t + 1, 2)):
+                dma.start()
+
+        slot = jax.lax.rem(t, 2)
+        for dma in dmas(t, slot):
+            dma.wait()
+        off = bo_ref[b, h, r, t]
+        s_blk = jax.lax.dot_general(
+            q, kb[slot], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale  # [bm, bn]
+        if causal:
+            cols = off + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+            s_blk = jnp.where(cols <= rows, s_blk, -jnp.inf)
+        mb = jnp.maximum(jnp.max(s_blk, axis=-1, keepdims=True), -1e30)
+        mn = jnp.maximum(m, mb)
+        alpha = jnp.exp(m - mn)
+        p = jnp.exp(s_blk - mn)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(vb.dtype), vb[slot], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (mn, l, acc)
+
+    m, l, acc = jax.lax.fori_loop(0, nb, body, (m0, l0, acc0))
+    o_ref[0, 0] = jnp.where(l > 0, acc / jnp.maximum(l, 1e-38), 0.0).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size_M", "block_size_N", "causal", "sm_scale")
+)
+def sparse_attn_func(
+    q,
+    k,
+    v,
+    block_count,
+    block_offset,
+    column_count,
+    column_index,
+    *,
+    block_size_M: int = 64,
+    block_size_N: int = 128,
+    causal: bool = True,
+    sm_scale: Optional[float] = None,
+):
+    """Block-sparse attention over the vertical/slash schedule (reference
+    sparse_flash_attn.py::sparse_attn_func; kernels declared-only on XPU).
+
+    q/k/v [B, S, H, D] (self-attention, q_len == kv_len); schedule arrays
+    from ``convert_vertical_slash_indexes`` with R = ceil(S/block_size_M):
+    block_count [B,H,R], block_offset [B,H,R,NS] (block_size_N-aligned KV
+    starts), column_count [B,H,R], column_index [B,H,R,NV]. Returns
+    [B, S, H, D]. Positions inside a selected block are all attended
+    (block-granular, matching MInference); vertical columns are exact.
+    """
+    b, s, h, d = q.shape
+    sm_scale = sm_scale if sm_scale is not None else 1.0 / (d**0.5)
+    bm, bn = block_size_M, block_size_N
+    r = cdiv(s, bm)
+    ns = block_offset.shape[-1]
+    nv = column_index.shape[-1]
+    nvp = round_up(nv, 128)
+
+    qt = jnp.swapaxes(q, 1, 2)  # [B, H, S, D]
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    sq = r * bm
+    sk = round_up(s, bn)
+    if sq != s:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, sq - s), (0, 0)))
+    if sk != s:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, sk - s), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, sk - s), (0, 0)))
+
+    ci = column_index.astype(jnp.int32)
+    if nvp != nv:
+        ci = jnp.pad(ci, ((0, 0), (0, 0), (0, 0), (0, nvp - nv)))
+    # one XLA gather per prefill: exact vertical columns -> [B, H, R, NVp, D]
+    bi = jnp.arange(b)[:, None, None, None]
+    hi = jnp.arange(h)[None, :, None, None]
+    kc = kt[bi, hi, ci, :]
+    vc = vt[bi, hi, ci, :]
+
+    kernel = functools.partial(
+        _bs_kernel, bm=bm, bn=bn, ns=ns, causal=causal, sm_scale=sm_scale
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b, h, r),
+            in_specs=[
+                pl.BlockSpec((1, 1, bm, d), lambda b_, h_, r_, *pf: (b_, h_, r_, 0)),
+                pl.BlockSpec((1, 1, 1, nvp), lambda b_, h_, r_, *pf: (b_, h_, r_, 0)),
+                pl.BlockSpec((1, 1, 1, nvp, d), lambda b_, h_, r_, *pf: (b_, h_, r_, 0, 0)),
+                pl.BlockSpec((1, 1, 1, nvp, d), lambda b_, h_, r_, *pf: (b_, h_, r_, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 1, bm, d), lambda b_, h_, r_, *pf: (b_, h_, r_, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, bn, d), kt.dtype),
+                pltpu.VMEM((2, bn, d), vt.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=pallas_interpret(),
+    )(
+        block_count.astype(jnp.int32),
+        block_offset.astype(jnp.int32),
+        column_count.astype(jnp.int32),
+        qt, ci, kc, vc, kt, vt,
+    )
+    return jnp.swapaxes(out[:, :, :s], 1, 2)

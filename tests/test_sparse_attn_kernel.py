@@ -1,0 +1,120 @@
+"""Tile-skipping block-sparse attention kernel (sparse_attn_func) vs a
+numpy oracle built from the SAME block schedule: the kernel's contract is
+block-granular slash coverage + exact vertical columns (MInference
+semantics, reference sparse_flash_attn.py::sparse_attn_func)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgl_kernel_tpu.ops.attention.sparse_vs import (
+    build_vertical_slash_indexes,
+    convert_vertical_slash_indexes,
+    sparse_attn_func,
+)
+
+
+def oracle_from_schedule(q, k, v, bc, bo, cc, ci, bm, bn, causal, sm_scale):
+    """fp64 dense attention restricted to the schedule-defined mask."""
+    b, s, h, d = q.shape
+    r = (s + bm - 1) // bm
+    out = np.zeros((b, s, h, d))
+    for bb in range(b):
+        for hh in range(h):
+            mask = np.zeros((s, s), bool)
+            for rr in range(r):
+                rows = slice(rr * bm, min((rr + 1) * bm, s))
+                for i in range(bc[bb, hh, rr]):
+                    st = bo[bb, hh, rr, i]
+                    mask[rows, st : min(st + bn, s)] = True
+                for i in range(cc[bb, hh, rr]):
+                    mask[rows, ci[bb, hh, rr, i]] = True
+            if causal:
+                mask &= np.tril(np.ones((s, s), bool))
+            sc = (q[bb, :, hh].astype(np.float64) @ k[bb, :, hh].astype(np.float64).T) * sm_scale
+            sc = np.where(mask, sc, -np.inf)
+            m = np.maximum(sc.max(-1, keepdims=True), -1e30)
+            p = np.exp(sc - m)
+            l = p.sum(-1, keepdims=True)
+            o = p @ v[bb, :, hh].astype(np.float64)
+            out[bb, :, hh] = np.where(l > 0, o / np.maximum(l, 1e-300), 0.0)
+    return out
+
+
+@pytest.mark.parametrize("s,bm,bn", [(256, 64, 128), (384, 128, 128), (256, 64, 64)])
+@pytest.mark.parametrize("nv,nsl", [(16, 4), (0, 6), (8, 0)])
+def test_vs_oracle(rng, s, bm, bn, nv, nsl):
+    b, h, d = 1, 2, 128
+    q = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    v_idx = np.sort(rng.choice(s, (b, h, max(nv, 1)), replace=False), axis=-1)
+    s_idx = np.sort(rng.choice(s, (b, h, max(nsl, 1)), replace=False), axis=-1)[..., ::-1]
+    if nv == 0:
+        v_idx = v_idx[..., :0].reshape(b, h, 0)
+        v_idx = np.zeros((b, h, 1), np.int32)  # builders need >=1; count masks it
+        s_idx = np.ascontiguousarray(s_idx)
+    if nsl == 0:
+        s_idx = np.full((b, h, 1), 1 << 29, np.int32)  # out of range -> no blocks
+    bc, bo, cc, ci = convert_vertical_slash_indexes(
+        [s], [s], v_idx, np.ascontiguousarray(s_idx), s, bm, bn
+    )
+    if nv == 0:
+        cc[:] = 0
+    sm = 1.0 / d**0.5
+    ref = oracle_from_schedule(q, k, v, bc, bo, cc, ci, bm, bn, True, sm)
+    got = sparse_attn_func(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(bc), jnp.asarray(bo), jnp.asarray(cc), jnp.asarray(ci),
+        block_size_M=bm, block_size_N=bn,
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_vs_full_coverage_matches_dense(rng):
+    """Slash set covering every diagonal -> kernel == dense causal attention."""
+    b, s, h, d = 1, 256, 2, 128
+    bm = bn = 64
+    q = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    s_idx = np.broadcast_to(np.arange(s)[::-1].copy(), (b, h, s))
+    v_idx = np.zeros((b, h, 1), np.int32)
+    bc, bo, cc, ci = convert_vertical_slash_indexes([s], [s], v_idx, s_idx, s, bm, bn)
+    cc[:] = 0
+    got = np.asarray(sparse_attn_func(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(bc), jnp.asarray(bo), jnp.asarray(cc), jnp.asarray(ci),
+        block_size_M=bm, block_size_N=bn,
+    ))
+    sm = 1.0 / d**0.5
+    for hh in range(h):
+        sc = (q[0, :, hh] @ k[0, :, hh].T).astype(np.float64) * sm
+        sc = np.where(np.tril(np.ones((s, s), bool)), sc, -np.inf)
+        p = np.exp(sc - sc.max(-1, keepdims=True))
+        ref = p @ v[0, :, hh] / p.sum(-1, keepdims=True)
+        np.testing.assert_allclose(got[0, :, hh], ref, rtol=2e-3, atol=2e-3)
+
+
+def test_vs_bf16_and_end_to_end_estimator(rng):
+    """build_vertical_slash_indexes -> convert -> kernel pipeline runs and
+    approximates dense attention when the pattern captures most mass."""
+    b, s, h, d = 1, 256, 2, 128
+    q = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    qj, kj, vj = (jnp.asarray(x, jnp.bfloat16) for x in (q, k, v))
+    v_idx, s_idx = build_vertical_slash_indexes(qj, kj, num_vertical=32, num_slash=32)
+    v_idx = np.sort(np.asarray(v_idx), axis=-1)[None].repeat(b, 0)
+    s_idx = np.sort(np.asarray(s_idx), axis=-1)[..., ::-1][None].repeat(b, 0)
+    bc, bo, cc, ci = convert_vertical_slash_indexes(
+        [s], [s], v_idx, np.ascontiguousarray(s_idx), s, 64, 64
+    )
+    out = sparse_attn_func(
+        qj, kj, vj, jnp.asarray(bc), jnp.asarray(bo), jnp.asarray(cc),
+        jnp.asarray(ci), block_size_M=64, block_size_N=64,
+    )
+    assert out.shape == (b, s, h, d) and out.dtype == jnp.bfloat16
+    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+    ref = oracle_from_schedule(q, k, v, bc, bo, cc, ci, 64, 64, True, 1.0 / d**0.5)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=0.1, atol=0.1)
