@@ -117,9 +117,36 @@ def flash_compress_decode(kv_pool, score_pool, ape, comp_pool, src_pos, dst_slot
     return comp_pool.at[jnp.arange(b), safe].set(out, mode="drop")
 
 
-# named reference-parity entry points (torch_extension_sycl.cc:532-559)
-flash_compress4_decode = functools.partial(flash_compress_decode)
-flash_compress128_decode = functools.partial(flash_compress_decode)
+# named reference-parity entry points (torch_extension_sycl.cc:532-559):
+# plan + apply fused per ratio — c4 pools overlapping windows of 8
+# (stride 4, first window -inf-padded), c128 plain windows of 128.
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "ring_size"))
+def flash_compress4_decode(kv_pool, score_pool, ape, comp_pool, lengths,
+                           page_tables, *, page_size: int, ring_size: int = 64):
+    """c4 decode-step compress: build the event plan for the current
+    lengths (event when length crosses a multiple of 4; window = last 8
+    tokens) and rewrite the ring buffer. ape [8, D]."""
+    src, dst, n_comp = plan_compress_decode(
+        lengths, compress_ratio=4, ring_size=ring_size)
+    pool = flash_compress_decode(
+        kv_pool, score_pool, ape, comp_pool, src, dst, page_tables,
+        page_size=page_size)
+    return pool, n_comp
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "ring_size"))
+def flash_compress128_decode(kv_pool, score_pool, ape, comp_pool, lengths,
+                             page_tables, *, page_size: int, ring_size: int = 64):
+    """c128 decode-step compress: event when length crosses a multiple of
+    128; window = last 128 tokens (plain, non-overlapping). ape [128, D]."""
+    src, dst, n_comp = plan_compress_decode(
+        lengths, compress_ratio=128, ring_size=ring_size)
+    pool = flash_compress_decode(
+        kv_pool, score_pool, ape, comp_pool, src, dst, page_tables,
+        page_size=page_size)
+    return pool, n_comp
 
 
 def flash_compress4_prefill(kv, scores, ape):

@@ -39,6 +39,7 @@ class Request:
     prefix_len: int = 0          # tokens reused from the radix cache
     shared_pages: int = 0        # leading cache-owned pages in ``pages``
     lock_id: int = 0             # radix-cache pin handle (0 = none)
+    prefill_pos: int = 0         # chunked-prefill progress (tokens stored)
 
     @property
     def seq_len(self) -> int:
@@ -133,6 +134,7 @@ class Engine:
             self.draft_rope = llama.build_rope_cache(draft_cfg)
             self.dk_cache, self.dv_cache = llama.make_caches(draft_cfg, num_pages, page_size)
         self.waiting: List[Request] = []
+        self.prefilling: List[Request] = []  # chunked-prefill in flight
         self.running: List[Request] = []
         self.finished: Dict[int, Request] = {}
         self._next_rid = 0
@@ -170,7 +172,7 @@ class Engine:
 
     # ------------------------------------------------------------------
     def _admit(self):
-        while self.waiting and len(self.running) < self.max_batch:
+        while self.waiting and len(self.running) + len(self.prefilling) < self.max_batch:
             req = self.waiting[0]
             shared: List[int] = []
             if self.native is not None and len(req.prompt) > 1:
@@ -200,10 +202,19 @@ class Engine:
             self.waiting.pop(0)
             self.metrics.inc("requests_admitted")
             self.metrics.inc("prefix_cache_hit_tokens", req.prefix_len)
-            with self.metrics.time("prefill"):
-                self._prefill(req)
-            self.metrics.inc("tokens_prefilled", len(req.prompt) - req.prefix_len)
-            self.running.append(req)
+            if (self.prefill_chunk is not None
+                    and len(req.prompt) - req.prefix_len > self.prefill_chunk):
+                # long prompt: ingest chunk-by-chunk across scheduler steps
+                # so running decodes aren't stalled behind the whole prefill
+                # (the reference's chunkprefill mixed-batch fairness,
+                # flash_attention.cpp:1207-1325, lifted to the scheduler)
+                req.prefill_pos = req.prefix_len
+                self.prefilling.append(req)
+            else:
+                with self.metrics.time("prefill"):
+                    self._prefill(req)
+                self.metrics.inc("tokens_prefilled", len(req.prompt) - req.prefix_len)
+                self.running.append(req)
 
     def _prefill(self, req: Request):
         pre = req.prefix_len
@@ -214,6 +225,24 @@ class Engine:
                 pre = pre + self.prefill_chunk
         logits = self._prefill_range(req, pre, total)
         self._finish_prefill(req, logits)
+
+    def _advance_prefilling(self):
+        """One chunk of progress per interleaved-prefill request, so the
+        subsequent decode batch of this same step isn't starved."""
+        still = []
+        for req in self.prefilling:
+            total = len(req.prompt)
+            end = min(req.prefill_pos + self.prefill_chunk, total)
+            with self.metrics.time("prefill"):
+                logits = self._prefill_range(req, req.prefill_pos, end)
+            self.metrics.inc("tokens_prefilled", end - req.prefill_pos)
+            req.prefill_pos = end
+            if end == total:
+                self._finish_prefill(req, logits)
+                self.running.append(req)
+            else:
+                still.append(req)
+        self.prefilling = still
 
     def _prefill_range(self, req: Request, pre: int, end: int):
         s = end - pre
@@ -398,6 +427,7 @@ class Engine:
         """One scheduler iteration: admit+prefill, one decode step, retire."""
         with self.metrics.time("step"):
             self._admit()
+            self._advance_prefilling()
             with self.metrics.time("decode"):
                 self._decode_batch()
             self._retire()
@@ -411,7 +441,7 @@ class Engine:
 
     def run_until_done(self, max_steps: int = 10_000):
         steps = 0
-        while (self.waiting or self.running) and steps < max_steps:
+        while (self.waiting or self.prefilling or self.running) and steps < max_steps:
             self.step()
             steps += 1
         return self.finished

@@ -126,3 +126,47 @@ class TestLockSplitSymmetry:
         a.unlock(l2)
         a.evict(100)
         assert a.cached_pages == 0
+
+
+class TestChunkedPrefillInterleaving:
+    """Decode must not stall behind a long prefill: with prefill_chunk set,
+    a long prompt is ingested one chunk per scheduler step while running
+    requests keep decoding (reference chunkprefill mixed-batch fairness,
+    flash_attention.cpp:1207-1325)."""
+
+    def test_decode_progresses_during_long_prefill(self, tiny_model):
+        cfg, params = tiny_model
+        from sgl_kernel_tpu.serving.engine import Engine
+
+        eng = Engine(cfg, params, max_batch=2, num_pages=128, page_size=16,
+                     prefill_bucket=16, prefill_chunk=16,
+                     enable_prefix_cache=False)
+        short = eng.add_request([5, 6, 7], max_new_tokens=20)
+        eng.step()  # short admitted + prefilled, 1 decode
+        long_rid = eng.add_request(list(range(2, 98)), max_new_tokens=4)
+        out_before = len(eng.finished.get(short, eng.running[0]).output)
+        # long prompt = 96 tokens -> 6 chunks -> at least 5 more steps in
+        # prefilling; decode of `short` must advance during them
+        eng.step()
+        assert any(r.rid == long_rid for r in eng.prefilling)
+        eng.step()
+        running_short = [r for r in eng.running if r.rid == short]
+        assert running_short and len(running_short[0].output) > out_before
+        eng.run_until_done()
+        assert len(eng.finished[short].output) == 20
+        assert len(eng.finished[long_rid].output) == 4
+
+    def test_chunked_outputs_match_unchunked(self, tiny_model):
+        cfg, params = tiny_model
+        from sgl_kernel_tpu.serving.engine import Engine
+
+        prompt = list(range(3, 75))
+        outs = []
+        for chunk in (None, 16):
+            eng = Engine(cfg, params, max_batch=2, num_pages=128,
+                         page_size=16, prefill_bucket=16,
+                         prefill_chunk=chunk, enable_prefix_cache=False)
+            rid = eng.add_request(prompt, max_new_tokens=8)
+            eng.run_until_done()
+            outs.append(eng.finished[rid].output)
+        assert outs[0] == outs[1]

@@ -250,3 +250,41 @@ class TestCompatLayer:
         assert int(compat.pack_fp8x2_e4m3(1.0, 2.0)) == 0x4038
         assert compat.flash_mla_get_workspace_size() == 0
         assert compat.ceil_div(7, 2) == 4 and compat.ceil_align(7, 8) == 8
+
+    def test_named_ratio_entry_points(self, rng):
+        """flash_compress4_decode / flash_compress128_decode are fused
+        plan+apply per ratio (previously cosmetic aliases): the c4 entry
+        fires on length%4==0 with an 8-window, the c128 entry on
+        length%128==0 with a 128-window."""
+        from sgl_kernel_tpu.ops import compression
+
+        page, d, ring = 64, 16, 4
+        pool_kv = jnp.asarray(rng.standard_normal((4 * page, d)), jnp.float32)
+        pool_sc = jnp.asarray(rng.standard_normal((4 * page, d)), jnp.float32)
+        tables = jnp.arange(4, dtype=jnp.int32)[None, :]
+        ape4 = jnp.asarray(rng.standard_normal((8, d)), jnp.float32)
+        ape128 = jnp.asarray(rng.standard_normal((128, d)), jnp.float32)
+        comp = jnp.zeros((1, ring, d))
+
+        # length 8: c4 fires (window [0,8)), c128 does not
+        out4, n4 = compression.flash_compress4_decode(
+            pool_kv, pool_sc, ape4, comp, jnp.asarray([8], jnp.int32),
+            tables, page_size=page, ring_size=ring)
+        assert int(n4[0]) == 2
+        ref = compression.compress_window(pool_kv[:8], pool_sc[:8], ape4)
+        np.testing.assert_allclose(np.asarray(out4)[0, 1], np.asarray(ref), rtol=1e-5)
+
+        out128, n128 = compression.flash_compress128_decode(
+            pool_kv, pool_sc, ape128, comp, jnp.asarray([8], jnp.int32),
+            tables, page_size=page, ring_size=ring)
+        np.testing.assert_allclose(np.asarray(out128), np.asarray(comp))
+        assert int(n128[0]) == 0
+
+        # length 128: c128 fires with the plain 128-window
+        out128b, n128b = compression.flash_compress128_decode(
+            pool_kv, pool_sc, ape128, comp, jnp.asarray([128], jnp.int32),
+            tables, page_size=page, ring_size=ring)
+        assert int(n128b[0]) == 1
+        ref128 = compression.compress_window(pool_kv[:128], pool_sc[:128], ape128)
+        np.testing.assert_allclose(
+            np.asarray(out128b)[0, 0], np.asarray(ref128), rtol=1e-4, atol=1e-5)
