@@ -179,16 +179,16 @@ def fp8_paged_mqa_logits(q, kv_pages, weights, lengths, page_table,
 
     inputs = [qf, wf, kv_pages]
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     # q/w live in VMEM blocks (whole array)
     in_specs[0] = pl.BlockSpec((b, hp, d), lambda g, lens, pt: (0, 0, 0))
     in_specs[1] = pl.BlockSpec((b, hp), lambda g, lens, pt: (0, 0))
     if has_scale:
         inputs.append(kv_scales.astype(jnp.float32))
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
 
     kernel = functools.partial(
         _mqa_logits_entry,
@@ -200,7 +200,7 @@ def fp8_paged_mqa_logits(q, kv_pages, weights, lengths, page_table,
             num_scalar_prefetch=2,
             grid=(1,),
             in_specs=in_specs,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             scratch_shapes=[
                 pltpu.VMEM((2, cpp, page, d), kv_pages.dtype),
                 pltpu.VMEM((2, cpp, page), jnp.float32),

@@ -364,8 +364,8 @@ def paged_attention_decode_dma(
     inputs = [qh, k_pages, v_pages]
     in_specs = [
         pl.BlockSpec((bb, hkv, gp, d), lambda blk, ss, lens, pt, lid: (blk, 0, 0, 0)),
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     if has_fresh:
         fk = fresh_k.reshape(b, hkv, 1, d).astype(qh.dtype)

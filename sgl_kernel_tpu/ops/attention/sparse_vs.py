@@ -375,8 +375,8 @@ def sparse_attn_func(
                 pl.BlockSpec((1, 1, 1, nvp), lambda b_, h_, r_, *pf: (b_, h_, r_, 0)),
                 pl.BlockSpec((1, 1, 1, nvp, d), lambda b_, h_, r_, *pf: (b_, h_, r_, 0, 0)),
                 pl.BlockSpec((1, 1, 1, nvp, d), lambda b_, h_, r_, *pf: (b_, h_, r_, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, 1, bm, d), lambda b_, h_, r_, *pf: (b_, h_, r_, 0)),
             scratch_shapes=[

@@ -187,12 +187,12 @@ def store_cache_all_layers(k_all, v_all, k_pool, v_pool, loc):
             in_specs=[
                 pl.BlockSpec((l, t, h, d), lambda g, pid, woff, row: (0, 0, 0, 0)),
                 pl.BlockSpec((l, t, h, d), lambda g, pid, woff, row: (0, 0, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             scratch_shapes=[
                 pltpu.VMEM((l, h, _WIN, d), k_pool.dtype),
