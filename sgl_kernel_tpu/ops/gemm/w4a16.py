@@ -49,11 +49,26 @@ _E2M1_MAG = (0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0)
 GROUPS_PER_KTILE = 8  # bk = 8 * group_size
 
 # Per-shape tile table, (N, K, m_bucket) -> (bm, bn, bk). Measured on-chip
-# (benchmark/tune_w4a16.py sweep; the reference's analog is the per-dim
-# tile instantiation grids in src/FMHAPrefillXe20.cmake:11-87 picked by
-# host heuristics). m_bucket: 0 = decode (M <= 32), 1 = small prefill
+# (benchmark/tune_w4a16.py sweep + confirm_w4a16.py noise-proofed confirm
+# pass, 2026-08-17; the reference's analog is the per-dim tile
+# instantiation grids in src/FMHAPrefillXe20.cmake:11-87 picked by host
+# heuristics). m_bucket: 0 = decode (M <= 32), 1 = small prefill
 # (M <= 256), 2 = large prefill. Fallback: the global defaults below.
-_TILE_TABLE = {}
+# Only entries that beat the default by >3% with physically plausible
+# bandwidth (<819 GB/s HBM) are kept — single-weight rep chains can go
+# VMEM-resident and report impossible rates (docs/PERF.md round 2).
+_TILE_TABLE = {
+    (4096, 4096, 0): (16, 512, 1024),     # o_proj decode: 612 GB/s
+    (4096, 4096, 2): (256, 512, 2048),    # 195 TFLOP/s (MXU-bound)
+    (4096, 14336, 0): (16, 4096, 1024),   # down decode: 574 GB/s
+    (4096, 14336, 1): (128, 4096, 1024),
+    (4096, 14336, 2): (256, 4096, 1024),
+    (6144, 4096, 0): (16, 512, 1024),     # qkv decode: 487 GB/s
+    (6144, 4096, 1): (128, 1024, 2048),
+    (28672, 4096, 0): (16, 4096, 1024),   # gate_up decode: 489 GB/s
+    (28672, 4096, 1): (128, 2048, 2048),
+    (28672, 4096, 2): (256, 2048, 2048),
+}
 
 
 def _m_bucket(m: int) -> int:

@@ -133,7 +133,9 @@ def _store_all_layers_kernel(pid_ref, woff_ref, row_ref, k_all_ref, v_all_ref,
 
     def body(t, _):
         pid = pid_ref[t]
-        woff = woff_ref[t]
+        # woff is built as (off // _WIN) * _WIN by the caller; Mosaic needs
+        # the alignment hint to allow a dynamic slice in the tiled page dim
+        woff = pl.multiple_of(woff_ref[t], _WIN)
         row = row_ref[t]
 
         @pl.when(pid < n_pages)
