@@ -268,11 +268,12 @@ def transfer_kv_all_layer_lf_pf(src_k_layers, src_v_layers, dst_pf, src_indices,
 
 @jax.jit
 def transfer_kv_per_layer_pf_lf(src_pf, dst_k, dst_v, src_indices, dst_indices, layer_id: jax.Array):
-    """pf [T, 2L, item] -> lf one layer."""
-    rows = src_pf[src_indices]  # [n, 2L, item]
+    """pf [T, 2L, *item] -> lf one layer (item may be flat or [H, D])."""
+    rows = src_pf[src_indices]  # [n, 2L, *item]
     l = src_pf.shape[1] // 2
-    k_rows = jnp.take_along_axis(rows, jnp.full((rows.shape[0], 1, 1), layer_id), axis=1)[:, 0]
-    v_rows = jnp.take_along_axis(rows, jnp.full((rows.shape[0], 1, 1), layer_id + l), axis=1)[:, 0]
+    idx = jnp.full((rows.shape[0], 1) + (1,) * (rows.ndim - 2), layer_id)
+    k_rows = jnp.take_along_axis(rows, idx, axis=1)[:, 0]
+    v_rows = jnp.take_along_axis(rows, idx + l, axis=1)[:, 0]
     return dst_k.at[dst_indices].set(k_rows.astype(dst_k.dtype)), dst_v.at[dst_indices].set(v_rows.astype(dst_v.dtype))
 
 
