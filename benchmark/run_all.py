@@ -17,6 +17,7 @@ import os
 SCRIPTS = [
     "bench_w4a16_gemm.py",
     "bench_attention.py",
+    "bench_decode_dma.py",
     "bench_fused_moe.py",
     "bench_quant_gemm.py",
     "bench_quant_ops.py",

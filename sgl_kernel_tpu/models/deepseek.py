@@ -48,6 +48,14 @@ class DeepseekConfig:
     rms_eps: float = 1e-6
     max_position: int = 4096
     dtype: Any = jnp.bfloat16
+    # DSv4 NSA sparse attention (decode): a lightweight fp8 indexer cache
+    # scores every cached token per step, top-`index_topk` latent rows are
+    # gathered for sparse MLA (reference: fp8_paged_mqa_logits + fast_topk
+    # + flash_mla_sparse_decode pipeline, sgl_flash_kernel_ops.h:96-139)
+    nsa: bool = False
+    index_topk: int = 2048
+    idx_heads: int = 4
+    idx_dim: int = 128  # power of two (hadamard rotation)
 
     @staticmethod
     def tiny(**kw):
@@ -95,6 +103,13 @@ def init_weights(cfg: DeepseekConfig, key):
         "shared_up": w((l, cfg.moe_intermediate, h)),
         "shared_down": w((l, h, cfg.moe_intermediate)),
     }
+    if cfg.nsa:
+        layers.update({
+            "wq_idx": w((l, cfg.idx_heads * cfg.idx_dim, h)),
+            "wk_idx": w((l, cfg.idx_dim, h)),
+            "idx_norm": jnp.ones((l, cfg.idx_dim), cfg.dtype),
+            "w_idx_gate": w((l, cfg.idx_heads, h), 0.02),
+        })
     return {
         "embed": w((cfg.vocab_size, h), 0.02),
         "final_norm": jnp.ones((h,), cfg.dtype),
@@ -242,3 +257,164 @@ def prefill(params, cfg: DeepseekConfig, kv_cache, tokens, positions, q_lens, sl
 
 def build_rope_cache(cfg: DeepseekConfig):
     return compute_cos_sin_cache(D_ROPE, cfg.max_position, cfg.rope_theta)
+
+
+# ---------------------------------------------------------------------------
+# DSv4 NSA sparse decode (fp8 indexer -> fast_topk -> sparse MLA gather)
+# ---------------------------------------------------------------------------
+
+
+def make_indexer_cache(cfg: DeepseekConfig, num_pages: int, page_size: int):
+    """fp8 indexer K pool + per-token f32 descale, flat layer-stacked
+    ([L*P*page, idx_dim] / [L*P*page]) — the reference packs the fp8 row
+    and scale into one 132-byte slot (nsa.py:159); two aligned pools is
+    the TPU-native split."""
+    s = cfg.num_layers * num_pages * page_size
+    return (
+        jnp.zeros((s, cfg.idx_dim), jnp.float8_e4m3fn),
+        jnp.zeros((s,), jnp.float32),
+    )
+
+
+def build_idx_rope_cache(cfg: DeepseekConfig):
+    return compute_cos_sin_cache(cfg.idx_dim, cfg.max_position, cfg.rope_theta)
+
+
+def _indexer_ingest(h, lw, lidx, cfg, positions, slot_loc, idx_k, idx_s,
+                    idx_rope, pool_tokens):
+    """Project h to the indexer key and scatter (norm+rope+hadamard+fp8)."""
+    from ..ops.attention.nsa import fused_k_indexer_norm_rope_quant_store
+
+    k_i = jnp.dot(h, lw["wk_idx"][lidx].T, preferred_element_type=jnp.float32).astype(cfg.dtype)
+    off = jnp.where(slot_loc >= 0, lidx * pool_tokens + slot_loc, -1)
+    return fused_k_indexer_norm_rope_quant_store(
+        k_i, positions, idx_rope, lw["idx_norm"][lidx], idx_k, idx_s, off,
+        eps=cfg.rms_eps,
+    )
+
+
+def _indexer_select(h, lw, lidx, cfg, positions, lengths, page_tables,
+                    idx_k, idx_s, idx_rope, num_pages, page_size):
+    """Score the cached tokens with the fp8 indexer and return the
+    top-`index_topk` flat LATENT-pool slots (layer-local)."""
+    from ..ops.attention.nsa import (
+        fast_topk_transform_fused,
+        fp8_paged_mqa_logits,
+        fused_q_indexer_rope_hadamard_quant,
+    )
+
+    b = h.shape[0]
+    q_i = jnp.dot(h, lw["wq_idx"][lidx].T, preferred_element_type=jnp.float32)
+    q_i = q_i.reshape(b, cfg.idx_heads, cfg.idx_dim).astype(cfg.dtype)
+    q8, qs = fused_q_indexer_rope_hadamard_quant(q_i, positions, idx_rope)
+    q_deq = q8.astype(jnp.bfloat16) * qs.astype(jnp.bfloat16)  # MXU-native
+    gate = jax.nn.sigmoid(
+        jnp.dot(h.astype(jnp.float32), lw["w_idx_gate"][lidx].astype(jnp.float32).T)
+    )  # [B, Hi]
+    # full stacked pool + layer-offset page ids: no per-layer pool slice
+    kv_pages = idx_k.reshape(cfg.num_layers * num_pages, page_size, cfg.idx_dim)
+    kv_scales = idx_s.reshape(cfg.num_layers * num_pages, page_size)
+    pt_off = page_tables + lidx * num_pages
+    logits = fp8_paged_mqa_logits(q_deq, kv_pages, gate, lengths, pt_off, kv_scales)
+    return fast_topk_transform_fused(
+        logits, lengths, page_tables, page_size, topk=cfg.index_topk
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3, 4))
+def decode_step_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
+                    tokens, positions, page_tables, lengths, slot_loc,
+                    rope_cache, idx_rope_cache):
+    """NSA decode step: per layer, the fp8 indexer scores every cached
+    token (streaming Pallas kernel), fast_topk picks ``index_topk`` tokens,
+    and sparse MLA attends only to the gathered latent rows — O(topk)
+    attention instead of O(ctx) (reference DSv4 pipeline:
+    fp8_paged_mqa_logits -> fast_topk_transform -> flash_mla_sparse_decode,
+    sgl_flash_kernel_ops.h:96-139). Prefill stays dense (prefill_nsa
+    ingests the indexer keys)."""
+    from ..ops.attention.nsa import sparse_mla_decode
+
+    b = tokens.shape[0]
+    x = params["embed"][tokens].astype(cfg.dtype)
+    lw = params["layers"]
+    l, np_, pg, dd = kv_cache.shape
+    pool_tokens = np_ * pg
+
+    def layer_fn(carry, lidx):
+        x, cache, ik, isc = carry
+        h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
+        q_lat, q_pe, kv_row = _mla_qkv(h, lw, lidx, cfg, b, positions, rope_cache)
+        off_slots = jnp.where(slot_loc >= 0, lidx * pool_tokens + slot_loc, -1)
+        cache = store_cache_mla(kv_row, cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
+        ik, isc = _indexer_ingest(h, lw, lidx, cfg, positions, slot_loc, ik, isc,
+                                  idx_rope_cache, pool_tokens)
+        slots = _indexer_select(h, lw, lidx, cfg, positions, lengths, page_tables,
+                                ik, isc, idx_rope_cache, np_, pg)
+        slots_off = jnp.where(slots >= 0, lidx * pool_tokens + slots, -1)
+        attn = sparse_mla_decode(
+            q_lat, q_pe, cache.reshape(l * pool_tokens, dd), slots_off,
+            sm_scale=_sm_scale(cfg),
+        )
+        x = x + _mla_out(attn, lw, lidx, cfg, b)
+        h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
+        is_dense = lidx < cfg.num_dense_layers
+        mlp = jax.lax.cond(
+            is_dense,
+            lambda h2: _silu_mlp(h2, lw["gate"][lidx], lw["up"][lidx], lw["down"][lidx], cfg),
+            lambda h2: _moe_block(h2, lw, lidx, cfg),
+            h2,
+        )
+        return (x + mlp, cache, ik, isc), None
+
+    (x, kv_cache, idx_k, idx_s), _ = jax.lax.scan(
+        layer_fn, (x, kv_cache, idx_k, idx_s), jnp.arange(cfg.num_layers))
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    logits = jnp.dot(x, params["lm_head"].T, preferred_element_type=jnp.float32)
+    return logits, kv_cache, idx_k, idx_s
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3, 4))
+def prefill_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s, tokens,
+                positions, q_lens, slot_loc, rope_cache, idx_rope_cache):
+    """Dense causal prefill that ALSO ingests the per-layer indexer keys so
+    subsequent decode_step_nsa steps can score the full history."""
+    b, s = tokens.shape
+    x = params["embed"][tokens.reshape(-1)].astype(cfg.dtype)
+    lw = params["layers"]
+    l, np_, pg, dd = kv_cache.shape
+    pool_tokens = np_ * pg
+
+    def layer_fn(carry, lidx):
+        x, cache, ik, isc = carry
+        h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
+        q_lat, q_pe, kv_row = _mla_qkv(h, lw, lidx, cfg, b * s, positions.reshape(-1), rope_cache)
+        sl = slot_loc.reshape(-1)
+        off_slots = jnp.where(sl >= 0, lidx * pool_tokens + sl, -1)
+        cache = store_cache_mla(kv_row, cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
+        ik, isc = _indexer_ingest(h, lw, lidx, cfg, positions.reshape(-1), sl,
+                                  ik, isc, idx_rope_cache, pool_tokens)
+        attn = mla_prefill(
+            q_lat.reshape(b, s, cfg.num_heads, D_LATENT),
+            q_pe.reshape(b, s, cfg.num_heads, D_ROPE),
+            kv_row.reshape(b, s, D_CKV),
+            q_lens, q_lens, sm_scale=_sm_scale(cfg),
+        ).reshape(b * s, cfg.num_heads, D_LATENT)
+        x = x + _mla_out(attn, lw, lidx, cfg, b * s)
+        h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
+        is_dense = lidx < cfg.num_dense_layers
+        mlp = jax.lax.cond(
+            is_dense,
+            lambda h2: _silu_mlp(h2, lw["gate"][lidx], lw["up"][lidx], lw["down"][lidx], cfg),
+            lambda h2: _moe_block(h2, lw, lidx, cfg),
+            h2,
+        )
+        return (x + mlp, cache, ik, isc), None
+
+    (x, kv_cache, idx_k, idx_s), _ = jax.lax.scan(
+        layer_fn, (x, kv_cache, idx_k, idx_s), jnp.arange(cfg.num_layers))
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    x = x.reshape(b, s, -1)
+    last = jnp.clip(q_lens - 1, 0, s - 1)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    logits = jnp.dot(x_last, params["lm_head"].T, preferred_element_type=jnp.float32)
+    return logits, kv_cache, idx_k, idx_s

@@ -71,3 +71,78 @@ class TestDeepseek:
             jnp.asarray([4], jnp.int32), jnp.asarray(slots), rope_cache,
         )
         assert not np.allclose(np.asarray(logits), np.asarray(logits2))
+
+
+class TestNSASparseDecode:
+    """DSv4 NSA pipeline integrated into the model: fp8 indexer scoring ->
+    fast_topk -> sparse MLA gather. With index_topk >= context the selected
+    set covers every cached token, so sparse decode must match the dense
+    decode step."""
+
+    @pytest.fixture(scope="class")
+    def nsa_setup(self):
+        cfg = deepseek.DeepseekConfig.tiny(nsa=True, idx_dim=32, idx_heads=2,
+                                           index_topk=128)
+        params = deepseek.init_weights(cfg, jax.random.PRNGKey(0))
+        return cfg, params
+
+    def _prefill_both(self, cfg, params, toks, s, page, rng):
+        rope = deepseek.build_rope_cache(cfg)
+        irope = deepseek.build_idx_rope_cache(cfg)
+        pad = 16
+        tok = np.zeros((1, pad), np.int32); tok[0, :s] = toks[:s]
+        pos = np.zeros((1, pad), np.int32); pos[0, :s] = np.arange(s)
+        slots = np.full((1, pad), -1, np.int32); slots[0, :s] = page + np.arange(s)
+
+        cache_d = deepseek.make_cache(cfg, 8, page)
+        _, cache_d = deepseek.prefill(
+            params, cfg, cache_d, jnp.asarray(tok), jnp.asarray(pos),
+            jnp.asarray([s], jnp.int32), jnp.asarray(slots), rope)
+
+        cache_n = deepseek.make_cache(cfg, 8, page)
+        ik, isc = deepseek.make_indexer_cache(cfg, 8, page)
+        _, cache_n, ik, isc = deepseek.prefill_nsa(
+            params, cfg, cache_n, ik, isc, jnp.asarray(tok), jnp.asarray(pos),
+            jnp.asarray([s], jnp.int32), jnp.asarray(slots), rope, irope)
+        np.testing.assert_allclose(np.asarray(cache_d), np.asarray(cache_n),
+                                   rtol=1e-5, atol=1e-6)
+        return rope, irope, cache_d, cache_n, ik, isc
+
+    def test_full_topk_matches_dense(self, nsa_setup, rng):
+        cfg, params = nsa_setup
+        page, s = 16, 10
+        toks = rng.integers(0, cfg.vocab_size, s + 1).astype(np.int32)
+        rope, irope, cache_d, cache_n, ik, isc = self._prefill_both(
+            cfg, params, toks, s, page, rng)
+
+        table = np.asarray([[1, 2, 0, 0]], np.int32)
+        args = (jnp.asarray([toks[s]], jnp.int32), jnp.asarray([s], jnp.int32),
+                jnp.asarray(table), jnp.asarray([s + 1], jnp.int32),
+                jnp.asarray([page + s], jnp.int32), rope)
+        dense_logits, _ = deepseek.decode_step(params, cfg, cache_d, *args)
+        nsa_logits, _, ik, isc = deepseek.decode_step_nsa(
+            params, cfg, cache_n, ik, isc, *args, irope)
+        np.testing.assert_allclose(np.asarray(nsa_logits), np.asarray(dense_logits),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_small_topk_runs_and_differs(self, nsa_setup, rng):
+        """With index_topk < context the output is finite and (generically)
+        differs from dense — the sparsity is actually applied."""
+        cfg0, _ = nsa_setup
+        cfg = deepseek.DeepseekConfig.tiny(nsa=True, idx_dim=32, idx_heads=2,
+                                           index_topk=4)
+        params = deepseek.init_weights(cfg, jax.random.PRNGKey(0))
+        page, s = 16, 12
+        toks = rng.integers(0, cfg.vocab_size, s + 1).astype(np.int32)
+        rope, irope, cache_d, cache_n, ik, isc = self._prefill_both(
+            cfg, params, toks, s, page, rng)
+        table = np.asarray([[1, 2, 0, 0]], np.int32)
+        args = (jnp.asarray([toks[s]], jnp.int32), jnp.asarray([s], jnp.int32),
+                jnp.asarray(table), jnp.asarray([s + 1], jnp.int32),
+                jnp.asarray([page + s], jnp.int32), rope)
+        dense_logits, _ = deepseek.decode_step(params, cfg, cache_d, *args)
+        nsa_logits, _, _, _ = deepseek.decode_step_nsa(
+            params, cfg, cache_n, ik, isc, *args, irope)
+        out = np.asarray(nsa_logits)
+        assert np.all(np.isfinite(out))
+        assert not np.allclose(out, np.asarray(dense_logits), atol=1e-5)
