@@ -57,15 +57,20 @@ GROUPS_PER_KTILE = 8  # bk = 8 * group_size
 # Only entries that beat the default by >3% with physically plausible
 # bandwidth (<819 GB/s HBM) are kept — single-weight rep chains can go
 # VMEM-resident and report impossible rates (docs/PERF.md round 2).
+# Decode-bucket (m_bucket 0) entries come from the IN-MODEL harness
+# (/docs/PERF.md round 2: layer-stacked weights + traced layer_id sweep, a
+# DIFFERENT layer per rep — isolated single-weight rep chains mislead: the
+# weight goes VMEM/cache-resident and tile ordering inverts). Prefill
+# buckets (1/2) come from the isolated confirm sweep (MXU-bound there, tile
+# choice is second-order).
 _TILE_TABLE = {
-    (4096, 4096, 0): (16, 512, 1024),     # o_proj decode: 612 GB/s
+    (4096, 4096, 0): (16, 4096, 1024),    # o_proj decode: 560 GB/s in-model
     (4096, 4096, 2): (256, 512, 2048),    # 195 TFLOP/s (MXU-bound)
-    (4096, 14336, 0): (16, 4096, 1024),   # down decode: 574 GB/s
+    (4096, 14336, 0): (16, 1024, 2048),   # down decode: 467 GB/s in-model
     (4096, 14336, 1): (128, 4096, 1024),
     (4096, 14336, 2): (256, 4096, 1024),
-    (6144, 4096, 0): (16, 512, 1024),     # qkv decode: 487 GB/s
+    (6144, 4096, 0): (16, 512, 2048),     # qkv decode: 445 GB/s in-model
     (6144, 4096, 1): (128, 1024, 2048),
-    (28672, 4096, 0): (16, 4096, 1024),   # gate_up decode: 489 GB/s
     (28672, 4096, 1): (128, 2048, 2048),
     (28672, 4096, 2): (256, 2048, 2048),
 }
