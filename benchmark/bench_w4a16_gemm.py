@@ -42,7 +42,7 @@ def main():
     e, n, k, bm = 8, 1280, 3584, 128
     cap = 16 * bm
     xs = jnp.asarray(rng.standard_normal((cap, k)), jnp.bfloat16)
-    wq = jnp.asarray(rng.integers(0, 255, (e, n // 2, k)), jnp.uint8)
+    wq = jnp.asarray(rng.integers(0, 255, (e, k // 2, n)), jnp.uint8)
     sc = jnp.asarray(rng.random((e, k // 128, n)).astype(np.float32) * 0.01)
     beids = jnp.asarray(rng.integers(0, e, (cap // bm,)), jnp.int32)
 

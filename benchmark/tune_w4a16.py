@@ -29,7 +29,7 @@ G = 128
 
 def bench(m, n, k, bm, bn, bk):
     a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
-    pk = jnp.asarray(rng.integers(0, 255, (1, n // 2, k)), jnp.uint8)
+    pk = jnp.asarray(rng.integers(0, 255, (1, k // 2, n)), jnp.uint8)
     sc = jnp.asarray((rng.random((1, k // G, n)) * 0.01).astype(np.float32))
 
     @jax.jit

@@ -205,7 +205,7 @@ def mla_decode(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "causal"))
+@functools.partial(jax.jit, static_argnames=("sm_scale", "causal", "return_lse"))
 def mla_prefill(
     q_nope,
     q_pe,
@@ -215,11 +215,18 @@ def mla_prefill(
     *,
     sm_scale: Optional[float] = None,
     causal: bool = True,
+    q_start=None,
+    kv_start=None,
+    return_lse: bool = False,
 ):
     """MLA ragged prefill (flash_mla_prefill semantics).
 
     q_nope [B, S, H, 512], q_pe [B, S, H, 64], kv [B, Skv, 576] (the
-    latent sequence, pre-cache layout). Returns [B, S, H, 512].
+    latent sequence, pre-cache layout). Returns [B, S, H, 512] — or
+    (out, lse [B, H, S] base-2) with ``return_lse`` for merge_state combining
+    (the chunked-extend two-pass path, models/deepseek.prefill_extend).
+    ``q_start``/``kv_start`` offset the causal mask for suffix chunks
+    whose prefix KV lives elsewhere (flash_attention's contract).
     """
     b, s, h, _ = q_nope.shape
     skv = kv.shape[1]
@@ -230,5 +237,9 @@ def mla_prefill(
     out = flash_attention(
         q, k.astype(q.dtype), v.astype(q.dtype), q_lens, kv_lens,
         causal=causal, sm_scale=sm_scale,
+        q_start=q_start, kv_start=kv_start, return_lse=return_lse,
     )
+    if return_lse:
+        o, lse = out
+        return o[..., :D_LATENT], lse
     return out[..., :D_LATENT]

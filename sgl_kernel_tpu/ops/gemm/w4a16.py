@@ -4,19 +4,28 @@ TPU-native replacement for the reference's W4A16 grouped-GEMM mainloop
 (src/sycl/kernels/moe/xe20/w4a16/gemm_xe2.hpp: in-register dequant feeding
 DPAS).
 
-Design (measured on v5e, ~426 GB/s effective on the int4 bytes at M=16 —
-2x faster than the XLA bf16 matmul on the same logical weights):
-  - **N-paired nibble packing**: weights stored as uint8 [N/2, K] where
-    byte (r, k) packs code(2r, k) in the low nibble and code(2r+1, k) in
+Design (measured on v5e; round-2 in-model numbers in docs/PERF.md):
+  - **K-paired nibble packing**: weights stored as uint8 [K/2, N] where
+    byte (r, n) packs code(2r, n) in the low nibble and code(2r+1, n) in
     the high nibble. Inside the kernel a single ``pltpu.bitcast`` to
-    ``jnp.int4`` doubles the sublane dim, yielding the logical [N, K] int4
+    ``jnp.int4`` doubles the sublane dim, yielding the logical [K, N] int4
     tile, and ``astype(bfloat16)`` hits the hardware int4 upconvert — the
     load+convert runs at full HBM bandwidth on half the bytes of bf16.
+    The decoded tile is already in MXU rhs orientation (contracting dim
+    leading): the round-1 N-paired layout ([N/2, K]) forced an rhs
+    transpose per tile and plateaued at 476 GB/s in-model on gate_up; the
+    K-paired form measures 561 GB/s on identical shapes (the stream-bound
+    for this kernel's access pattern is 695 GB/s; the int4->bf16 VPU
+    upconvert itself overlaps DMA and is free — docs/PERF.md round 2).
   - **Output-side group scaling**: a per-(n, k-group) scale broadcast over
     the weight tile lowers pathologically in Mosaic (sub-lane group
     broadcast), so the kernel instead computes one depth-G partial matmul
     per scale group and scales the (M, BN) partial *output*: VPU work
-    drops from O(N*K) to O(M*N*K/G).
+    drops from O(N*K) to O(M*N*K/G). Scaling stays f32 (the scale tile is
+    upcast in-kernel), but the STORED scales are bf16: f32 scales are 6%
+    of the weight traffic and measure 605 -> 635 GB/s when halved
+    (in-model gate_up; scale precision is second-order next to the 4-bit
+    weight quantization error).
   - Asymmetric zeros fold in as a per-group rank-1 correction:
         (c - z) s = c*s - (sum_k a_g) * (z s).
 
@@ -26,9 +35,10 @@ Math contracts (reference include/sgl_kernel_ops.h:692-712):
   - mxfp4:            w = e2m1(code) * 2^(scale_byte - 127)
 
 Layouts consumed by the kernel (produced by quantize_w4 / converters):
-  packed  uint8 [N//2, K]            (N-paired nibbles)
-  scales  float32 [K//G, N]          (transposed: K-group-major)
-  zeros_x_scales float32 [K//G, N]   (optional, z*s pre-multiplied)
+  packed  uint8 [K//2, N]             (K-paired nibbles)
+  scales  bfloat16 [K//G, N]          (K-group-major; any float dtype is
+                                       accepted verbatim — upcast per-tile)
+  zeros_x_scales bfloat16 [K//G, N]   (optional, z*s pre-multiplied)
 """
 
 from __future__ import annotations
@@ -64,12 +74,12 @@ GROUPS_PER_KTILE = 8  # bk = 8 * group_size
 # buckets (1/2) come from the isolated confirm sweep (MXU-bound there, tile
 # choice is second-order).
 _TILE_TABLE = {
-    (4096, 4096, 0): (16, 4096, 1024),    # o_proj decode: 560 GB/s in-model
+    # decode entries re-measured for the K-paired kernel (in-model harness,
+    # 2026-08-17): gate_up 561 GB/s at (16, 2048, 1024); other decode shapes
+    # pending the K-paired re-tune (defaults bn=2048/bk=8G apply).
     (4096, 4096, 2): (256, 512, 2048),    # 195 TFLOP/s (MXU-bound)
-    (4096, 14336, 0): (16, 1024, 2048),   # down decode: 467 GB/s in-model
     (4096, 14336, 1): (128, 4096, 1024),
     (4096, 14336, 2): (256, 4096, 1024),
-    (6144, 4096, 0): (16, 512, 2048),     # qkv decode: 445 GB/s in-model
     (6144, 4096, 1): (128, 1024, 2048),
     (28672, 4096, 1): (128, 2048, 2048),
     (28672, 4096, 2): (256, 2048, 2048),
@@ -96,8 +106,12 @@ def register_tiles(table):
 
 
 def _decode_tile(w_ref, fmt: str):
-    """Packed uint8 tile [bn/2, bk] -> bf16 codes [bn, bk] (unscaled)."""
-    w4 = pltpu.bitcast(w_ref[...], jnp.int4)  # [bn, bk], row 2r = low nibble
+    """Packed uint8 tile [bk/2, bn] -> bf16 codes [bk, bn] (unscaled).
+
+    The bitcast doubles the SUBLANE dim: packed row r expands to code rows
+    2r (low nibble) and 2r+1 (high nibble), so the decoded tile lands in
+    MXU rhs orientation (contracting dim leading) with no transpose."""
+    w4 = pltpu.bitcast(w_ref[...], jnp.int4)  # [bk, bn], row 2r = low nibble
     if fmt == "int4":
         return w4.astype(jnp.bfloat16)
     # mxfp4: recover the e2m1 bit pattern from the signed int4 value and
@@ -119,7 +133,7 @@ def _kernel(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *,
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    wf = _decode_tile(w_ref, fmt)  # [bn, bk] bf16 codes
+    wf = _decode_tile(w_ref, fmt)  # [bk, bn] bf16 codes (MXU rhs orientation)
     if prologue == "silu_mul":
         g = a_ref[...].astype(jnp.float32)
         a = (g * jax.nn.sigmoid(g) * a2_ref[...].astype(jnp.float32)).astype(a_ref.dtype)
@@ -129,14 +143,14 @@ def _kernel(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *,
     for g in range(ngb):
         a_g = a[:, g * g0 : (g + 1) * g0]
         part = jax.lax.dot_general(
-            a_g, wf[:, g * g0 : (g + 1) * g0], (((1,), (1,)), ((), ())),
+            a_g, wf[g * g0 : (g + 1) * g0, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [bm, bn]
-        acc = acc + part * s_ref[g, :][None, :]
+        acc = acc + part * s_ref[g, :][None, :].astype(jnp.float32)
         if z_ref is not None:
             # rank-1 zero-point correction: - (sum_k a_g) * (z*s)[g, n]
             asum = jnp.sum(a_g.astype(jnp.float32), axis=1, keepdims=True)
-            acc = acc - asum * z_ref[g, :][None, :]
+            acc = acc - asum * z_ref[g, :][None, :].astype(jnp.float32)
     acc_ref[...] = acc
 
     @pl.when(k_idx == n_k - 1)
@@ -175,7 +189,7 @@ def w4a16_gemm(
 
     Args:
       a: [M, K] activations (bf16/f16/f32).
-      w: [N//2, K] packed uint8 (N-paired nibble layout, pack_w4_tpu).
+      w: [K//2, N] packed uint8 (K-paired nibble layout, pack_w4_tpu).
       scales: [K//G, N] float (int4 multiplier / decoded mxfp4 exp2 value).
       zeros: optional [K//G, N] z*s pre-product (int4 asymmetric).
       bias: optional [N].
@@ -199,15 +213,14 @@ def w4a16_gemm(
     """
     m, k = a.shape
     stacked = layer_id is not None
-    wl = w.shape[1] if stacked else w.shape[0]
-    n = wl * 2
+    n = w.shape[-1]
     out_dtype = out_dtype or a.dtype
     if stacked:
         l = w.shape[0]
-        assert w.shape == (l, n // 2, k) and w.dtype == jnp.uint8, (w.shape, w.dtype)
+        assert w.shape == (l, k // 2, n) and w.dtype == jnp.uint8, (w.shape, w.dtype)
         assert scales.shape == (l, k // group_size, n), scales.shape
     else:
-        assert w.shape == (n // 2, k) and w.dtype == jnp.uint8, (w.shape, w.dtype)
+        assert w.shape == (k // 2, n) and w.dtype == jnp.uint8, (w.shape, w.dtype)
         assert scales.shape == (k // group_size, n), (scales.shape, (k // group_size, n))
 
     tbm, tbn, tbk = pick_tiles(m, n, k, group_size)
@@ -230,20 +243,23 @@ def w4a16_gemm(
             residual = jnp.pad(residual, ((0, mp - m), (0, 0)))
 
     grid = (n // bn, mp // bm, k // bk)
-    scales_f = scales.astype(jnp.float32)
+    # scales/zeros ship in their stored dtype (bf16 canonical) — converting
+    # whole stacked arrays here would copy [L, K/G, N] every call; the
+    # kernel upcasts the tiny [ngb, bn] tile to f32 instead.
+    scales_f = scales
 
     # With a stacked layer dim, index maps receive the scalar-prefetch ref
     # as an extra trailing arg and select the layer; `None` in the block
     # shape squeezes the dim so the kernel body is identical either way.
     if stacked:
         a_spec = pl.BlockSpec((bm, bk), lambda j, i, kk, lid: (i, kk))
-        w_spec = pl.BlockSpec((None, bn // 2, bk), lambda j, i, kk, lid: (lid[0], j, kk))
+        w_spec = pl.BlockSpec((None, bk // 2, bn), lambda j, i, kk, lid: (lid[0], kk, j))
         s_spec = pl.BlockSpec((None, ngb, bn), lambda j, i, kk, lid: (lid[0], kk, j))
         b_spec = pl.BlockSpec((None, bn), lambda j, i, kk, lid: (lid[0], j))
         mn_spec = pl.BlockSpec((bm, bn), lambda j, i, kk, lid: (i, j))
     else:
         a_spec = pl.BlockSpec((bm, bk), lambda j, i, kk: (i, kk))
-        w_spec = pl.BlockSpec((bn // 2, bk), lambda j, i, kk: (j, kk))
+        w_spec = pl.BlockSpec((bk // 2, bn), lambda j, i, kk: (kk, j))
         s_spec = pl.BlockSpec((ngb, bn), lambda j, i, kk: (kk, j))
         b_spec = pl.BlockSpec((1, bn), lambda j, i, kk: (0, j))
         mn_spec = pl.BlockSpec((bm, bn), lambda j, i, kk: (i, j))
@@ -259,7 +275,7 @@ def w4a16_gemm(
     inputs += [w, scales_f]
     if zeros is not None:
         in_specs.append(s_spec)
-        inputs.append(zeros.astype(jnp.float32))
+        inputs.append(zeros)
     has_bias = bias is not None
     if has_bias:
         in_specs.append(b_spec)
@@ -348,65 +364,69 @@ def _kernel_entry(*refs, has_lid=False, has_a2, has_zeros, has_bias, has_res, fm
 
 @jax.jit
 def pack_w4_tpu(codes):
-    """Pack logical uint4 codes [N, K] (nibble values 0..15; signed int4 is
-    stored two's complement) into the N-paired uint8 layout [N//2, K]:
-    byte(r, k) = code(2r, k) | code(2r+1, k) << 4 — the order
-    pltpu.bitcast(., int4) yields on TPU (row 2r = low nibble)."""
+    """Pack logical uint4 codes [K, N] (nibble values 0..15; signed int4 is
+    stored two's complement) into the K-paired uint8 layout [K//2, N]:
+    byte(r, n) = code(2r, n) | code(2r+1, n) << 4 — the order
+    pltpu.bitcast(., int4) yields on TPU (row 2r = low nibble), putting the
+    decoded tile straight into MXU rhs orientation."""
     c = codes.astype(jnp.uint8)
     return (c[0::2] & 0xF) | ((c[1::2] & 0xF) << 4)
 
 
 @jax.jit
 def unpack_w4_tpu(packed):
-    """Inverse of pack_w4_tpu -> uint8 logical codes [N, K] (values 0..15)."""
+    """Inverse of pack_w4_tpu -> uint8 logical codes [K, N] (values 0..15)."""
     lo = packed & 0xF
     hi = packed >> 4
-    n2, k = packed.shape
-    return jnp.stack([lo, hi], axis=1).reshape(2 * n2, k)
+    k2, n = packed.shape
+    return jnp.stack([lo, hi], axis=1).reshape(2 * k2, n)
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "symmetric"))
 def quantize_w4(w, *, group_size: int = 128, symmetric: bool = True):
     """Quantize a float weight [N, K] into the kernel's layouts.
 
-    Returns (packed uint8 [N//2, K], scales f32 [K//G, N],
-    zeros_x_scales f32 [K//G, N] or None).
+    Returns (packed uint8 [K//2, N], scales bf16 [K//G, N],
+    zeros_x_scales bf16 [K//G, N] or None). Scales are rounded to bf16
+    FIRST and the codes fitted against the rounded scale, so the stored
+    pair is self-consistent; scale precision is second-order next to the
+    4-bit code quantization error (docs/PERF.md round 2).
     """
     n, k = w.shape
     wf = w.astype(jnp.float32).reshape(n, k // group_size, group_size)
     if symmetric:
         amax = jnp.maximum(jnp.max(jnp.abs(wf), axis=-1, keepdims=True), 1e-10)
-        scale = amax / 7.0
+        scale = (amax / 7.0).astype(jnp.bfloat16).astype(jnp.float32)
         codes = jnp.clip(jnp.rint(wf / scale), -8, 7).astype(jnp.int32)
         codes = jnp.where(codes < 0, codes + 16, codes).astype(jnp.uint8).reshape(n, k)
-        return pack_w4_tpu(codes), scale[..., 0].T.astype(jnp.float32), None
+        return pack_w4_tpu(codes.T), scale[..., 0].T.astype(jnp.bfloat16), None
     wmin = jnp.min(wf, axis=-1, keepdims=True)
     wmax = jnp.max(wf, axis=-1, keepdims=True)
-    scale = jnp.maximum((wmax - wmin) / 15.0, 1e-10)
+    scale = jnp.maximum((wmax - wmin) / 15.0, 1e-10).astype(jnp.bfloat16).astype(jnp.float32)
     zero = jnp.rint(-wmin / scale)
     codes = jnp.clip(jnp.rint(wf / scale) + zero, 0, 15).astype(jnp.int32).reshape(n, k)
     # the kernel decodes nibbles as SIGNED two's complement; shift the
     # unsigned 0..15 codes down by 8 and add 8 to the zero point:
     #   (c_u - z) s = ((c_u - 8) - (z - 8)) s
     codes_signed = ((codes - 8) & 0xF).astype(jnp.uint8)
-    s_t = scale[..., 0].T.astype(jnp.float32)
-    z_t = ((zero[..., 0] - 8.0) * scale[..., 0]).T.astype(jnp.float32)
-    return pack_w4_tpu(codes_signed), s_t, z_t
+    s_t = scale[..., 0].T.astype(jnp.bfloat16)
+    z_t = ((zero[..., 0] - 8.0) * scale[..., 0]).T.astype(jnp.bfloat16)
+    return pack_w4_tpu(codes_signed.T), s_t, z_t
 
 
 @functools.partial(jax.jit, static_argnames=("group_size",))
 def awq_to_tpu_layout(qweight, scales, qzeros, *, group_size: int = 128):
     """Convert an AWQ checkpoint (qweight [K, N//8] int32, scales [K//G, N],
     qzeros [K//G, N//8] int32) into the kernel layout:
-    (packed uint8 [N//2, K], scales f32 [K//G, N], zeros_x_scales [K//G, N])."""
+    (packed uint8 [K//2, N], scales f32 [K//G, N], zeros_x_scales [K//G, N])."""
     from ..quant.formats import awq_unpack_int32
 
     codes_kn = awq_unpack_int32(qweight).astype(jnp.int32)  # [K, N] 0..15
     zeros_gn = awq_unpack_int32(qzeros).astype(jnp.float32)  # [K//G, N]
     codes_signed = ((codes_kn - 8) & 0xF).astype(jnp.uint8)  # signed shift (see quantize_w4)
-    packed = pack_w4_tpu(codes_signed.T)
+    packed = pack_w4_tpu(codes_signed)
     s = scales.astype(jnp.float32)
-    return packed, s, (zeros_gn - 8.0) * s
+    return packed, s.astype(jnp.bfloat16), ((zeros_gn - 8.0) * s).astype(jnp.bfloat16)
 
 
 @functools.partial(jax.jit, static_argnames=("group_size",))
@@ -420,7 +440,7 @@ def gptq_to_tpu_layout(qweight, qzeros, scales, g_idx=None, *, group_size: int =
     channel k = g_idx[k]); the reference handles this with a channel
     gather before the GEMM (python moe.py:18-45, test_gptq_kernel.py).
     Here we instead de-permute the weight rows once at load time so the
-    hot path needs no gather: returns (packed uint8 [N//2, K], scales
+    hot path needs no gather: returns (packed uint8 [K//2, N], scales
     f32 [K//G, N], zeros_x_scales f32 [K//G, N], perm [K] or None) where
     ``perm`` must be applied to the activation channels (a[:, perm])
     only when it is not None.
@@ -445,26 +465,27 @@ def gptq_to_tpu_layout(qweight, qzeros, scales, g_idx=None, *, group_size: int =
     else:
         perm = None
     codes_signed = ((codes_kn.astype(jnp.int32) - 8) & 0xF).astype(jnp.uint8)
-    packed = pack_w4_tpu(codes_signed.T)
-    return packed, s, (zeros_gn - 8.0) * s, perm
+    packed = pack_w4_tpu(codes_signed)
+    return packed, s.astype(jnp.bfloat16), ((zeros_gn - 8.0) * s).astype(jnp.bfloat16), perm
 
 
 @jax.jit
 def mxfp4_to_tpu_layout(q_packed, scale_bytes):
     """Convert MXFP4 packed bytes [N, K//2] (adjacent-pair nibbles from
     ops.quant) + UE8M0 scales [N, K//32] into the kernel layout:
-    (packed uint8 [N//2, K], scales f32 [K//32, N])."""
+    (packed uint8 [K//2, N], scales f32 [K//32, N])."""
     from ..quant.formats import unpack_int4
 
     codes = unpack_int4(q_packed)  # [N, K] e2m1 bit patterns 0..15
-    scales = jnp.exp2(scale_bytes.astype(jnp.float32) - 127.0).T  # [K/32, N]
-    return pack_w4_tpu(codes), scales
+    # UE8M0 scales are exact powers of two: bf16 (8-bit exponent) is lossless
+    scales = jnp.exp2(scale_bytes.astype(jnp.float32) - 127.0).T.astype(jnp.bfloat16)
+    return pack_w4_tpu(codes.T), scales
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "fmt", "dtype"))
 def dequant_w4(w, scales, zeros=None, *, group_size: int = 128, fmt: str = "int4", dtype=jnp.bfloat16):
     """XLA reference dequant of the kernel layout -> [N, K] dtype."""
-    codes = unpack_w4_tpu(w).astype(jnp.int32)  # 0..15 nibbles
+    codes = unpack_w4_tpu(w).astype(jnp.int32).T  # [N, K] 0..15 nibbles
     n, k = codes.shape
     s = scales.astype(jnp.float32).T.reshape(n, k // group_size, 1)
     if fmt == "mxfp4":

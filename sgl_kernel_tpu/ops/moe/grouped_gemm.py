@@ -8,8 +8,9 @@ Two paths, replacing the reference's CUTLASS grouped mainloops:
     (moe_align_block_size guarantees every bm-row block maps to exactly one
     expert, whose id is scalar-prefetched to index the weight/scale fetch) —
     replaces GroupGemmW4A16Xe20.cpp. Uses the same fast design as
-    ops/gemm/w4a16.py: N-paired int4 bitcast decode + per-group partial
-    dots with output-side scaling.
+    ops/gemm/w4a16.py: K-paired int4 bitcast decode (MXU rhs
+    orientation, no transpose) + per-group partial dots with
+    output-side scaling.
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ def ragged_grouped_mm(x_sorted, weights, group_sizes):
 def _w4_kernel(
     expert_ids_ref,  # [n_blocks] scalar prefetch
     a_ref,  # [bm, bk]
-    w_ref,  # [1, bn//2, bk] packed
+    w_ref,  # [1, bk//2, bn] packed
     s_ref,  # [1, ngb, bn]
     z_ref,  # [1, ngb, bn] or None
     o_ref,  # [bm, bn]
@@ -53,19 +54,19 @@ def _w4_kernel(
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    wf = _decode_tile(w_ref.at[0], fmt)  # [bn, bk] bf16 codes
+    wf = _decode_tile(w_ref.at[0], fmt)  # [bk, bn] bf16 codes
     a = a_ref[...]
     acc = acc_ref[...]
     for g in range(ngb):
         a_g = a[:, g * g0 : (g + 1) * g0]
         part = jax.lax.dot_general(
-            a_g, wf[:, g * g0 : (g + 1) * g0], (((1,), (1,)), ((), ())),
+            a_g, wf[g * g0 : (g + 1) * g0, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc = acc + part * s_ref[0, g, :][None, :]
+        acc = acc + part * s_ref[0, g, :][None, :].astype(jnp.float32)
         if z_ref is not None:
             asum = jnp.sum(a_g.astype(jnp.float32), axis=1, keepdims=True)
-            acc = acc - asum * z_ref[0, g, :][None, :]
+            acc = acc - asum * z_ref[0, g, :][None, :].astype(jnp.float32)
     acc_ref[...] = acc
 
     @pl.when(kk == n_k - 1)
@@ -93,7 +94,7 @@ def w4a16_grouped_mm(
 
     x_sorted: [cap, K] activations in expert-sorted block-aligned order
       (cap multiple of bm — from moe_align_block_size(block_size=bm)).
-    w: [E, N//2, K] packed uint8 (pack_w4_tpu layout per expert);
+    w: [E, K//2, N] packed uint8 (pack_w4_tpu layout per expert);
     scales [E, K//G, N]; zeros opt [E, K//G, N] (z*s pre-product).
     block_expert_ids: [cap // bm] expert id per row-block (scalar-prefetched).
     per_channel: scales/zeros are [E, 1, N] applied to every k-tile
@@ -103,9 +104,9 @@ def w4a16_grouped_mm(
     """
     cap, k = x_sorted.shape
     e = w.shape[0]
-    n = w.shape[1] * 2
+    n = w.shape[2]
     assert cap % bm == 0
-    assert w.shape[2] == k and w.dtype == jnp.uint8, (w.shape, w.dtype)
+    assert w.shape[1] == k // 2 and w.dtype == jnp.uint8, (w.shape, w.dtype)
     bn = min(bn, n)
     bk = bk or min(GROUPS_PER_KTILE * group_size, k)
     assert n % bn == 0 and k % bk == 0 and bk % group_size == 0
@@ -113,7 +114,7 @@ def w4a16_grouped_mm(
     ngb = bk // group_size
     n_k = k // bk
 
-    scales_f = scales.astype(jnp.float32)
+    scales_f = scales  # stored dtype (bf16 canonical); upcast per-tile in-kernel
     if per_channel:
         assert ngb == 1 and scales.shape[1] == 1
         s_spec = pl.BlockSpec((1, ngb, bn), lambda i, j, kk, eids: (eids[i], 0, j))
@@ -121,13 +122,13 @@ def w4a16_grouped_mm(
         s_spec = pl.BlockSpec((1, ngb, bn), lambda i, j, kk, eids: (eids[i], kk, j))
     in_specs = [
         pl.BlockSpec((bm, bk), lambda i, j, kk, eids: (i, kk)),
-        pl.BlockSpec((1, bn // 2, bk), lambda i, j, kk, eids: (eids[i], j, kk)),
+        pl.BlockSpec((1, bk // 2, bn), lambda i, j, kk, eids: (eids[i], kk, j)),
         s_spec,
     ]
     inputs = [x_sorted, w, scales_f]
     if zeros is not None:
         in_specs.append(s_spec)
-        inputs.append(zeros.astype(jnp.float32))
+        inputs.append(zeros)
 
     kernel = functools.partial(
         _w4_kernel_entry,
@@ -196,7 +197,7 @@ def w4a8_grouped_mm(
     (ops/gemm/qserve.py math, grouped over experts).
 
     x_q [cap, K] int8 (expert-sorted, block-aligned); x_scales [cap] f32;
-    w [E, N//2, K] packed int4 codes (pack_w4_tpu, unsigned-shifted);
+    w [E, K//2, N] packed int4 codes (pack_w4_tpu, unsigned-shifted);
     w_scales [E, N] f32 (s1 per channel); w_szeros opt [E, N] = zero*s1;
     x_sums opt [cap] = per-token sums of the integer activations
     (required with w_szeros). Returns [cap, N] out_dtype.
@@ -205,8 +206,8 @@ def w4a8_grouped_mm(
     # int8 codes fit bf16 exactly; reuse the W4A16 kernel with ONE scale
     # group spanning all of K (per-channel semantics == group_size = K)
     a_bf = x_q.astype(jnp.bfloat16)
-    e, nh, _ = w.shape
-    n = nh * 2
+    e = w.shape[0]
+    n = w.shape[2]
     # per-channel scales as a single K-group: [E, 1, N]
     scales = w_scales.astype(jnp.float32).reshape(e, 1, n)
     zeros = None if w_szeros is None else w_szeros.astype(jnp.float32).reshape(e, 1, n)

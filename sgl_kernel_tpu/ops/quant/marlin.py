@@ -5,7 +5,7 @@ The reference ships GPU Marlin repack entry points (`gptq_marlin_repack` /
 repack GPTQ/AWQ layouts INTO Marlin's ldmatrix-tiled layout for Ampere
 tensor cores). On TPU the Marlin tile layout has no meaning; the parity
 surface is the inverse direction: ingest an existing Marlin-format
-checkpoint into this package's packed W4 layout (N-paired nibbles,
+checkpoint into this package's packed W4 layout (K-paired nibbles,
 ops/gemm/w4a16.pack_w4_tpu) so Marlin-serialized models run on the TPU
 kernels.
 
@@ -107,7 +107,7 @@ def marlin_unpermute_scales(scales, *, size_k: int, size_n: int, group_size: int
 def gptq_marlin_to_tpu_layout(qweight, scales, *, group_size: int = 128, num_bits: int = 4):
     """Convert a GPTQ-Marlin checkpoint (qweight int32 [K/16, N*2] for
     4-bit, scales [K/G * N / 64-chunked marlin order]) into the kernel
-    layout (packed uint8 [N//2, K], scales f32 [K//G, N], zeros None).
+    layout (packed uint8 [K//2, N], scales f32 [K//G, N], zeros None).
 
     GPTQ-Marlin is symmetric with implicit zero-point 8, which maps exactly
     onto the kernel's signed-nibble decode (reference parity surface:
@@ -120,10 +120,10 @@ def gptq_marlin_to_tpu_layout(qweight, scales, *, group_size: int = 128, num_bit
     size_n = qweight.shape[1] * pack // MARLIN_TILE
     codes = marlin_unpack(qweight, size_k=size_k, size_n=size_n, num_bits=num_bits)
     codes_signed = ((codes.astype(jnp.int32) - 8) & 0xF).astype(jnp.uint8)
-    packed = pack_w4_tpu(codes_signed.T)  # [N//2, K]
+    packed = pack_w4_tpu(codes_signed)  # [K//2, N]
     g = size_k if group_size == -1 else group_size
     s = marlin_unpermute_scales(
         scales.astype(jnp.float32), size_k=size_k, size_n=size_n, group_size=group_size
     )
     assert s.shape == (size_k // g, size_n), s.shape
-    return packed, s, None
+    return packed, s.astype(jnp.bfloat16), None

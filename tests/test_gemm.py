@@ -148,7 +148,11 @@ class TestW4A16:
         w, s, z = gemm.awq_to_tpu_layout(qweight, jnp.asarray(scales), qzeros)
         ref = np.asarray(quant.awq_dequantize(qweight, jnp.asarray(scales), qzeros, out_dtype=jnp.float32))
         wd = np.asarray(gemm.dequant_w4(w, s, z, group_size=g, dtype=jnp.float32))
-        np.testing.assert_allclose(wd, ref.T, rtol=1e-3, atol=1e-5)
+        # scales/zeros are stored bf16 (canonical layout): c*s and z*s can
+        # nearly cancel, so bound ABSOLUTELY by the bf16 rounding of the
+        # terms (2^-8 * max|term|), not relatively
+        atol = float(np.abs(ref).max()) * 2 ** -8
+        np.testing.assert_allclose(wd, ref.T, rtol=9e-3, atol=atol)
 
 
 class TestQServe:
@@ -227,7 +231,10 @@ class TestGptqConvert:
         )
         assert perm is None
         deq = dequant_w4(packed, jnp.asarray(s), jnp.asarray(zxs), group_size=g, dtype=jnp.float32)
-        np.testing.assert_allclose(np.asarray(deq), ref_w.T, rtol=1e-5, atol=1e-5)
+        # bf16-stored scales/zeros: c*s and z*s can nearly cancel — bound
+        # absolutely by the bf16 rounding of the terms
+        atol = float(np.abs(ref_w).max()) * 2 ** -8
+        np.testing.assert_allclose(np.asarray(deq), ref_w.T, rtol=9e-3, atol=atol)
 
     def test_desc_act_perm_roundtrip(self, rng):
         from sgl_kernel_tpu.ops.gemm.w4a16 import dequant_w4, gptq_to_tpu_layout

@@ -46,13 +46,12 @@ def make_hf_state(cfg, rng):
 # ---------- independent numpy oracle ----------
 
 def unpack_w4(packed, scales, group):
-    """packed uint8 [N/2, K] (byte = code(2r) | code(2r+1) << 4, two's
-    complement int4); scales [K/G, N]. Returns float64 [N, K]."""
+    """packed uint8 [K/2, N] (byte = code(2r) | code(2r+1) << 4, two's
+    complement int4, K-paired); scales [K/G, N]. Returns float64 [N, K]."""
     lo = (packed & 0xF).astype(np.int64)
     hi = (packed >> 4).astype(np.int64)
-    codes = np.stack([lo, hi], 1).reshape(-1, packed.shape[1])
-    codes = np.where(codes >= 8, codes - 16, codes)
-    n, k = codes.shape
+    codes = np.stack([lo, hi], 1).reshape(-1, packed.shape[1])  # [K, N]
+    codes = np.where(codes >= 8, codes - 16, codes).T  # [N, K]
     s = scales.T.astype(np.float64)  # [N, K/G]
     return codes * np.repeat(s, group, axis=1)
 

@@ -175,7 +175,7 @@ class TestW4A8Grouped:
         eids = jnp.asarray([0, 1, 1], jnp.int32)
         codes = rng.integers(0, 16, (e, n, k)).astype(np.uint8)  # unsigned 0..15
         signed = ((codes.astype(np.int32) - 8) & 0xF).astype(np.uint8)
-        packed = jnp.stack([pack_w4_tpu(jnp.asarray(signed[i])) for i in range(e)])
+        packed = jnp.stack([pack_w4_tpu(jnp.asarray(signed[i].T)) for i in range(e)])
         s1 = (rng.random((e, n)) * 0.02 + 0.01).astype(np.float32)
         zero = np.full((e, n), 8.0, np.float32)
         x = rng.integers(-100, 100, (cap, k)).astype(np.int8)
