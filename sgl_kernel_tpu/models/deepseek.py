@@ -259,6 +259,85 @@ def build_rope_cache(cfg: DeepseekConfig):
     return compute_cos_sin_cache(D_ROPE, cfg.max_position, cfg.rope_theta)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "prefix_max"), donate_argnums=(2,))
+def prefill_extend(params, cfg: DeepseekConfig, kv_cache, tokens, positions,
+                   q_lens, kv_lens, page_tables, slot_loc, rope_cache, *,
+                   prefix_max: int):
+    """Chunked/extend MLA prefill: the q tokens are the suffix of sequences
+    whose prefix LATENTS already live in the paged cache (radix prefix
+    reuse / chunked prompt ingestion). Two-pass design as the GQA analog
+    (models/llama.prefill_extend; reference flash_attention.cpp:1207-1325):
+    pass 1 attends causally over the fresh chunk latents at global offsets,
+    pass 2 attends fully over the gathered prefix latents, merge_state
+    combines via the base-2 lse.
+
+    tokens/positions/slot_loc [B, S]; q_lens [B] chunk lengths; kv_lens [B]
+    total lengths; page_tables [B, max_pages]; kv_cache [L, P, page, 576].
+    """
+    from ..ops.attention.merge_state import merge_state
+
+    b, s = tokens.shape
+    x = params["embed"][tokens.reshape(-1)].astype(cfg.dtype)
+    lw = params["layers"]
+    prefix_lens = kv_lens - q_lens  # [B]
+    pos_idx = jnp.arange(prefix_max)
+    page_sz = kv_cache.shape[-2]
+    pre_slots = (
+        page_tables[:, pos_idx // page_sz] * page_sz + (pos_idx % page_sz)[None, :]
+    )  # [B, prefix_max]
+
+    def layer_fn(carry, lidx):
+        x, cache = carry
+        h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
+        q_lat, q_pe, kv_row = _mla_qkv(h, lw, lidx, cfg, b * s, positions.reshape(-1), rope_cache)
+        l, np_, pg, dd = cache.shape
+        sl = slot_loc.reshape(-1)
+        off_slots = jnp.where(sl >= 0, lidx * np_ * pg + sl, -1)
+        cache = store_cache_mla(kv_row, cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
+        qn = q_lat.reshape(b, s, cfg.num_heads, D_LATENT)
+        qp = q_pe.reshape(b, s, cfg.num_heads, D_ROPE)
+        # pass 1: fresh chunk latents, causal at global offsets
+        o1, l1 = mla_prefill(
+            qn, qp, kv_row.reshape(b, s, D_CKV), q_lens, q_lens,
+            q_start=prefix_lens, kv_start=prefix_lens,
+            sm_scale=_sm_scale(cfg), return_lse=True,
+        )
+        # pass 2: cached prefix latents, fully visible (length-masked)
+        pid = pre_slots // pg
+        off = pre_slots % pg
+        kv_pre = cache[lidx, pid, off]  # [B, prefix_max, 576]
+        o2, l2 = mla_prefill(
+            qn, qp, kv_pre.astype(qn.dtype), q_lens, prefix_lens,
+            q_start=prefix_lens, kv_start=jnp.zeros_like(prefix_lens),
+            sm_scale=_sm_scale(cfg), return_lse=True,
+        )
+        om, _ = merge_state(
+            o1.reshape(b * s, cfg.num_heads, D_LATENT),
+            jnp.swapaxes(l1, 1, 2).reshape(b * s, cfg.num_heads),
+            o2.reshape(b * s, cfg.num_heads, D_LATENT),
+            jnp.swapaxes(l2, 1, 2).reshape(b * s, cfg.num_heads),
+        )
+        attn = om.reshape(b * s, cfg.num_heads, D_LATENT)
+        x = x + _mla_out(attn, lw, lidx, cfg, b * s)
+        h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
+        is_dense = lidx < cfg.num_dense_layers
+        mlp = jax.lax.cond(
+            is_dense,
+            lambda h2: _silu_mlp(h2, lw["gate"][lidx], lw["up"][lidx], lw["down"][lidx], cfg),
+            lambda h2: _moe_block(h2, lw, lidx, cfg),
+            h2,
+        )
+        return (x + mlp, cache), None
+
+    (x, kv_cache), _ = jax.lax.scan(layer_fn, (x, kv_cache), jnp.arange(cfg.num_layers))
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    x = x.reshape(b, s, -1)
+    last = jnp.clip(q_lens - 1, 0, s - 1)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    logits = jnp.dot(x_last, params["lm_head"].T, preferred_element_type=jnp.float32)
+    return logits, kv_cache
+
+
 # ---------------------------------------------------------------------------
 # DSv4 NSA sparse decode (fp8 indexer -> fast_topk -> sparse MLA gather)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,156 @@
+"""Model adapters: the seam between the scheduler (engine.py) and a model
+family's jitted step functions.
+
+The reference delegates serving to SGLang, whose ModelRunner binds each
+model's forward to the scheduler through a uniform interface
+(SURVEY §7). Here the adapter owns everything model-specific — config,
+weight init, rope caches, the KV-cache pytree layout, and the three step
+programs (prefill, prefill_extend, decode) — while the engine stays a pure
+page-table/scheduling loop over opaque ``caches`` pytrees.
+
+All methods take/return the caches pytree so the engine never inspects its
+structure (llama: (k_pool, v_pool); deepseek: a single latent pool — or
+(latent, idx_k, idx_s) with NSA enabled).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class LlamaAdapter:
+    """Llama / Qwen2/3 dense families (models/llama.py); also the base for
+    anything exposing the same (k_cache, v_cache) program signatures."""
+
+    name = "llama"
+    supports_spec = True
+
+    def __init__(self, cfg):
+        from ..models import llama
+
+        self.cfg = cfg
+        self._m = llama
+        self.rope_cache = llama.build_rope_cache(cfg)
+
+    def init_weights(self, key):
+        return self._m.init_weights(self.cfg, key)
+
+    def make_caches(self, num_pages: int, page_size: int):
+        return tuple(self._m.make_caches(self.cfg, num_pages, page_size))
+
+    def prefill(self, params, caches, tokens, positions, q_lens, slot_loc):
+        k, v = caches
+        logits, k, v = self._m.prefill(
+            params, self.cfg, k, v, tokens, positions, q_lens, slot_loc,
+            self.rope_cache,
+        )
+        return logits, (k, v)
+
+    def prefill_extend(self, params, caches, tokens, positions, q_lens,
+                       kv_lens, page_tables, slot_loc, *, prefix_max: int):
+        k, v = caches
+        logits, k, v = self._m.prefill_extend(
+            params, self.cfg, k, v, tokens, positions, q_lens, kv_lens,
+            page_tables, slot_loc, self.rope_cache, prefix_max=prefix_max,
+        )
+        return logits, (k, v)
+
+    def decode(self, params, caches, tokens, positions, page_tables,
+               lengths, slot_loc):
+        k, v = caches
+        logits, k, v = self._m.decode_step(
+            params, self.cfg, k, v, tokens, positions, page_tables, lengths,
+            slot_loc, self.rope_cache,
+        )
+        return logits, (k, v)
+
+
+class DeepseekAdapter:
+    """DeepSeek-V3/V4 MLA families (models/deepseek.py): single latent pool
+    [L, P, page, 576]; optional DSv4 NSA sparse decode (per-layer fp8
+    indexer caches + fast_topk + sparse MLA gather) via ``use_nsa``."""
+
+    name = "deepseek"
+    supports_spec = False
+
+    def __init__(self, cfg, *, use_nsa: bool = False):
+        from ..models import deepseek
+
+        self.cfg = cfg
+        self._m = deepseek
+        self.use_nsa = use_nsa
+        self.rope_cache = deepseek.build_rope_cache(cfg)
+        self.idx_rope_cache = deepseek.build_idx_rope_cache(cfg) if use_nsa else None
+        self._pool_tokens = None  # num_pages * page_size (set by make_caches)
+
+    def init_weights(self, key):
+        return self._m.init_weights(self.cfg, key)
+
+    def make_caches(self, num_pages: int, page_size: int):
+        kv = self._m.make_cache(self.cfg, num_pages, page_size)
+        if not self.use_nsa:
+            return (kv,)
+        idx_k, idx_s = self._m.make_indexer_cache(self.cfg, num_pages, page_size)
+        self._pool_tokens = num_pages * page_size
+        return (kv, idx_k, idx_s)
+
+    def prefill(self, params, caches, tokens, positions, q_lens, slot_loc):
+        if self.use_nsa:
+            kv, idx_k, idx_s = caches
+            logits, kv, idx_k, idx_s = self._m.prefill_nsa(
+                params, self.cfg, kv, idx_k, idx_s, tokens, positions,
+                q_lens, slot_loc, self.rope_cache, self.idx_rope_cache,
+            )
+            return logits, (kv, idx_k, idx_s)
+        (kv,) = caches
+        logits, kv = self._m.prefill(
+            params, self.cfg, kv, tokens, positions, q_lens, slot_loc,
+            self.rope_cache,
+        )
+        return logits, (kv,)
+
+    def prefill_extend(self, params, caches, tokens, positions, q_lens,
+                       kv_lens, page_tables, slot_loc, *, prefix_max: int):
+        if self.use_nsa:
+            raise NotImplementedError(
+                "NSA chunked/extend prefill: indexer ingest over a chunk is "
+                "not wired yet — run NSA engines with prefill_chunk=None and "
+                "enable_prefix_cache=False"
+            )
+        (kv,) = caches
+        logits, kv = self._m.prefill_extend(
+            params, self.cfg, kv, tokens, positions, q_lens, kv_lens,
+            page_tables, slot_loc, self.rope_cache, prefix_max=prefix_max,
+        )
+        return logits, (kv,)
+
+    def decode(self, params, caches, tokens, positions, page_tables,
+               lengths, slot_loc):
+        if self.use_nsa:
+            kv, idx_k, idx_s = caches
+            logits, kv, idx_k, idx_s = self._m.decode_step_nsa(
+                params, self.cfg, kv, idx_k, idx_s, tokens, positions,
+                page_tables, lengths, slot_loc, self.rope_cache,
+                self.idx_rope_cache,
+            )
+            return logits, (kv, idx_k, idx_s)
+        (kv,) = caches
+        logits, kv = self._m.decode_step(
+            params, self.cfg, kv, tokens, positions, page_tables, lengths,
+            slot_loc, self.rope_cache,
+        )
+        return logits, (kv,)
+
+
+def adapter_for(cfg) -> "LlamaAdapter | DeepseekAdapter":
+    """Pick an adapter from the config's type."""
+    from ..models import deepseek, llama
+
+    if isinstance(cfg, deepseek.DeepseekConfig):
+        return DeepseekAdapter(cfg)
+    if isinstance(cfg, llama.LlamaConfig):
+        return LlamaAdapter(cfg)
+    raise TypeError(f"no serving adapter for config type {type(cfg).__name__}")

@@ -19,6 +19,7 @@ import numpy as np
 
 from ..models import llama
 from ..ops.sampling import sample_tokens
+from .adapters import LlamaAdapter, adapter_for
 from ..utils import cdiv
 from ..utils.metrics import Metrics, logger
 
@@ -63,11 +64,16 @@ class PageAllocator:
 
 
 class Engine:
-    """Continuous batching over a single chip (multi-chip via parallel/)."""
+    """Continuous batching over a single chip (multi-chip via parallel/).
+
+    Model-family agnostic through serving/adapters.py: pass a Llama/Qwen
+    or DeepSeek config (auto-adapter) or an explicit ``adapter`` (e.g.
+    ``DeepseekAdapter(cfg, use_nsa=True)`` for DSv4 sparse decode).
+    """
 
     def __init__(
         self,
-        cfg: llama.LlamaConfig,
+        cfg,
         params=None,
         *,
         max_batch: int = 8,
@@ -83,7 +89,9 @@ class Engine:
         mesh=None,
         prefill_chunk: Optional[int] = None,
         log_every: int = 0,
+        adapter=None,
     ):
+        self.adapter = adapter if adapter is not None else adapter_for(cfg)
         self.cfg = cfg
         self.page_size = page_size
         self.max_batch = max_batch
@@ -95,10 +103,10 @@ class Engine:
         # extend path, bounding per-step activation memory
         self.prefill_chunk = prefill_chunk
         if params is None:
-            params = llama.init_weights(cfg, jax.random.PRNGKey(seed))
+            params = self.adapter.init_weights(jax.random.PRNGKey(seed))
         self.params = params
-        self.rope_cache = llama.build_rope_cache(cfg)
-        self.k_cache, self.v_cache = llama.make_caches(cfg, num_pages, page_size)
+        self.rope_cache = self.adapter.rope_cache
+        self.caches = self.adapter.make_caches(num_pages, page_size)
         # multi-chip execution: a ("dp", "tp") mesh turns the decode/prefill
         # steps into shard_map programs (parallel/tp.py). dp must be 1 with
         # this engine's single global page pool; tp shards heads + ffn.
@@ -108,6 +116,7 @@ class Engine:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel import tp as tp_lib
 
+            assert isinstance(self.adapter, LlamaAdapter), "mesh TP path is llama-family only (parallel/tp.py)"
             assert mesh.shape.get("dp", 1) == 1, "dp>1 needs per-shard page pools"
             self._pstep = jax.jit(tp_lib.make_parallel_decode_step(cfg, mesh, params))
             self._pprefill = jax.jit(tp_lib.make_parallel_prefill(cfg, mesh, params))
@@ -127,6 +136,7 @@ class Engine:
         self.draft_cfg = draft_cfg
         self.spec_gamma = spec_gamma
         if draft_cfg is not None:
+            assert self.adapter.supports_spec, "chain spec decode is llama-family only (models/spec.py)"
             assert draft_cfg.head_dim == cfg.head_dim or True
             self.draft_params = draft_params if draft_params is not None else llama.init_weights(
                 draft_cfg, jax.random.PRNGKey(seed + 1)
@@ -254,27 +264,28 @@ class Engine:
         slot_loc = np.full((1, bucket), -1, np.int32)
         slot_loc[0, :s] = [self._slot(req, p) for p in range(pre, end)]
         if pre == 0:
-            prefill_fn = self._pprefill or functools.partial(llama.prefill, cfg=self.cfg)
             if self._pprefill is not None:
-                logits, self.k_cache, self.v_cache = self._pprefill(
-                    self.params, self.k_cache, self.v_cache,
+                k, v = self.caches
+                logits, k, v = self._pprefill(
+                    self.params, k, v,
                     jnp.asarray(tokens), jnp.asarray(positions),
                     jnp.asarray([s], jnp.int32), jnp.asarray(slot_loc), self.rope_cache,
                 )
+                self.caches = (k, v)
             else:
-                logits, self.k_cache, self.v_cache = llama.prefill(
-                    self.params, self.cfg, self.k_cache, self.v_cache,
+                logits, self.caches = self.adapter.prefill(
+                    self.params, self.caches,
                     jnp.asarray(tokens), jnp.asarray(positions),
-                    jnp.asarray([s], jnp.int32), jnp.asarray(slot_loc), self.rope_cache,
+                    jnp.asarray([s], jnp.int32), jnp.asarray(slot_loc),
                 )
         else:
             prefix_max = cdiv(pre, self.page_size) * self.page_size
-            logits, self.k_cache, self.v_cache = llama.prefill_extend(
-                self.params, self.cfg, self.k_cache, self.v_cache,
+            logits, self.caches = self.adapter.prefill_extend(
+                self.params, self.caches,
                 jnp.asarray(tokens), jnp.asarray(positions),
                 jnp.asarray([s], jnp.int32), jnp.asarray([pre + s], jnp.int32),
                 jnp.asarray(self._page_table(req)[None]), jnp.asarray(slot_loc),
-                self.rope_cache, prefix_max=prefix_max,
+                prefix_max=prefix_max,
             )
         return logits
 
@@ -331,16 +342,18 @@ class Engine:
             slot_loc[i] = self._slot(r, pos)
             tables[i] = self._page_table(r)
         if self._pstep is not None:
-            logits, self.k_cache, self.v_cache = self._pstep(
-                self.params, self.k_cache, self.v_cache,
+            k, v = self.caches
+            logits, k, v = self._pstep(
+                self.params, k, v,
                 jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
                 jnp.asarray(lengths), jnp.asarray(slot_loc), self.rope_cache,
             )
+            self.caches = (k, v)
         else:
-            logits, self.k_cache, self.v_cache = llama.decode_step(
-                self.params, self.cfg, self.k_cache, self.v_cache,
+            logits, self.caches = self.adapter.decode(
+                self.params, self.caches,
                 jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
-                jnp.asarray(lengths), jnp.asarray(slot_loc), self.rope_cache,
+                jnp.asarray(lengths), jnp.asarray(slot_loc),
             )
         logits_np = logits[:b]
         for i, r in enumerate(reqs):
@@ -363,14 +376,16 @@ class Engine:
             valid[i] = True
             tables[i] = self._page_table(r)
         prefix_max = max(self.page_size, cdiv(int(lengths.max()) + self.spec_gamma, self.page_size) * self.page_size)
-        new, n_new, self.k_cache, self.v_cache, self.dk_cache, self.dv_cache = spec.spec_decode_round(
+        k, v = self.caches
+        new, n_new, k, v, self.dk_cache, self.dv_cache = spec.spec_decode_round(
             self.params, self.draft_params,
-            self.k_cache, self.v_cache, self.dk_cache, self.dv_cache,
+            k, v, self.dk_cache, self.dv_cache,
             jnp.asarray(tokens), jnp.asarray(lengths), jnp.asarray(tables),
             self.rope_cache, self.draft_rope, jnp.asarray(valid),
             cfg_t=self.cfg, cfg_d=self.draft_cfg, gamma=self.spec_gamma,
             prefix_max=prefix_max,
         )
+        self.caches = (k, v)
         new = np.asarray(new)
         n_new = np.asarray(n_new)
         # n_new per request = accepted drafts + 1 bonus token (models/spec.py)

@@ -146,3 +146,55 @@ class TestNSASparseDecode:
         out = np.asarray(nsa_logits)
         assert np.all(np.isfinite(out))
         assert not np.allclose(out, np.asarray(dense_logits), atol=1e-5)
+
+
+class TestPrefillExtend:
+    def test_chunked_extend_matches_full_prefill(self, tiny, rng):
+        """Ingest a prompt in two chunks through prefill + prefill_extend;
+        the final-token logits must match one full prefill (two-pass
+        merge_state combine over cached prefix latents)."""
+        cfg, params = tiny
+        page = 16
+        total = 14
+        pre = 6
+        toks = rng.integers(0, cfg.vocab_size, total).astype(np.int32)
+        rope_cache = deepseek.build_rope_cache(cfg)
+        pages = [3, 1]  # slots land in these pages (prefix_max = 2 pages)
+
+        def slot(p):
+            return pages[p // page] * page + p % page
+
+        # full prefill oracle
+        cache = deepseek.make_cache(cfg, 8, page)
+        pad = 16
+        tok = np.zeros((1, pad), np.int32); tok[0, :total] = toks
+        pos = np.zeros((1, pad), np.int32); pos[0, :total] = np.arange(total)
+        slots = np.full((1, pad), -1, np.int32)
+        slots[0, :total] = [slot(p) for p in range(total)]
+        ref_logits, _ = deepseek.prefill(
+            params, cfg, cache, jnp.asarray(tok), jnp.asarray(pos),
+            jnp.asarray([total], jnp.int32), jnp.asarray(slots), rope_cache,
+        )
+
+        # chunk 1 through prefill, chunk 2 through prefill_extend
+        cache = deepseek.make_cache(cfg, 8, page)
+        t1 = np.zeros((1, pad), np.int32); t1[0, :pre] = toks[:pre]
+        p1 = np.zeros((1, pad), np.int32); p1[0, :pre] = np.arange(pre)
+        s1 = np.full((1, pad), -1, np.int32); s1[0, :pre] = [slot(p) for p in range(pre)]
+        _, cache = deepseek.prefill(
+            params, cfg, cache, jnp.asarray(t1), jnp.asarray(p1),
+            jnp.asarray([pre], jnp.int32), jnp.asarray(s1), rope_cache,
+        )
+        sfx = total - pre
+        t2 = np.zeros((1, pad), np.int32); t2[0, :sfx] = toks[pre:]
+        p2 = np.zeros((1, pad), np.int32); p2[0, :sfx] = np.arange(pre, total)
+        s2 = np.full((1, pad), -1, np.int32); s2[0, :sfx] = [slot(p) for p in range(pre, total)]
+        table = np.zeros((1, 4), np.int32); table[0, :2] = pages
+        ext_logits, _ = deepseek.prefill_extend(
+            params, cfg, cache, jnp.asarray(t2), jnp.asarray(p2),
+            jnp.asarray([sfx], jnp.int32), jnp.asarray([total], jnp.int32),
+            jnp.asarray(table), jnp.asarray(s2), rope_cache, prefix_max=page,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ext_logits), np.asarray(ref_logits), rtol=3e-2, atol=3e-2
+        )
