@@ -497,3 +497,77 @@ def prefill_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s, tokens,
     x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
     logits = jnp.dot(x_last, params["lm_head"].T, preferred_element_type=jnp.float32)
     return logits, kv_cache, idx_k, idx_s
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "prefix_max"), donate_argnums=(2, 3, 4))
+def prefill_extend_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
+                       tokens, positions, q_lens, kv_lens, page_tables,
+                       slot_loc, rope_cache, idx_rope_cache, *,
+                       prefix_max: int):
+    """Chunked/extend NSA prefill: the dense two-pass MLA extend
+    (prefill_extend) plus per-chunk indexer-key ingest, so later
+    decode_step_nsa steps can score the whole history. Indexer ingest is
+    per-token (no history dependence), so the chunk path only adds the
+    fused norm+rope+hadamard+fp8 scatter per layer."""
+    b, s = tokens.shape
+    x = params["embed"][tokens.reshape(-1)].astype(cfg.dtype)
+    lw = params["layers"]
+    from ..ops.attention.merge_state import merge_state
+
+    prefix_lens = kv_lens - q_lens
+    pos_idx = jnp.arange(prefix_max)
+    l, np_, pg, dd = kv_cache.shape
+    pool_tokens = np_ * pg
+    pre_slots = (
+        page_tables[:, pos_idx // pg] * pg + (pos_idx % pg)[None, :]
+    )
+
+    def layer_fn(carry, lidx):
+        x, cache, ik, isc = carry
+        h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
+        q_lat, q_pe, kv_row = _mla_qkv(h, lw, lidx, cfg, b * s, positions.reshape(-1), rope_cache)
+        sl = slot_loc.reshape(-1)
+        off_slots = jnp.where(sl >= 0, lidx * pool_tokens + sl, -1)
+        cache = store_cache_mla(kv_row, cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
+        ik, isc = _indexer_ingest(h, lw, lidx, cfg, positions.reshape(-1), sl,
+                                  ik, isc, idx_rope_cache, pool_tokens)
+        qn = q_lat.reshape(b, s, cfg.num_heads, D_LATENT)
+        qp = q_pe.reshape(b, s, cfg.num_heads, D_ROPE)
+        o1, l1 = mla_prefill(
+            qn, qp, kv_row.reshape(b, s, D_CKV), q_lens, q_lens,
+            q_start=prefix_lens, kv_start=prefix_lens,
+            sm_scale=_sm_scale(cfg), return_lse=True,
+        )
+        pid = pre_slots // pg
+        off = pre_slots % pg
+        kv_pre = cache[lidx, pid, off]
+        o2, l2 = mla_prefill(
+            qn, qp, kv_pre.astype(qn.dtype), q_lens, prefix_lens,
+            q_start=prefix_lens, kv_start=jnp.zeros_like(prefix_lens),
+            sm_scale=_sm_scale(cfg), return_lse=True,
+        )
+        om, _ = merge_state(
+            o1.reshape(b * s, cfg.num_heads, D_LATENT),
+            jnp.swapaxes(l1, 1, 2).reshape(b * s, cfg.num_heads),
+            o2.reshape(b * s, cfg.num_heads, D_LATENT),
+            jnp.swapaxes(l2, 1, 2).reshape(b * s, cfg.num_heads),
+        )
+        x = x + _mla_out(om.reshape(b * s, cfg.num_heads, D_LATENT), lw, lidx, cfg, b * s)
+        h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
+        is_dense = lidx < cfg.num_dense_layers
+        mlp = jax.lax.cond(
+            is_dense,
+            lambda h2: _silu_mlp(h2, lw["gate"][lidx], lw["up"][lidx], lw["down"][lidx], cfg),
+            lambda h2: _moe_block(h2, lw, lidx, cfg),
+            h2,
+        )
+        return (x + mlp, cache, ik, isc), None
+
+    (x, kv_cache, idx_k, idx_s), _ = jax.lax.scan(
+        layer_fn, (x, kv_cache, idx_k, idx_s), jnp.arange(cfg.num_layers))
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    x = x.reshape(b, s, -1)
+    last = jnp.clip(q_lens - 1, 0, s - 1)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    logits = jnp.dot(x_last, params["lm_head"].T, preferred_element_type=jnp.float32)
+    return logits, kv_cache, idx_k, idx_s

@@ -115,11 +115,13 @@ class DeepseekAdapter:
     def prefill_extend(self, params, caches, tokens, positions, q_lens,
                        kv_lens, page_tables, slot_loc, *, prefix_max: int):
         if self.use_nsa:
-            raise NotImplementedError(
-                "NSA chunked/extend prefill: indexer ingest over a chunk is "
-                "not wired yet — run NSA engines with prefill_chunk=None and "
-                "enable_prefix_cache=False"
+            kv, idx_k, idx_s = caches
+            logits, kv, idx_k, idx_s = self._m.prefill_extend_nsa(
+                params, self.cfg, kv, idx_k, idx_s, tokens, positions,
+                q_lens, kv_lens, page_tables, slot_loc, self.rope_cache,
+                self.idx_rope_cache, prefix_max=prefix_max,
             )
+            return logits, (kv, idx_k, idx_s)
         (kv,) = caches
         logits, kv = self._m.prefill_extend(
             params, self.cfg, kv, tokens, positions, q_lens, kv_lens,

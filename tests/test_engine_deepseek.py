@@ -106,3 +106,24 @@ class TestDeepseekEngine:
         rid = eng.add_request(prompt, max_new_tokens=5)
         eng.run_until_done()
         assert eng.finished[rid].output == ref
+
+    def test_nsa_engine_chunked_prefill_prefix_reuse(self, rng):
+        """NSA + chunked prefill (prefill_extend_nsa ingests indexer keys
+        per chunk) + radix prefix reuse (reused pages already hold the
+        prefix's indexer keys): outputs must match the dense oracle."""
+        cfg = deepseek.DeepseekConfig.tiny(nsa=True, idx_dim=32, idx_heads=2,
+                                           index_topk=128)
+        params = deepseek.init_weights(cfg, jax.random.PRNGKey(0))
+        prompt = rng.integers(0, cfg.vocab_size, 40).astype(np.int32).tolist()
+        ref = greedy_oracle(cfg, params, prompt, 4, num_pages=32)
+        eng = Engine(cfg, params, num_pages=32, page_size=16,
+                     prefill_chunk=16, enable_prefix_cache=True,
+                     adapter=DeepseekAdapter(cfg, use_nsa=True))
+        rid = eng.add_request(prompt, max_new_tokens=4)
+        eng.run_until_done()
+        assert eng.finished[rid].output == ref
+        prompt2 = prompt[:32] + rng.integers(0, cfg.vocab_size, 4).astype(np.int32).tolist()
+        ref2 = greedy_oracle(cfg, params, prompt2, 4, num_pages=32)
+        rid2 = eng.add_request(prompt2, max_new_tokens=4)
+        eng.run_until_done()
+        assert eng.finished[rid2].output == ref2
