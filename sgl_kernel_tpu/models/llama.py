@@ -340,6 +340,56 @@ def prefill(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, q_len
     return logits, k_cache, v_cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "max_kvb", "tp_axis"), donate_argnums=(2, 3))
+def prefill_packed(params, cfg: LlamaConfig, k_cache, v_cache, tokens,
+                   positions, blk_seq, blk_q0, seq_meta, last_idx, slot_loc,
+                   rope_cache, *, max_kvb: int, tp_axis=None):
+    """Token-packed multi-prompt prefill: several prompts block-aligned
+    packed into ONE launch (ops/attention/flash_packed.py), so a mixed
+    batch pays per-sequence padding < block instead of bucket - len
+    (reference: cu_seqlens-packed varlen prefill end-to-end).
+
+    tokens/positions/slot_loc [TP] packed; blk_seq/blk_q0 [NQB];
+    seq_meta [B, 6] (make_seq_meta); last_idx [B] packed index of each
+    prompt's final token. Returns (logits [B, V], k_cache, v_cache).
+    """
+    from ..ops.attention import flash_attention_packed
+
+    tp = tokens.shape[0]
+    x = params["embed"][tokens].astype(cfg.dtype)
+    lw = params["layers"]
+
+    def layer_fn(carry, lidx):
+        x, kc, vc = carry
+        h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
+        q, k, v = _qkv(h, lw, cfg, tp, layer_id=lidx)
+        q, k = rotary_embedding(positions, q, k, cfg.head_dim, rope_cache)
+        kc, vc = store_cache_stacked(k, v, kc, vc, slot_loc, lidx)
+        attn = flash_attention_packed(
+            q.reshape(tp, cfg.num_heads, cfg.head_dim),
+            k.reshape(tp, cfg.num_kv_heads, cfg.head_dim),
+            v.reshape(tp, cfg.num_kv_heads, cfg.head_dim),
+            blk_seq, blk_q0, seq_meta, max_kvb=max_kvb, causal=True,
+        ).reshape(tp, -1)
+        if tp_axis is None:
+            x = _linear(attn, lw["o"], cfg, residual=x, layer_id=lidx)
+            h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
+            x = _mlp(h2, lw, cfg, residual=x, layer_id=lidx)
+        else:
+            x = x + _maybe_psum(_linear(attn, lw["o"], cfg, layer_id=lidx), tp_axis)
+            h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
+            x = x + _maybe_psum(_mlp(h2, lw, cfg, layer_id=lidx), tp_axis)
+        return (x, kc, vc), None
+
+    (x, k_cache, v_cache), _ = jax.lax.scan(
+        layer_fn, (x, k_cache, v_cache), jnp.arange(cfg.num_layers)
+    )
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    x_last = x[last_idx]  # [B, H]
+    logits = _linear(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
+    return logits, k_cache, v_cache
+
+
 def build_rope_cache(cfg: LlamaConfig):
     return compute_cos_sin_cache(cfg.head_dim, cfg.max_position, cfg.rope_theta)
 

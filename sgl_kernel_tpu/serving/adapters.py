@@ -67,6 +67,17 @@ class LlamaAdapter:
         )
         return logits, (k, v)
 
+    def prefill_packed(self, params, caches, tokens, positions, blk_seq,
+                       blk_q0, seq_meta, last_idx, slot_loc, *, max_kvb: int):
+        """Multi-prompt block-aligned packed prefill (one launch for a
+        mixed batch — ops/attention/flash_packed.py)."""
+        k, v = caches
+        logits, k, v = self._m.prefill_packed(
+            params, self.cfg, k, v, tokens, positions, blk_seq, blk_q0,
+            seq_meta, last_idx, slot_loc, self.rope_cache, max_kvb=max_kvb,
+        )
+        return logits, (k, v)
+
 
 class DeepseekAdapter:
     """DeepSeek-V3/V4 MLA families (models/deepseek.py): single latent pool

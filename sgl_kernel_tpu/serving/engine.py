@@ -182,7 +182,9 @@ class Engine:
 
     # ------------------------------------------------------------------
     def _admit(self):
-        while self.waiting and len(self.running) + len(self.prefilling) < self.max_batch:
+        batch: List[Request] = []  # fresh full prefills -> one packed launch
+        while (self.waiting
+               and len(self.running) + len(self.prefilling) + len(batch) < self.max_batch):
             req = self.waiting[0]
             shared: List[int] = []
             if self.native is not None and len(req.prompt) > 1:
@@ -220,11 +222,66 @@ class Engine:
                 # flash_attention.cpp:1207-1325, lifted to the scheduler)
                 req.prefill_pos = req.prefix_len
                 self.prefilling.append(req)
+            elif (req.prefix_len == 0
+                    and self._pprefill is None  # mesh TP prefill stays padded
+                    and hasattr(self.adapter, "prefill_packed")):
+                batch.append(req)  # packed multi-prompt launch below
             else:
                 with self.metrics.time("prefill"):
                     self._prefill(req)
                 self.metrics.inc("tokens_prefilled", len(req.prompt) - req.prefix_len)
                 self.running.append(req)
+        if batch:
+            with self.metrics.time("prefill"):
+                self._prefill_packed_batch(batch)
+            self.metrics.inc("tokens_prefilled", sum(len(r.prompt) for r in batch))
+            self.running.extend(batch)
+
+    _PACK_BLOCK = 256  # flash_packed block / sequence alignment
+
+    def _prefill_packed_batch(self, reqs: List[Request]):
+        """Fresh prompts block-aligned packed into ONE model launch
+        (models/*.prefill_packed): per-sequence padding < block instead of
+        bucket - len, and no per-request launch overhead. Shapes bucket to
+        power-of-two block counts to bound recompiles."""
+        if len(reqs) == 1:
+            self._prefill(reqs[0])
+            return
+        block = self._PACK_BLOCK
+        lens = [len(r.prompt) for r in reqs]
+        nqb = [max(cdiv(l, block), 1) for l in lens]
+        nb = 1 << (sum(nqb) - 1).bit_length()  # padded block count
+        tp = nb * block
+        bp = self.max_batch + 1  # +1 row for the padding pseudo-sequence
+        tokens = np.zeros(tp, np.int32)
+        positions = np.zeros(tp, np.int32)
+        slot_loc = np.full(tp, -1, np.int32)
+        blk_seq = np.full(nb, len(reqs), np.int32)  # padding blocks -> empty seq
+        blk_q0 = np.zeros(nb, np.int32)
+        seq_meta = np.zeros((bp, 6), np.int32)
+        seq_meta[:, 5] = 1  # kv_blks >= 1 keeps index-map clamps in range
+        last_idx = np.zeros(bp, np.int32)
+        t0 = b0 = 0
+        for i, r in enumerate(reqs):
+            l = lens[i]
+            tokens[t0 : t0 + l] = r.prompt
+            positions[t0 : t0 + l] = np.arange(l)
+            slot_loc[t0 : t0 + l] = [self._slot(r, p) for p in range(l)]
+            blk_seq[b0 : b0 + nqb[i]] = i
+            blk_q0[b0 : b0 + nqb[i]] = np.arange(nqb[i]) * block
+            seq_meta[i] = (l, l, 0, 0, b0, nqb[i])
+            last_idx[i] = t0 + l - 1
+            t0 += nqb[i] * block
+            b0 += nqb[i]
+        max_kvb = 1 << (max(nqb) - 1).bit_length()
+        logits, self.caches = self.adapter.prefill_packed(
+            self.params, self.caches,
+            jnp.asarray(tokens), jnp.asarray(positions),
+            jnp.asarray(blk_seq), jnp.asarray(blk_q0), jnp.asarray(seq_meta),
+            jnp.asarray(last_idx), jnp.asarray(slot_loc), max_kvb=max_kvb,
+        )
+        for i, r in enumerate(reqs):
+            self._finish_prefill(r, logits[i : i + 1])
 
     def _prefill(self, req: Request):
         pre = req.prefix_len
