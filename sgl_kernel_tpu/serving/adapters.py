@@ -78,6 +78,20 @@ class LlamaAdapter:
         )
         return logits, (k, v)
 
+    # -- PD disaggregation (serving/pd.py): whole-page KV movement --
+    def extract_pages(self, caches, page_ids):
+        """Gather whole pages [L, n, H, page, D] (x2) out of the pools."""
+        k, v = caches
+        ids = jnp.asarray(page_ids, jnp.int32)
+        return (k[:, ids], v[:, ids])
+
+    def inject_pages(self, caches, payload, page_ids):
+        k, v = caches
+        pk, pv = payload
+        ids = jnp.asarray(page_ids, jnp.int32)
+        return (k.at[:, ids].set(jnp.asarray(pk, k.dtype)),
+                v.at[:, ids].set(jnp.asarray(pv, v.dtype)))
+
 
 class DeepseekAdapter:
     """DeepSeek-V3/V4 MLA families (models/deepseek.py): single latent pool
@@ -156,6 +170,32 @@ class DeepseekAdapter:
             slot_loc, self.rope_cache,
         )
         return logits, (kv,)
+
+    # -- PD disaggregation: whole-page latent (+ indexer) movement --
+    def extract_pages(self, caches, page_ids):
+        ids = jnp.asarray(page_ids, jnp.int32)
+        kv = caches[0]
+        out = (kv[:, ids],)  # [L, n, page, 576]
+        if self.use_nsa:
+            _, p, pg, _ = kv.shape
+            idx_k, idx_s = caches[1], caches[2]
+            ik = idx_k.reshape(-1, p, pg, idx_k.shape[-1])[:, ids]
+            isc = idx_s.reshape(-1, p, pg)[:, ids]
+            out = out + (ik, isc)
+        return out
+
+    def inject_pages(self, caches, payload, page_ids):
+        ids = jnp.asarray(page_ids, jnp.int32)
+        kv = caches[0].at[:, ids].set(jnp.asarray(payload[0], caches[0].dtype))
+        if not self.use_nsa:
+            return (kv,)
+        _, p, pg, _ = kv.shape
+        idx_k, idx_s = caches[1], caches[2]
+        ik4 = idx_k.reshape(-1, p, pg, idx_k.shape[-1])
+        isc3 = idx_s.reshape(-1, p, pg)
+        ik4 = ik4.at[:, ids].set(jnp.asarray(payload[1], idx_k.dtype))
+        isc3 = isc3.at[:, ids].set(jnp.asarray(payload[2], idx_s.dtype))
+        return (kv, ik4.reshape(idx_k.shape), isc3.reshape(idx_s.shape))
 
 
 def adapter_for(cfg) -> "LlamaAdapter | DeepseekAdapter":

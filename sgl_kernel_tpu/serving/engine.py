@@ -172,6 +172,49 @@ class Engine:
         ))
         return rid
 
+    def add_prefilled_request(
+        self,
+        prompt: List[int],
+        first_token: int,
+        payload,
+        max_new_tokens: int = 32,
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        min_p: Optional[float] = None,
+        stop_tokens=(),
+    ) -> Optional[int]:
+        """PD disaggregation (serving/pd.py): adopt a request whose prompt
+        KV was computed on a prefill instance. ``payload`` is the
+        adapter's extract_pages output covering ceil(len(prompt)/page)
+        whole pages; ``first_token`` is the prefill instance's sampled
+        token (its KV slot is still unwritten, decode writes it).
+        Skips the prefill path entirely. Returns rid, or None when pages
+        can't be allocated."""
+        n_payload = cdiv(len(prompt), self.page_size)
+        need = cdiv(len(prompt) + max_new_tokens, self.page_size)
+        pages = self.allocator.alloc(need)
+        if pages is None and self.native is not None:
+            self.metrics.inc("pages_evicted", self.native.evict(need - self.allocator.free))
+            pages = self.allocator.alloc(need)
+        if pages is None:
+            self.metrics.inc("admission_blocked")
+            return None
+        self.caches = self.adapter.inject_pages(self.caches, payload, pages[:n_payload])
+        rid = self._next_rid
+        self._next_rid += 1
+        req = Request(
+            rid, list(prompt), max_new_tokens, temperature,
+            top_k=top_k, top_p=top_p, min_p=min_p, stop_tokens=tuple(stop_tokens),
+        )
+        req.pages = pages
+        req.output = [int(first_token)]
+        if req.max_new_tokens <= 1 or int(first_token) in req.stop_tokens:
+            req.done = True
+        self.running.append(req)
+        self.metrics.inc("requests_adopted")
+        return rid
+
     def _slot(self, req: Request, pos: int) -> int:
         return req.pages[pos // self.page_size] * self.page_size + pos % self.page_size
 
