@@ -114,6 +114,32 @@ def bench_prefill_features(rng, records):
         records.append(report(f"flash_prefill_{name}:{b}-{s}-{hq}-{hkv}-{d}", sec))
 
 
+def bench_packed(rng, lens, hq, hkv, d, records):
+    """Block-aligned packed ragged prefill vs the padded-rectangle cost:
+    the packed kernel reads sum(round_up(len, 256)) tokens where the
+    padded one reads B * max(len)."""
+    from sgl_kernel_tpu.ops.attention import flash_attention_packed, make_seq_meta
+
+    seq_meta, meta = make_seq_meta(lens, block=256)
+    tp = meta["total_q"]
+    q = jnp.asarray(rng.standard_normal((tp, hq, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((tp, hkv, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((tp, hkv, d)), jnp.bfloat16)
+    bs = jnp.asarray(meta["blk_seq"])
+    b0 = jnp.asarray(meta["blk_q0"])
+    sm = jnp.asarray(seq_meta)
+
+    def step(carry):
+        o = flash_attention_packed(carry, k, v, bs, b0, sm,
+                                   max_kvb=meta["max_kvb"], causal=True)
+        return carry + o * jnp.bfloat16(1e-8)
+
+    sec = bench_chain(step, q, reps=16)
+    flops = sum(2 * hq * l * l * d for l in lens)
+    key = "x".join(str(l) for l in lens)
+    records.append(report(f"flash_packed:{key}-{hq}-{hkv}-{d}", sec, tflops=round(flops / sec / 1e12, 2)))
+
+
 def main():
     rng = np.random.default_rng(0)
     records = []
@@ -134,6 +160,9 @@ def main():
     bench_prefill(rng, 1, 8192, 32, 8, 128, records)
     bench_prefill(rng, 8, 2048, 32, 8, 128, records)
     bench_prefill_features(rng, records)
+    # packed ragged prefill (mixed batch; padded rectangle would be 8x4096)
+    bench_packed(rng, [4096, 512, 1024, 256, 2048, 300, 600, 150], 32, 8, 128, records)
+    bench_packed(rng, [2048, 2048], 32, 8, 128, records)
     # MLA
     bench_mla(rng, 16, 1024, 16, records)
     bench_mla(rng, 4, 8192, 16, records)
