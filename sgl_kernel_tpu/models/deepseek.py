@@ -259,6 +259,79 @@ def build_rope_cache(cfg: DeepseekConfig):
     return compute_cos_sin_cache(D_ROPE, cfg.max_position, cfg.rope_theta)
 
 
+def _mla_attend_packed(q_lat, q_pe, kv_row, blk_seq, blk_q0, seq_meta, cfg,
+                       tp, max_kvb):
+    """Packed MLA self-attention: 1-head MQA over the block-aligned packed
+    latent rows (ops/attention/flash_packed.py), latent doubles as V."""
+    from ..ops.attention import flash_attention_packed
+
+    q = jnp.concatenate(
+        [q_lat.reshape(tp, cfg.num_heads, D_LATENT),
+         q_pe.reshape(tp, cfg.num_heads, D_ROPE)], axis=-1)
+    kv = kv_row.reshape(tp, 1, D_CKV)
+    v = jnp.pad(kv[..., :D_LATENT], ((0, 0), (0, 0), (0, D_ROPE)))
+    out = flash_attention_packed(
+        q, kv.astype(q.dtype), v.astype(q.dtype), blk_seq, blk_q0, seq_meta,
+        max_kvb=max_kvb, causal=True, sm_scale=_sm_scale(cfg),
+    )
+    return out[..., :D_LATENT]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_kvb", "with_indexer"), donate_argnums=(2,))
+def prefill_packed(params, cfg: DeepseekConfig, kv_cache, tokens, positions,
+                   blk_seq, blk_q0, seq_meta, last_idx, slot_loc, rope_cache,
+                   *, max_kvb: int, with_indexer: bool = False,
+                   idx_caches=None, idx_rope_cache=None):
+    """Token-packed multi-prompt MLA prefill (models/llama.prefill_packed
+    analog): several prompts block-aligned packed into one launch. With
+    ``with_indexer`` the NSA fp8 indexer keys are ingested per token too
+    (idx_caches = (idx_k, idx_s)). Returns (logits [B, V], kv_cache
+    [, idx_k, idx_s])."""
+    tp = tokens.shape[0]
+    x = params["embed"][tokens].astype(cfg.dtype)
+    lw = params["layers"]
+    l, np_, pg, dd = kv_cache.shape
+    pool_tokens = np_ * pg
+    idx_k, idx_s = idx_caches if with_indexer else (None, None)
+
+    def layer_fn(carry, lidx):
+        if with_indexer:
+            x, cache, ik, isc = carry
+        else:
+            x, cache = carry
+        h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
+        q_lat, q_pe, kv_row = _mla_qkv(h, lw, lidx, cfg, tp, positions, rope_cache)
+        off_slots = jnp.where(slot_loc >= 0, lidx * pool_tokens + slot_loc, -1)
+        cache = store_cache_mla(kv_row, cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
+        if with_indexer:
+            ik, isc = _indexer_ingest(h, lw, lidx, cfg, positions, slot_loc,
+                                      ik, isc, idx_rope_cache, pool_tokens)
+        attn = _mla_attend_packed(q_lat, q_pe, kv_row, blk_seq, blk_q0,
+                                  seq_meta, cfg, tp, max_kvb)
+        x = x + _mla_out(attn.reshape(tp, cfg.num_heads, D_LATENT), lw, lidx, cfg, tp)
+        h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
+        is_dense = lidx < cfg.num_dense_layers
+        mlp = jax.lax.cond(
+            is_dense,
+            lambda h2: _silu_mlp(h2, lw["gate"][lidx], lw["up"][lidx], lw["down"][lidx], cfg),
+            lambda h2: _moe_block(h2, lw, lidx, cfg),
+            h2,
+        )
+        out = (x + mlp, cache, ik, isc) if with_indexer else (x + mlp, cache)
+        return out, None
+
+    init = (x, kv_cache, idx_k, idx_s) if with_indexer else (x, kv_cache)
+    carry, _ = jax.lax.scan(layer_fn, init, jnp.arange(cfg.num_layers))
+    x = carry[0]
+    kv_cache = carry[1]
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    x_last = x[last_idx]
+    logits = jnp.dot(x_last, params["lm_head"].T, preferred_element_type=jnp.float32)
+    if with_indexer:
+        return logits, kv_cache, carry[2], carry[3]
+    return logits, kv_cache
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "prefix_max"), donate_argnums=(2,))
 def prefill_extend(params, cfg: DeepseekConfig, kv_cache, tokens, positions,
                    q_lens, kv_lens, page_tables, slot_loc, rope_cache, *,

@@ -171,6 +171,26 @@ class DeepseekAdapter:
         )
         return logits, (kv,)
 
+    def prefill_packed(self, params, caches, tokens, positions, blk_seq,
+                       blk_q0, seq_meta, last_idx, slot_loc, *, max_kvb: int):
+        """Multi-prompt block-aligned packed MLA prefill (with NSA indexer
+        ingest when use_nsa)."""
+        if self.use_nsa:
+            kv, idx_k, idx_s = caches
+            logits, kv, idx_k, idx_s = self._m.prefill_packed(
+                params, self.cfg, kv, tokens, positions, blk_seq, blk_q0,
+                seq_meta, last_idx, slot_loc, self.rope_cache,
+                max_kvb=max_kvb, with_indexer=True,
+                idx_caches=(idx_k, idx_s), idx_rope_cache=self.idx_rope_cache,
+            )
+            return logits, (kv, idx_k, idx_s)
+        (kv,) = caches
+        logits, kv = self._m.prefill_packed(
+            params, self.cfg, kv, tokens, positions, blk_seq, blk_q0,
+            seq_meta, last_idx, slot_loc, self.rope_cache, max_kvb=max_kvb,
+        )
+        return logits, (kv,)
+
     # -- PD disaggregation: whole-page latent (+ indexer) movement --
     def extract_pages(self, caches, page_ids):
         ids = jnp.asarray(page_ids, jnp.int32)

@@ -127,3 +127,19 @@ class TestDeepseekEngine:
         rid2 = eng.add_request(prompt2, max_new_tokens=4)
         eng.run_until_done()
         assert eng.finished[rid2].output == ref2
+
+    def test_nsa_packed_batch_matches_oracle(self, rng):
+        """Several NSA prompts admitted in one step route through the
+        packed MLA prefill (with indexer ingest) — oracle parity."""
+        cfg = deepseek.DeepseekConfig.tiny(nsa=True, idx_dim=32, idx_heads=2,
+                                           index_topk=128)
+        params = deepseek.init_weights(cfg, jax.random.PRNGKey(0))
+        prompts = [rng.integers(0, cfg.vocab_size, n).astype(np.int32).tolist()
+                   for n in (7, 19, 11)]
+        refs = [greedy_oracle(cfg, params, p, 4, num_pages=32) for p in prompts]
+        eng = Engine(cfg, params, num_pages=32, page_size=16, max_batch=4,
+                     enable_prefix_cache=False,
+                     adapter=DeepseekAdapter(cfg, use_nsa=True))
+        rids = [eng.add_request(p, max_new_tokens=4) for p in prompts]
+        eng.run_until_done()
+        assert [eng.finished[r].output for r in rids] == refs
