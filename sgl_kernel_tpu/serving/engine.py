@@ -90,6 +90,7 @@ class Engine:
         prefill_chunk: Optional[int] = None,
         log_every: int = 0,
         adapter=None,
+        decode_burst: int = 1,
     ):
         self.adapter = adapter if adapter is not None else adapter_for(cfg)
         self.cfg = cfg
@@ -149,6 +150,16 @@ class Engine:
         self.finished: Dict[int, Request] = {}
         self._next_rid = 0
         self._key = jax.random.PRNGKey(seed)
+        # host-overlap decode: with decode_burst > 1, all-greedy decode
+        # batches run `burst` autoregressive steps in ONE jitted program
+        # (argmax fed back on device), amortizing the per-step host
+        # round-trip (~ms through the axon relay) over `burst` tokens.
+        # Tokens past a stop condition are computed-then-discarded; their
+        # KV lands in the request's own not-yet-used slots, which retire
+        # with the request (prefix-cache insertion stops at the truncated
+        # length).
+        self.decode_burst = decode_burst
+        self._burst_fns = {}
         # runtime counters (SURVEY §5 observability; utils/metrics.py)
         self.metrics = Metrics()
         self.log_every = log_every
@@ -427,6 +438,12 @@ class Engine:
             return
         if self.draft_cfg is not None and all(r.temperature == 0.0 for r in reqs):
             return self._spec_decode_batch(reqs)
+        if (self.decode_burst > 1 and self._pstep is None
+                and all(r.temperature == 0.0 for r in reqs)):
+            burst = min(self.decode_burst,
+                        min(r.max_new_tokens - len(r.output) for r in reqs))
+            if burst > 1:
+                return self._decode_burst_batch(reqs, burst)
         b = len(reqs)
         bp = self.max_batch  # pad to fixed batch for stable compilation
         tokens = np.zeros(bp, np.int32)
@@ -459,6 +476,67 @@ class Engine:
         for i, r in enumerate(reqs):
             self._append_token(r, logits_np[i])
         self.metrics.inc("tokens_decoded", b)
+        self.metrics.set_gauge("decode_batch", b)
+
+    def _make_burst_fn(self, burst: int):
+        adapter = self.adapter
+        page = self.page_size
+
+        def fn(params, caches, tokens, positions, tables, lengths, slot_loc):
+            def body(carry, _):
+                tokens, caches, positions, lengths, slot_loc = carry
+                logits, caches = adapter.decode(
+                    params, caches, tokens, positions, tables, lengths, slot_loc)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                positions = positions + 1
+                lengths = lengths + 1
+                rows = jnp.arange(tables.shape[0])
+                slot_loc = jnp.where(
+                    slot_loc >= 0,
+                    tables[rows, positions // page] * page + positions % page,
+                    -1,
+                )
+                return (nxt, caches, positions, lengths, slot_loc), nxt
+
+            (tok, caches, _, _, _), toks = jax.lax.scan(
+                body, (tokens, caches, positions, lengths, slot_loc),
+                None, length=burst)
+            return jnp.swapaxes(toks, 0, 1), caches  # [B, burst]
+
+        return jax.jit(fn)
+
+    def _decode_burst_batch(self, reqs, burst: int):
+        b = len(reqs)
+        bp = self.max_batch
+        tokens = np.zeros(bp, np.int32)
+        positions = np.zeros(bp, np.int32)
+        lengths = np.ones(bp, np.int32)
+        slot_loc = np.full(bp, -1, np.int32)
+        tables = np.zeros((bp, self.max_pages_per_seq), np.int32)
+        for i, r in enumerate(reqs):
+            pos = r.seq_len - 1
+            tokens[i] = r.output[-1] if r.output else r.prompt[-1]
+            positions[i] = pos
+            lengths[i] = r.seq_len
+            slot_loc[i] = self._slot(r, pos)
+            tables[i] = self._page_table(r)
+        if burst not in self._burst_fns:
+            self._burst_fns[burst] = self._make_burst_fn(burst)
+        toks, self.caches = self._burst_fns[burst](
+            self.params, self.caches,
+            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
+            jnp.asarray(lengths), jnp.asarray(slot_loc),
+        )
+        toks = np.asarray(toks)
+        for i, r in enumerate(reqs):
+            for t in toks[i]:
+                r.output.append(int(t))
+                self.metrics.inc("tokens_decoded")
+                if int(t) in r.stop_tokens:
+                    r.done = True
+                    break
+            if len(r.output) >= r.max_new_tokens:
+                r.done = True
         self.metrics.set_gauge("decode_batch", b)
 
     def _spec_decode_batch(self, reqs):

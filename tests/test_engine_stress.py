@@ -100,3 +100,43 @@ class TestSpecWithCache:
             enable_prefix_cache=False,
         )
         assert spec == plain
+
+
+class TestDecodeBurst:
+    def test_burst_matches_single_step(self, rng):
+        """decode_burst engines emit identical greedy tokens, including a
+        stop token hit mid-burst (tokens past the stop are discarded)."""
+        from sgl_kernel_tpu.models import llama
+        cfg = llama.LlamaConfig.tiny()
+        params = llama.init_weights(cfg, jax.random.PRNGKey(0))
+        prompts = [rng.integers(0, cfg.vocab_size, n).astype(np.int32).tolist()
+                   for n in (9, 17)]
+
+        def run(burst, stop=()):
+            eng = Engine(cfg, params, num_pages=64, page_size=16,
+                         prefill_bucket=16, enable_prefix_cache=False,
+                         max_batch=4, decode_burst=burst)
+            rids = [eng.add_request(p, max_new_tokens=12, stop_tokens=stop)
+                    for p in prompts]
+            eng.run_until_done()
+            return [eng.finished[r].output for r in rids]
+
+        assert run(4) == run(1)
+        base = run(1)
+        stop_tok = base[0][5]  # force a mid-burst stop for request 0
+        assert run(4, stop=(stop_tok,)) == run(1, stop=(stop_tok,))
+
+    def test_burst_deepseek(self, rng):
+        from sgl_kernel_tpu.models import deepseek
+        cfg = deepseek.DeepseekConfig.tiny()
+        params = deepseek.init_weights(cfg, jax.random.PRNGKey(0))
+        prompt = rng.integers(0, cfg.vocab_size, 9).astype(np.int32).tolist()
+
+        def run(burst):
+            eng = Engine(cfg, params, num_pages=32, page_size=16,
+                         enable_prefix_cache=False, decode_burst=burst)
+            rid = eng.add_request(prompt, max_new_tokens=9)
+            eng.run_until_done()
+            return eng.finished[rid].output
+
+        assert run(3) == run(1)
