@@ -75,8 +75,11 @@ GROUPS_PER_KTILE = 8  # bk = 8 * group_size
 # choice is second-order).
 _TILE_TABLE = {
     # decode entries re-measured for the K-paired kernel (in-model harness,
-    # 2026-08-17): gate_up 561 GB/s at (16, 2048, 1024); other decode shapes
-    # pending the K-paired re-tune (defaults bn=2048/bk=8G apply).
+    # benchmark/retune_w4a16_decode.py, 2026-08-17): gate_up 635 GB/s at
+    # (16, 2048, 1024) == the default; o_proj best (2048, 1024) == default;
+    # qkv best (2048, 2048) at 599 GB/s. Readings above the 819 GB/s HBM
+    # peak are relay-jitter artifacts and were discarded.
+    (6144, 4096, 0): (16, 2048, 2048),    # qkv decode: 599 GB/s in-model
     (4096, 4096, 2): (256, 512, 2048),    # 195 TFLOP/s (MXU-bound)
     (4096, 14336, 1): (128, 4096, 1024),
     (4096, 14336, 2): (256, 4096, 1024),

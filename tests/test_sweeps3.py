@@ -1,0 +1,160 @@
+"""Round-2 sweep grids over the K-paired W4A16 layout, packed prefill, and
+the MLA extend path — parameterized density on the paths the round
+changed (VERDICT: every money-path kernel >= 20 parameterized cases)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgl_kernel_tpu.ops.gemm import w4a16 as gemm
+
+
+def _oracle_gemm(a, packed, scales, zeros, group, fmt="int4"):
+    wd = gemm.dequant_w4(packed, scales, zeros, group_size=group, fmt=fmt,
+                         dtype=jnp.float64)
+    return np.asarray(a, np.float64) @ np.asarray(wd).T
+
+
+class TestW4A16KpairSweep:
+    @pytest.mark.parametrize("group", [32, 64, 128])
+    @pytest.mark.parametrize("symmetric", [True, False])
+    @pytest.mark.parametrize("m", [1, 16, 33])
+    def test_quantize_gemm_oracle(self, rng, group, symmetric, m):
+        n, k = 128, 256
+        w = jnp.asarray(rng.standard_normal((n, k)) * 0.05, jnp.float32)
+        packed, scales, zeros = gemm.quantize_w4(w, group_size=group,
+                                                 symmetric=symmetric)
+        assert packed.shape == (k // 2, n)
+        assert scales.dtype == jnp.bfloat16
+        a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        out = gemm.w4a16_gemm(a, packed, scales, zeros, group_size=group)
+        ref = _oracle_gemm(a, packed, scales, zeros, group)
+        rel = np.abs(np.asarray(out, np.float64) - ref).mean() / (np.abs(ref).mean() + 1e-9)
+        assert rel < 2e-2, rel
+
+    @pytest.mark.parametrize("fmt", ["int4", "mxfp4"])
+    @pytest.mark.parametrize("bn,bk", [(64, 128), (128, 256)])
+    def test_tile_shapes(self, rng, fmt, bn, bk):
+        n, k, g, m = 128, 256, 128, 8
+        codes = rng.integers(0, 16, (k, n)).astype(np.uint8)
+        packed = gemm.pack_w4_tpu(jnp.asarray(codes))
+        scales = jnp.asarray(rng.random((k // g, n)) * 0.1, jnp.bfloat16)
+        a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        out = gemm.w4a16_gemm(a, packed, scales, group_size=g, fmt=fmt,
+                              bn=bn, bk=bk)
+        ref = _oracle_gemm(a, packed, scales, None, g, fmt)
+        rel = np.abs(np.asarray(out, np.float64) - ref).mean() / (np.abs(ref).mean() + 1e-9)
+        assert rel < 2e-2, rel
+
+    @pytest.mark.parametrize("k", [128, 256, 512])
+    def test_pack_unpack_roundtrip(self, rng, k):
+        n = 128
+        codes = rng.integers(0, 16, (k, n)).astype(np.uint8)
+        packed = gemm.pack_w4_tpu(jnp.asarray(codes))
+        back = gemm.unpack_w4_tpu(packed)
+        np.testing.assert_array_equal(np.asarray(back), codes)
+
+    @pytest.mark.parametrize("m", [4, 16])
+    def test_stacked_layer_indexing(self, rng, m):
+        """Scalar-prefetched layer_id must select exactly layer l."""
+        l, n, k, g = 3, 128, 256, 128
+        codes = rng.integers(0, 16, (l, k, n)).astype(np.uint8)
+        packed = jnp.stack([gemm.pack_w4_tpu(jnp.asarray(c)) for c in codes])
+        scales = jnp.asarray(rng.random((l, k // g, n)) * 0.1, jnp.bfloat16)
+        a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        for lid in range(l):
+            out = gemm.w4a16_gemm(a, packed, scales, layer_id=lid, group_size=g)
+            ref = _oracle_gemm(a, packed[lid], scales[lid], None, g)
+            rel = np.abs(np.asarray(out, np.float64) - ref).mean() / (np.abs(ref).mean() + 1e-9)
+            assert rel < 2e-2, (lid, rel)
+
+    @pytest.mark.parametrize("prologue", [None, "silu_mul"])
+    def test_prologue_and_residual(self, rng, prologue):
+        n, k, g, m = 128, 256, 128, 8
+        w = jnp.asarray(rng.standard_normal((n, k)) * 0.05, jnp.float32)
+        packed, scales, _ = gemm.quantize_w4(w, group_size=g)
+        a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        a2 = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16) if prologue else None
+        res = jnp.asarray(rng.standard_normal((m, n)), jnp.bfloat16)
+        out = gemm.w4a16_gemm(a, packed, scales, a2=a2, residual=res,
+                              group_size=g, prologue=prologue)
+        af = np.asarray(a, np.float64)
+        if prologue:
+            g_ = af
+            af = g_ * (1 / (1 + np.exp(-g_))) * np.asarray(a2, np.float64)
+        ref = af @ np.asarray(gemm.dequant_w4(packed, scales, group_size=g,
+                                              dtype=jnp.float64)).T
+        ref = ref + np.asarray(res, np.float64)
+        rel = np.abs(np.asarray(out, np.float64) - ref).mean() / (np.abs(ref).mean() + 1e-9)
+        assert rel < 3e-2, rel
+
+
+class TestGroupedKpairSweep:
+    @pytest.mark.parametrize("e,bn", [(2, 128), (4, 64)])
+    @pytest.mark.parametrize("with_zeros", [False, True])
+    def test_grouped_mm_oracle(self, rng, e, bn, with_zeros):
+        from sgl_kernel_tpu.ops.moe.grouped_gemm import w4a16_grouped_mm
+
+        n, k, g, bm = 128, 256, 128, 8
+        cap = 4 * bm
+        eids = jnp.asarray(rng.integers(0, e, cap // bm), jnp.int32)
+        codes = rng.integers(0, 16, (e, k, n)).astype(np.uint8)
+        packed = jnp.stack([gemm.pack_w4_tpu(jnp.asarray(c)) for c in codes])
+        scales = jnp.asarray(rng.random((e, k // g, n)) * 0.1, jnp.bfloat16)
+        zeros = (jnp.asarray(rng.random((e, k // g, n)) * 0.02, jnp.bfloat16)
+                 if with_zeros else None)
+        x = jnp.asarray(rng.standard_normal((cap, k)), jnp.bfloat16)
+        out = w4a16_grouped_mm(x, packed, scales, eids, zeros=zeros,
+                               group_size=g, bm=bm, bn=bn)
+        for blk in range(cap // bm):
+            eid = int(eids[blk])
+            rows = slice(blk * bm, (blk + 1) * bm)
+            z = zeros[eid] if with_zeros else None
+            ref = _oracle_gemm(x[rows], packed[eid], scales[eid], z, g)
+            got = np.asarray(out[rows], np.float64)
+            rel = np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-9)
+            assert rel < 2e-2, (blk, rel)
+
+
+class TestMlaExtendSweep:
+    @pytest.mark.parametrize("pre,sfx", [(5, 3), (16, 16), (1, 20)])
+    def test_extend_matches_full(self, rng, pre, sfx):
+        from sgl_kernel_tpu.models import deepseek
+
+        cfg = deepseek.DeepseekConfig.tiny()
+        params = deepseek.init_weights(cfg, jax.random.PRNGKey(1))
+        page = 16
+        total = pre + sfx
+        toks = rng.integers(0, cfg.vocab_size, total).astype(np.int32)
+        rope = deepseek.build_rope_cache(cfg)
+        pad = max(16, 1 << (total - 1).bit_length())
+        pages = [2, 5, 1]
+
+        def slot(p):
+            return pages[p // page] * page + p % page
+
+        cache = deepseek.make_cache(cfg, 8, page)
+        tok = np.zeros((1, pad), np.int32); tok[0, :total] = toks
+        pos = np.zeros((1, pad), np.int32); pos[0, :total] = np.arange(total)
+        sl = np.full((1, pad), -1, np.int32); sl[0, :total] = [slot(p) for p in range(total)]
+        ref, _ = deepseek.prefill(params, cfg, cache, jnp.asarray(tok), jnp.asarray(pos),
+                                  jnp.asarray([total], jnp.int32), jnp.asarray(sl), rope)
+
+        cache = deepseek.make_cache(cfg, 8, page)
+        t1 = np.zeros((1, pad), np.int32); t1[0, :pre] = toks[:pre]
+        p1 = np.zeros((1, pad), np.int32); p1[0, :pre] = np.arange(pre)
+        s1 = np.full((1, pad), -1, np.int32); s1[0, :pre] = [slot(p) for p in range(pre)]
+        _, cache = deepseek.prefill(params, cfg, cache, jnp.asarray(t1), jnp.asarray(p1),
+                                    jnp.asarray([pre], jnp.int32), jnp.asarray(s1), rope)
+        t2 = np.zeros((1, pad), np.int32); t2[0, :sfx] = toks[pre:]
+        p2 = np.zeros((1, pad), np.int32); p2[0, :sfx] = np.arange(pre, total)
+        s2 = np.full((1, pad), -1, np.int32); s2[0, :sfx] = [slot(p) for p in range(pre, total)]
+        table = np.zeros((1, 4), np.int32); table[0, :3] = pages
+        prefix_max = ((pre + page - 1) // page) * page
+        got, _ = deepseek.prefill_extend(
+            params, cfg, cache, jnp.asarray(t2), jnp.asarray(p2),
+            jnp.asarray([sfx], jnp.int32), jnp.asarray([total], jnp.int32),
+            jnp.asarray(table), jnp.asarray(s2), rope, prefix_max=max(prefix_max, page),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-2, atol=3e-2)
