@@ -41,6 +41,11 @@ class Request:
     shared_pages: int = 0        # leading cache-owned pages in ``pages``
     lock_id: int = 0             # radix-cache pin handle (0 = none)
     prefill_pos: int = 0         # chunked-prefill progress (tokens stored)
+    # grammar-constrained decoding (ops/grammar.py): either a fixed
+    # [ceil(V/32)] int32 bitmask, or a callable prev_tokens -> bitmask for
+    # stateful grammars (the XGrammar automaton lives host-side, as in the
+    # reference's SGLang integration)
+    grammar: object = None
 
     @property
     def seq_len(self) -> int:
@@ -174,12 +179,14 @@ class Engine:
         top_p: Optional[float] = None,
         min_p: Optional[float] = None,
         stop_tokens=(),
+        grammar=None,
     ) -> int:
         rid = self._next_rid
         self._next_rid += 1
         self.waiting.append(Request(
             rid, list(prompt), max_new_tokens, temperature,
             top_k=top_k, top_p=top_p, min_p=min_p, stop_tokens=tuple(stop_tokens),
+            grammar=grammar,
         ))
         return rid
 
@@ -418,6 +425,13 @@ class Engine:
         self._append_token(req, logits[0])
 
     def _append_token(self, req: Request, logits):
+        if req.grammar is not None:
+            from ..ops.grammar import apply_token_bitmask
+
+            mask = req.grammar(req.output) if callable(req.grammar) else req.grammar
+            mask = jnp.asarray(mask, jnp.int32)
+            assert mask.shape[-1] * 32 >= logits.shape[-1], "bitmask must cover the vocab"
+            logits = apply_token_bitmask(logits[None], mask[None])[0]
         self._key, sub = jax.random.split(self._key)
         if req.temperature == 0.0:
             tok = int(jnp.argmax(logits))
@@ -439,7 +453,7 @@ class Engine:
         if self.draft_cfg is not None and all(r.temperature == 0.0 for r in reqs):
             return self._spec_decode_batch(reqs)
         if (self.decode_burst > 1 and self._pstep is None
-                and all(r.temperature == 0.0 for r in reqs)):
+                and all(r.temperature == 0.0 and r.grammar is None for r in reqs)):
             burst = min(self.decode_burst,
                         min(r.max_new_tokens - len(r.output) for r in reqs))
             if burst > 1:
