@@ -21,7 +21,10 @@ from .ops.activation import (  # noqa: F401
     swiglu_alpha_limit,
 )
 from .ops.attention import (  # noqa: F401
+    build_packed_metadata,
     flash_attention,
+    flash_attention_packed,
+    make_seq_meta,
     merge_state,
     merge_state_v2,
     merge_states,

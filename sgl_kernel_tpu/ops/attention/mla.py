@@ -114,7 +114,7 @@ def _decode_entry(lens_ref, pt_ref, *refs, sm_scale, page, n_blocks, has_lse, ha
     )
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "return_lse"))
+@functools.partial(jax.jit, static_argnames=("sm_scale", "return_lse", "num_splits"))
 def mla_decode(
     q_nope,
     q_pe,
@@ -125,6 +125,7 @@ def mla_decode(
     *,
     sm_scale: Optional[float] = None,
     return_lse: bool = False,
+    num_splits: int = 1,
 ):
     """MLA paged decode (flash_mla_decode semantics, attention.py:54-132).
 
@@ -134,7 +135,37 @@ def mla_decode(
     (scalar-prefetched; avoids the scan-body dynamic-slice cache copy,
     see models/llama.py decode_layers); lengths [B]; page_table
     [B, max_pages]. Returns out [B, H, 512] (+ base-2 lse [B, H]).
+
+    num_splits > 1 splits the KV range into contiguous chunks processed
+    as independent grid rows and combines with merge_states — the
+    reference's MLA split-decode (mla_decode.cpp:24-31 tuned tables,
+    xe_reduce_split_k analogue). Worth it at small B x long ctx on
+    multi-core chips; single-core chips prefer 1 (docs/PERF.md).
     """
+    if num_splits > 1:
+        from .merge_state import merge_states
+
+        b, h, _ = q_nope.shape
+        nb = page_table.shape[1]
+        s = num_splits
+        bps = -(-nb // s)  # blocks per split
+        if bps * s != nb:
+            page_table = jnp.pad(page_table, ((0, 0), (0, bps * s - nb)))
+        # each (seq, split) becomes an independent pseudo-sequence over its
+        # chunk of pages with a split-local length
+        pt_s = page_table.reshape(b, s, bps).reshape(b * s, bps)
+        page = kv_cache.shape[-2]
+        local = lengths.astype(jnp.int32)[:, None] - jnp.arange(s, dtype=jnp.int32)[None, :] * bps * page
+        len_s = jnp.clip(local, 0, bps * page).reshape(b * s)
+        rep = lambda x: jnp.repeat(x, s, axis=0)
+        o, lse = mla_decode(
+            rep(q_nope), rep(q_pe), kv_cache, len_s, pt_s, layer_id,
+            sm_scale=sm_scale, return_lse=True, num_splits=1,
+        )
+        o_st = o.reshape(b, s, h, D_LATENT).swapaxes(0, 1)  # [S, B, H, D]
+        l_st = lse.reshape(b, s, h).swapaxes(0, 1)
+        om, lm = merge_states(o_st, l_st)
+        return (om, lm) if return_lse else om
     b, h, _ = q_nope.shape
     stacked = layer_id is not None
     n_pages, page, dck = kv_cache.shape[-3:]

@@ -82,3 +82,39 @@ class TestMlaPrefill:
         out = mla.mla_prefill(jnp.asarray(q_nope), jnp.asarray(q_pe), jnp.asarray(kv))
         ref, _ = ref_mla(q_nope[0], q_pe[0], kv[0], 1.0 / np.sqrt(576), causal=True, q_len=s)
         np.testing.assert_allclose(np.asarray(out)[0], ref, rtol=2e-2, atol=2e-2)
+
+
+class TestMlaSplit:
+    @pytest.mark.parametrize("num_splits", [2, 3, 4])
+    @pytest.mark.parametrize("ctx", [40, 64, 17])
+    def test_split_matches_nonsplit(self, rng, num_splits, ctx):
+        """Split-KV MLA decode == non-split (merge_states combine)."""
+        from sgl_kernel_tpu.ops.attention.mla import D_CKV, D_LATENT, D_ROPE, mla_decode
+
+        b, h, page = 2, 4, 8
+        nb = (ctx + page - 1) // page + 1
+        n_pages = b * nb + 1
+        kv = jnp.asarray(rng.standard_normal((n_pages, page, D_CKV)), jnp.float32)
+        qn = jnp.asarray(rng.standard_normal((b, h, D_LATENT)), jnp.float32)
+        qp = jnp.asarray(rng.standard_normal((b, h, D_ROPE)), jnp.float32)
+        lengths = jnp.asarray([ctx, max(ctx - 9, 1)], jnp.int32)
+        table = jnp.asarray(
+            rng.permutation(np.arange(1, n_pages))[: b * nb].reshape(b, nb), jnp.int32)
+        ref = mla_decode(qn, qp, kv, lengths, table)
+        got = mla_decode(qn, qp, kv, lengths, table, num_splits=num_splits)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_split_stacked_layer(self, rng):
+        from sgl_kernel_tpu.ops.attention.mla import D_CKV, D_LATENT, D_ROPE, mla_decode
+
+        b, h, page, nb, l = 1, 4, 8, 6, 2
+        n_pages = b * nb + 1
+        kv = jnp.asarray(rng.standard_normal((l, n_pages, page, D_CKV)), jnp.float32)
+        qn = jnp.asarray(rng.standard_normal((b, h, D_LATENT)), jnp.float32)
+        qp = jnp.asarray(rng.standard_normal((b, h, D_ROPE)), jnp.float32)
+        lengths = jnp.asarray([37], jnp.int32)
+        table = jnp.asarray(np.arange(1, nb + 1)[None], jnp.int32)
+        for lid in range(l):
+            ref = mla_decode(qn, qp, kv, lengths, table, layer_id=lid)
+            got = mla_decode(qn, qp, kv, lengths, table, layer_id=lid, num_splits=2)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
