@@ -158,3 +158,69 @@ class TestMlaExtendSweep:
             jnp.asarray(table), jnp.asarray(s2), rope, prefix_max=max(prefix_max, page),
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-2, atol=3e-2)
+
+
+class TestW4A16Dma:
+    """Manual-DMA decode GEMM == the BlockSpec kernel (itself fp64-oracle
+    tested) across feature flags."""
+
+    @pytest.mark.parametrize("m", [1, 16])
+    @pytest.mark.parametrize("stacked", [False, True])
+    def test_matches_pipeline_kernel(self, rng, m, stacked):
+        from sgl_kernel_tpu.ops.gemm.w4a16_dma import w4a16_gemm_dma
+
+        n, k, g, l = 128, 512, 128, 2
+        codes = rng.integers(0, 16, (l, k, n)).astype(np.uint8)
+        packed = jnp.stack([gemm.pack_w4_tpu(jnp.asarray(c)) for c in codes])
+        scales = jnp.asarray(rng.random((l, k // g, n)) * 0.1, jnp.bfloat16)
+        a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        if stacked:
+            ref = gemm.w4a16_gemm(a, packed, scales, layer_id=1, group_size=g)
+            got = w4a16_gemm_dma(a, packed, scales, layer_id=1, group_size=g,
+                                 bn=128, bk=256)
+        else:
+            ref = gemm.w4a16_gemm(a, packed[0], scales[0], group_size=g)
+            got = w4a16_gemm_dma(a, packed[0], scales[0], group_size=g,
+                                 bn=128, bk=256)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2)
+
+    @pytest.mark.parametrize("feature", ["zeros", "bias", "residual", "silu_mul"])
+    def test_feature_flags(self, rng, feature):
+        from sgl_kernel_tpu.ops.gemm.w4a16_dma import w4a16_gemm_dma
+
+        n, k, g, m = 128, 512, 128, 8
+        w = jnp.asarray(rng.standard_normal((n, k)) * 0.05, jnp.float32)
+        packed, scales, zeros = gemm.quantize_w4(w, group_size=g,
+                                                 symmetric=(feature != "zeros"))
+        a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        kw = dict(zeros=zeros) if feature == "zeros" else {}
+        ref_kw = dict(kw)
+        if feature == "bias":
+            b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+            kw["bias"] = b; ref_kw["bias"] = b
+        if feature == "residual":
+            r = jnp.asarray(rng.standard_normal((m, n)), jnp.bfloat16)
+            kw["residual"] = r; ref_kw["residual"] = r
+        if feature == "silu_mul":
+            a2 = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+            kw.update(a2=a2, prologue="silu_mul")
+            ref_kw.update(a2=a2, prologue="silu_mul")
+        ref = gemm.w4a16_gemm(a, packed, scales, group_size=g, **ref_kw)
+        got = w4a16_gemm_dma(a, packed, scales, group_size=g, bn=128, bk=256, **kw)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2)
+
+    def test_mxfp4(self, rng):
+        from sgl_kernel_tpu.ops.gemm.w4a16_dma import w4a16_gemm_dma
+
+        n, k, m = 128, 256, 8
+        codes = rng.integers(0, 16, (k, n)).astype(np.uint8)
+        packed = gemm.pack_w4_tpu(jnp.asarray(codes))
+        scales = jnp.asarray(np.exp2(rng.integers(-3, 3, (k // 32, n))), jnp.bfloat16)
+        a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        ref = gemm.w4a16_gemm(a, packed, scales, group_size=32, fmt="mxfp4")
+        got = w4a16_gemm_dma(a, packed, scales, group_size=32, fmt="mxfp4",
+                             bn=128, bk=128)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2)
