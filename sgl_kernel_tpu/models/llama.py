@@ -53,6 +53,10 @@ class LlamaConfig:
     # fused row layout is not TP-shardable, so parallel execution requires
     # fused=False)
     fused: bool = False
+    # W4A16 decode-GEMM kernel: "pipeline" (BlockSpec, w4a16.py) or "dma"
+    # (manual double-buffered weight DMA, w4a16_dma.py). Decode bucket
+    # (M <= 32) only; prefill always uses the pipeline kernel.
+    gemm_impl: str = "pipeline"
     # KV cache dtype: None -> model dtype; jnp.float8_e4m3fn halves decode
     # attention bandwidth (per-tensor scale 1.0; the paged kernel upcasts)
     kv_dtype: Any = None
@@ -157,13 +161,21 @@ def _quantize_layers(layers, cfg):
     return out
 
 
+def _w4_kernel_for(cfg, m: int):
+    if cfg.gemm_impl == "dma" and m <= 32:
+        from ..ops.gemm.w4a16_dma import w4a16_gemm_dma
+
+        return w4a16_gemm_dma
+    return w4a16_gemm
+
+
 def _linear(x, w, cfg: LlamaConfig, residual=None, layer_id=None):
     """layer_id: when given, w is the FULL layer-stacked weight ([L, ...])
     and the quantized kernel selects the layer via scalar-prefetch — a
     pre-sliced Pallas operand would materialize a per-layer HBM copy
     (~4GB/step across an 8B model's scan; docs/PERF.md)."""
     if isinstance(w, dict):
-        return w4a16_gemm(
+        return _w4_kernel_for(cfg, x.shape[0])(
             x, w["packed"], w["scales"], residual=residual, layer_id=layer_id,
             group_size=cfg.group_size, out_dtype=cfg.dtype,
         )
@@ -220,7 +232,7 @@ def _mlp(h2, weights, cfg, residual=None, layer_id=None):
     w = weights["down"]
     if isinstance(w, dict):
         # silu-mul prologue + residual epilogue fused into the down GEMM
-        return w4a16_gemm(
+        return _w4_kernel_for(cfg, gate.shape[0])(
             gate, w["packed"], w["scales"], a2=up, residual=residual, layer_id=layer_id,
             prologue="silu_mul", group_size=cfg.group_size, out_dtype=cfg.dtype,
         )

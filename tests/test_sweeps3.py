@@ -224,3 +224,22 @@ class TestW4A16Dma:
                              bn=128, bk=128)
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2)
+
+    def test_llama_decode_gemm_impl_dma(self, rng):
+        """LlamaConfig(gemm_impl='dma'): decode tokens match the pipeline
+        kernel's exactly (same math, different weight streaming)."""
+        from sgl_kernel_tpu.models import llama
+        from sgl_kernel_tpu.serving import Engine
+
+        prompt = rng.integers(0, 256, 9).astype(np.int32).tolist()
+
+        def run(impl):
+            cfg = llama.LlamaConfig.tiny(quant="w4a16", gemm_impl=impl)
+            params = llama.init_weights(cfg, jax.random.PRNGKey(0))
+            eng = Engine(cfg, params, num_pages=32, page_size=16,
+                         prefill_bucket=16, enable_prefix_cache=False)
+            rid = eng.add_request(prompt, max_new_tokens=6)
+            eng.run_until_done()
+            return eng.finished[rid].output
+
+        assert run("dma") == run("pipeline")
