@@ -27,6 +27,7 @@ class LlamaAdapter:
 
     name = "llama"
     supports_spec = True
+    supports_extend = True  # prefill_extend: prefix reuse + chunked prefill
 
     def __init__(self, cfg):
         from ..models import llama
@@ -93,6 +94,48 @@ class LlamaAdapter:
                 v.at[:, ids].set(jnp.asarray(pv, v.dtype)))
 
 
+class MixtralAdapter(LlamaAdapter):
+    """Mixtral-style routed-MoE Llama (models/mixtral.py): identical
+    program signatures over (k, v) pools, MoE MLP inside. No extend /
+    packed / spec programs yet — the engine auto-disables prefix reuse,
+    chunked prefill, and draft-spec for this family."""
+
+    name = "mixtral"
+    supports_spec = False
+    supports_extend = False
+
+    def __init__(self, cfg):
+        from ..models import llama, mixtral
+
+        self.cfg = cfg
+        self._m = mixtral
+        self.rope_cache = llama.build_rope_cache(cfg)
+
+    def make_caches(self, num_pages: int, page_size: int):
+        from ..models import llama
+
+        return tuple(llama.make_caches(self.cfg, num_pages, page_size))
+
+    def prefill_extend(self, *a, **kw):
+        raise NotImplementedError(f"{self.name} has no extend-prefill program")
+
+    prefill_packed = None  # hasattr gate in the engine
+
+
+class GptOssAdapter(MixtralAdapter):
+    """gpt-oss (models/gptoss.py): attention sinks + alternating sliding
+    window + clamped-swiglu MoE, same serving signatures as mixtral."""
+
+    name = "gptoss"
+
+    def __init__(self, cfg):
+        from ..models import gptoss, llama
+
+        self.cfg = cfg
+        self._m = gptoss
+        self.rope_cache = llama.build_rope_cache(cfg)
+
+
 class DeepseekAdapter:
     """DeepSeek-V3/V4 MLA families (models/deepseek.py): single latent pool
     [L, P, page, 576]; optional DSv4 NSA sparse decode (per-layer fp8
@@ -100,6 +143,7 @@ class DeepseekAdapter:
 
     name = "deepseek"
     supports_spec = False
+    supports_extend = True
 
     def __init__(self, cfg, *, use_nsa: bool = False):
         from ..models import deepseek
@@ -218,12 +262,17 @@ class DeepseekAdapter:
         return (kv, ik4.reshape(idx_k.shape), isc3.reshape(idx_s.shape))
 
 
-def adapter_for(cfg) -> "LlamaAdapter | DeepseekAdapter":
-    """Pick an adapter from the config's type."""
-    from ..models import deepseek, llama
+def adapter_for(cfg):
+    """Pick an adapter from the config's type (most-specific first —
+    MixtralConfig/GptOssConfig SUBCLASS LlamaConfig)."""
+    from ..models import deepseek, gptoss, llama, mixtral
 
     if isinstance(cfg, deepseek.DeepseekConfig):
         return DeepseekAdapter(cfg)
+    if isinstance(cfg, gptoss.GptOssConfig):
+        return GptOssAdapter(cfg)
+    if isinstance(cfg, mixtral.MixtralConfig):
+        return MixtralAdapter(cfg)
     if isinstance(cfg, llama.LlamaConfig):
         return LlamaAdapter(cfg)
     raise TypeError(f"no serving adapter for config type {type(cfg).__name__}")

@@ -126,6 +126,13 @@ class Engine:
             assert mesh.shape.get("dp", 1) == 1, "dp>1 needs per-shard page pools"
             self._pstep = jax.jit(tp_lib.make_parallel_decode_step(cfg, mesh, params))
             self._pprefill = jax.jit(tp_lib.make_parallel_prefill(cfg, mesh, params))
+        # families without an extend-prefill program can't consume cached
+        # prefixes or chunk prompts — auto-disable instead of failing later
+        if not getattr(self.adapter, "supports_extend", True):
+            enable_prefix_cache = False
+            assert prefill_chunk is None, (
+                f"{self.adapter.name} has no extend program; prefill_chunk "
+                "requires chunked (extend) prefill")
         self.native = None
         if enable_prefix_cache:
             try:
@@ -285,7 +292,7 @@ class Engine:
                 self.prefilling.append(req)
             elif (req.prefix_len == 0
                     and self._pprefill is None  # mesh TP prefill stays padded
-                    and hasattr(self.adapter, "prefill_packed")):
+                    and getattr(self.adapter, "prefill_packed", None) is not None):
                 batch.append(req)  # packed multi-prompt launch below
             else:
                 with self.metrics.time("prefill"):

@@ -1,0 +1,89 @@
+"""Engine serving for Mixtral / gpt-oss: adapter auto-selection (their
+configs SUBCLASS LlamaConfig — most-specific-first dispatch), greedy
+parity against direct model stepping, capability gating."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgl_kernel_tpu.models import gptoss, mixtral
+from sgl_kernel_tpu.serving import Engine
+from sgl_kernel_tpu.serving.adapters import GptOssAdapter, MixtralAdapter, adapter_for
+
+
+def oracle(mod, cfg, params, prompt, n_new, page=16, num_pages=32):
+    from sgl_kernel_tpu.models import llama
+
+    rope = llama.build_rope_cache(cfg)
+    kc, vc = llama.make_caches(cfg, num_pages, page)
+    s = len(prompt)
+    pad = max(16, 1 << (s - 1).bit_length())
+    tok = np.zeros((1, pad), np.int32); tok[0, :s] = prompt
+    pos = np.zeros((1, pad), np.int32); pos[0, :s] = np.arange(s)
+    slots = np.full((1, pad), -1, np.int32); slots[0, :s] = page + np.arange(s)
+    logits, kc, vc = mod.prefill(params, cfg, kc, vc, jnp.asarray(tok),
+                                 jnp.asarray(pos), jnp.asarray([s], jnp.int32),
+                                 jnp.asarray(slots), rope)
+    out = [int(jnp.argmax(logits[0]))]
+    table = np.arange(1, 1 + (s + n_new + page) // page, dtype=np.int32)[None]
+    for t in range(n_new - 1):
+        plen = s + t
+        logits, kc, vc = mod.decode_step(
+            params, cfg, kc, vc, jnp.asarray([out[-1]], jnp.int32),
+            jnp.asarray([plen], jnp.int32), jnp.asarray(table),
+            jnp.asarray([plen + 1], jnp.int32),
+            jnp.asarray([page + plen], jnp.int32), rope)
+        out.append(int(jnp.argmax(logits[0])))
+    return out
+
+
+class TestEngineFamilies:
+    def test_adapter_dispatch_most_specific(self):
+        mc = mixtral.MixtralConfig.tiny()
+        gc = gptoss.GptOssConfig.tiny()
+        assert isinstance(adapter_for(mc), MixtralAdapter)
+        assert isinstance(adapter_for(gc), GptOssAdapter)
+        assert adapter_for(gc).name == "gptoss"
+
+    def test_mixtral_engine_matches_oracle(self, rng):
+        cfg = mixtral.MixtralConfig.tiny()
+        params = mixtral.init_weights(cfg, jax.random.PRNGKey(0))
+        prompt = rng.integers(0, cfg.vocab_size, 9).astype(np.int32).tolist()
+        ref = oracle(mixtral, cfg, params, prompt, 5)
+        eng = Engine(cfg, params, num_pages=32, page_size=16, prefill_bucket=16)
+        assert eng.native is None  # extend-less family: prefix cache off
+        rid = eng.add_request(prompt, max_new_tokens=5)
+        eng.run_until_done()
+        assert eng.finished[rid].output == ref
+
+    def test_gptoss_engine_matches_oracle(self, rng):
+        cfg = gptoss.GptOssConfig.tiny()
+        params = gptoss.init_weights(cfg, jax.random.PRNGKey(0))
+        prompt = rng.integers(0, cfg.vocab_size, 11).astype(np.int32).tolist()
+        ref = oracle(gptoss, cfg, params, prompt, 5)
+        eng = Engine(cfg, params, num_pages=32, page_size=16, prefill_bucket=16)
+        rid = eng.add_request(prompt, max_new_tokens=5)
+        eng.run_until_done()
+        assert eng.finished[rid].output == ref
+
+    def test_mixtral_burst_and_two_requests(self, rng):
+        cfg = mixtral.MixtralConfig.tiny()
+        params = mixtral.init_weights(cfg, jax.random.PRNGKey(0))
+        p1 = rng.integers(0, cfg.vocab_size, 7).astype(np.int32).tolist()
+        p2 = rng.integers(0, cfg.vocab_size, 13).astype(np.int32).tolist()
+        r1 = oracle(mixtral, cfg, params, p1, 4)
+        r2 = oracle(mixtral, cfg, params, p2, 4)
+        eng = Engine(cfg, params, num_pages=32, page_size=16, max_batch=4,
+                     prefill_bucket=16, decode_burst=2)
+        i1 = eng.add_request(p1, max_new_tokens=4)
+        i2 = eng.add_request(p2, max_new_tokens=4)
+        eng.run_until_done()
+        assert eng.finished[i1].output == r1
+        assert eng.finished[i2].output == r2
+
+    def test_chunk_without_extend_rejected(self):
+        cfg = mixtral.MixtralConfig.tiny()
+        params = mixtral.init_weights(cfg, jax.random.PRNGKey(0))
+        with pytest.raises(AssertionError):
+            Engine(cfg, params, num_pages=32, page_size=16, prefill_chunk=16)
