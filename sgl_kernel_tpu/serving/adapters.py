@@ -136,6 +136,62 @@ class GptOssAdapter(MixtralAdapter):
         self.rope_cache = llama.build_rope_cache(cfg)
 
 
+class HybridGdnAdapter(LlamaAdapter):
+    """Hybrid GDN / Qwen3-Next-style (models/hybrid_gdn.py): alternating
+    Gated-DeltaNet and paged-GQA layers. GDN layers carry per-sequence
+    recurrent state (conv window + SSM state); the adapter owns
+    slot-major state pools and gathers/scatters rows by the engine's
+    per-request state slots (ops/linear_attn/state_cache layout)."""
+
+    name = "hybrid_gdn"
+    supports_spec = False
+    supports_extend = False
+    needs_state_slots = True
+
+    def __init__(self, cfg):
+        from ..models import hybrid_gdn
+
+        self.cfg = cfg
+        self._m = hybrid_gdn
+        self.rope_cache = hybrid_gdn.build_rope_cache(cfg)
+
+    def make_caches(self, num_pages: int, page_size: int, max_slots: int = 16):
+        k, v = self._m.make_caches(self.cfg, num_pages, page_size)
+        conv, ssm = self._m.make_states(self.cfg, max_slots)
+        return (k, v, conv, ssm)
+
+    def prefill(self, params, caches, tokens, positions, q_lens, slot_loc,
+                state_slots=None):
+        k, v, conv, ssm = caches
+        rows = jnp.asarray(state_slots, jnp.int32)
+        # prefill is always sequence START for this family (no extend):
+        # begin from ZERO state — recycled slots hold the previous
+        # request's recurrent state
+        zc = jnp.zeros_like(conv[:, rows])
+        zs = jnp.zeros_like(ssm[:, rows])
+        logits, k, v, cs, ss = self._m.prefill(
+            params, self.cfg, k, v, zc, zs,
+            tokens, positions, q_lens, slot_loc, self.rope_cache,
+        )
+        return logits, (k, v, conv.at[:, rows].set(cs), ssm.at[:, rows].set(ss))
+
+    def prefill_extend(self, *a, **kw):
+        raise NotImplementedError("hybrid_gdn has no extend-prefill program "
+                                  "(recurrent state is not prefix-shareable)")
+
+    prefill_packed = None
+
+    def decode(self, params, caches, tokens, positions, page_tables,
+               lengths, slot_loc, state_slots=None):
+        k, v, conv, ssm = caches
+        rows = jnp.asarray(state_slots, jnp.int32)
+        logits, k, v, cs, ss = self._m.decode_step(
+            params, self.cfg, k, v, conv[:, rows], ssm[:, rows],
+            tokens, positions, page_tables, lengths, slot_loc, self.rope_cache,
+        )
+        return logits, (k, v, conv.at[:, rows].set(cs), ssm.at[:, rows].set(ss))
+
+
 class DeepseekAdapter:
     """DeepSeek-V3/V4 MLA families (models/deepseek.py): single latent pool
     [L, P, page, 576]; optional DSv4 NSA sparse decode (per-layer fp8
@@ -271,6 +327,10 @@ def adapter_for(cfg):
         return DeepseekAdapter(cfg)
     if isinstance(cfg, gptoss.GptOssConfig):
         return GptOssAdapter(cfg)
+    from ..models import hybrid_gdn
+
+    if isinstance(cfg, hybrid_gdn.HybridGdnConfig):
+        return HybridGdnAdapter(cfg)
     if isinstance(cfg, mixtral.MixtralConfig):
         return MixtralAdapter(cfg)
     if isinstance(cfg, llama.LlamaConfig):

@@ -46,6 +46,7 @@ class Request:
     # stateful grammars (the XGrammar automaton lives host-side, as in the
     # reference's SGLang integration)
     grammar: object = None
+    state_slot: int = -1         # recurrent-state pool row (stateful families)
 
     @property
     def seq_len(self) -> int:
@@ -112,7 +113,15 @@ class Engine:
             params = self.adapter.init_weights(jax.random.PRNGKey(seed))
         self.params = params
         self.rope_cache = self.adapter.rope_cache
-        self.caches = self.adapter.make_caches(num_pages, page_size)
+        # stateful families (hybrid GDN): per-request recurrent-state rows,
+        # slot max_batch reserved as the padded-row scratch slot
+        self._stateful = getattr(self.adapter, "needs_state_slots", False)
+        if self._stateful:
+            self.caches = self.adapter.make_caches(
+                num_pages, page_size, max_slots=max_batch + 1)
+            self._free_state_slots = list(range(max_batch - 1, -1, -1))
+        else:
+            self.caches = self.adapter.make_caches(num_pages, page_size)
         # multi-chip execution: a ("dp", "tp") mesh turns the decode/prefill
         # steps into shard_map programs (parallel/tp.py). dp must be 1 with
         # this engine's single global page pool; tp shards heads + ffn.
@@ -216,6 +225,9 @@ class Engine:
         token (its KV slot is still unwritten, decode writes it).
         Skips the prefill path entirely. Returns rid, or None when pages
         can't be allocated."""
+        assert not self._stateful, (
+            "PD adoption for stateful (recurrent) families needs state "
+            "payload transfer — not wired yet")
         n_payload = cdiv(len(prompt), self.page_size)
         need = cdiv(len(prompt) + max_new_tokens, self.page_size)
         pages = self.allocator.alloc(need)
@@ -279,6 +291,8 @@ class Engine:
                 self.metrics.inc("admission_blocked")
                 break
             req.pages = shared + pages
+            if self._stateful:
+                req.state_slot = self._free_state_slots.pop()
             self.waiting.pop(0)
             self.metrics.inc("requests_admitted")
             self.metrics.inc("prefix_cache_hit_tokens", req.prefix_len)
@@ -398,10 +412,12 @@ class Engine:
                 )
                 self.caches = (k, v)
             else:
+                kw = ({"state_slots": jnp.asarray([req.state_slot], jnp.int32)}
+                      if self._stateful else {})
                 logits, self.caches = self.adapter.prefill(
                     self.params, self.caches,
                     jnp.asarray(tokens), jnp.asarray(positions),
-                    jnp.asarray([s], jnp.int32), jnp.asarray(slot_loc),
+                    jnp.asarray([s], jnp.int32), jnp.asarray(slot_loc), **kw,
                 )
         else:
             prefix_max = cdiv(pre, self.page_size) * self.page_size
@@ -488,10 +504,16 @@ class Engine:
             )
             self.caches = (k, v)
         else:
+            kw = {}
+            if self._stateful:
+                ss = np.full(bp, self.max_batch, np.int32)  # scratch slot
+                for i, r in enumerate(reqs):
+                    ss[i] = r.state_slot
+                kw["state_slots"] = jnp.asarray(ss)
             logits, self.caches = self.adapter.decode(
                 self.params, self.caches,
                 jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
-                jnp.asarray(lengths), jnp.asarray(slot_loc),
+                jnp.asarray(lengths), jnp.asarray(slot_loc), **kw,
             )
         logits_np = logits[:b]
         for i, r in enumerate(reqs):
@@ -503,11 +525,15 @@ class Engine:
         adapter = self.adapter
         page = self.page_size
 
-        def fn(params, caches, tokens, positions, tables, lengths, slot_loc):
+        def fn(params, caches, tokens, positions, tables, lengths, slot_loc,
+               state_slots=None):
+            kw = {} if state_slots is None else {"state_slots": state_slots}
+
             def body(carry, _):
                 tokens, caches, positions, lengths, slot_loc = carry
                 logits, caches = adapter.decode(
-                    params, caches, tokens, positions, tables, lengths, slot_loc)
+                    params, caches, tokens, positions, tables, lengths,
+                    slot_loc, **kw)
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 positions = positions + 1
                 lengths = lengths + 1
@@ -543,10 +569,16 @@ class Engine:
             tables[i] = self._page_table(r)
         if burst not in self._burst_fns:
             self._burst_fns[burst] = self._make_burst_fn(burst)
+        bkw = {}
+        if self._stateful:
+            ss = np.full(bp, self.max_batch, np.int32)
+            for i, r in enumerate(reqs):
+                ss[i] = r.state_slot
+            bkw["state_slots"] = jnp.asarray(ss)
         toks, self.caches = self._burst_fns[burst](
             self.params, self.caches,
             jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
-            jnp.asarray(lengths), jnp.asarray(slot_loc),
+            jnp.asarray(lengths), jnp.asarray(slot_loc), **bkw,
         )
         toks = np.asarray(toks)
         for i, r in enumerate(reqs):
@@ -632,6 +664,9 @@ class Engine:
             else:
                 self.allocator.release(r.pages)
             r.pages = []
+            if self._stateful and r.state_slot >= 0:
+                self._free_state_slots.append(r.state_slot)
+                r.state_slot = -1
             self.finished[r.rid] = r
             self.metrics.inc("requests_finished")
         self.running = still

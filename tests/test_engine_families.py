@@ -87,3 +87,70 @@ class TestEngineFamilies:
         params = mixtral.init_weights(cfg, jax.random.PRNGKey(0))
         with pytest.raises(AssertionError):
             Engine(cfg, params, num_pages=32, page_size=16, prefill_chunk=16)
+
+
+class TestHybridGdnEngine:
+    def _oracle(self, cfg, params, prompt, n_new, page=16, num_pages=32):
+        from sgl_kernel_tpu.models import hybrid_gdn as hg
+
+        rope = hg.build_rope_cache(cfg)
+        kc, vc = hg.make_caches(cfg, num_pages, page)
+        conv, ssm = hg.make_states(cfg, 1)
+        s = len(prompt)
+        pad = max(16, 1 << (s - 1).bit_length())
+        tok = np.zeros((1, pad), np.int32); tok[0, :s] = prompt
+        pos = np.zeros((1, pad), np.int32); pos[0, :s] = np.arange(s)
+        slots = np.full((1, pad), -1, np.int32); slots[0, :s] = page + np.arange(s)
+        logits, kc, vc, conv, ssm = hg.prefill(
+            params, cfg, kc, vc, conv, ssm, jnp.asarray(tok), jnp.asarray(pos),
+            jnp.asarray([s], jnp.int32), jnp.asarray(slots), rope)
+        out = [int(jnp.argmax(logits[0]))]
+        table = np.arange(1, 1 + (s + n_new + page) // page, dtype=np.int32)[None]
+        for t in range(n_new - 1):
+            plen = s + t
+            logits, kc, vc, conv, ssm = hg.decode_step(
+                params, cfg, kc, vc, conv, ssm, jnp.asarray([out[-1]], jnp.int32),
+                jnp.asarray([plen], jnp.int32), jnp.asarray(table),
+                jnp.asarray([plen + 1], jnp.int32),
+                jnp.asarray([page + plen], jnp.int32), rope)
+            out.append(int(jnp.argmax(logits[0])))
+        return out
+
+    def test_engine_matches_oracle_two_requests(self, rng):
+        """Per-request recurrent state survives batch recomposition: the
+        short request retires first and its state slot is recycled without
+        touching the longer request's state."""
+        from sgl_kernel_tpu.models import hybrid_gdn as hg
+
+        cfg = hg.HybridGdnConfig.tiny()
+        params = hg.init_weights(cfg, jax.random.PRNGKey(0))
+        p1 = rng.integers(0, cfg.vocab_size, 7).astype(np.int32).tolist()
+        p2 = rng.integers(0, cfg.vocab_size, 11).astype(np.int32).tolist()
+        r1 = self._oracle(cfg, params, p1, 3)
+        r2 = self._oracle(cfg, params, p2, 8)
+        eng = Engine(cfg, params, num_pages=32, page_size=16, max_batch=4,
+                     prefill_bucket=16)
+        i1 = eng.add_request(p1, max_new_tokens=3)
+        i2 = eng.add_request(p2, max_new_tokens=8)
+        eng.run_until_done()
+        assert eng.finished[i1].output == r1
+        assert eng.finished[i2].output == r2
+        # slot recycling: a third request after retirement
+        p3 = rng.integers(0, cfg.vocab_size, 9).astype(np.int32).tolist()
+        r3 = self._oracle(cfg, params, p3, 4)
+        i3 = eng.add_request(p3, max_new_tokens=4)
+        eng.run_until_done()
+        assert eng.finished[i3].output == r3
+
+    def test_burst_stateful(self, rng):
+        from sgl_kernel_tpu.models import hybrid_gdn as hg
+
+        cfg = hg.HybridGdnConfig.tiny()
+        params = hg.init_weights(cfg, jax.random.PRNGKey(0))
+        prompt = rng.integers(0, cfg.vocab_size, 9).astype(np.int32).tolist()
+        ref = self._oracle(cfg, params, prompt, 6)
+        eng = Engine(cfg, params, num_pages=32, page_size=16, max_batch=2,
+                     prefill_bucket=16, decode_burst=3)
+        rid = eng.add_request(prompt, max_new_tokens=6)
+        eng.run_until_done()
+        assert eng.finished[rid].output == ref
