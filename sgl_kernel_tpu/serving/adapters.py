@@ -96,13 +96,13 @@ class LlamaAdapter:
 
 class MixtralAdapter(LlamaAdapter):
     """Mixtral-style routed-MoE Llama (models/mixtral.py): identical
-    program signatures over (k, v) pools, MoE MLP inside. No extend /
-    packed / spec programs yet — the engine auto-disables prefix reuse,
-    chunked prefill, and draft-spec for this family."""
+    program signatures over (k, v) pools, MoE MLP inside. Extend-prefill
+    exists (mixtral.prefill_extend) so prefix reuse + chunked prompts
+    work; no packed / spec programs yet."""
 
     name = "mixtral"
     supports_spec = False
-    supports_extend = False
+    supports_extend = True
 
     def __init__(self, cfg):
         from ..models import llama, mixtral
@@ -116,17 +116,18 @@ class MixtralAdapter(LlamaAdapter):
 
         return tuple(llama.make_caches(self.cfg, num_pages, page_size))
 
-    def prefill_extend(self, *a, **kw):
-        raise NotImplementedError(f"{self.name} has no extend-prefill program")
-
-    prefill_packed = None  # hasattr gate in the engine
+    prefill_packed = None  # getattr gate in the engine
 
 
 class GptOssAdapter(MixtralAdapter):
     """gpt-oss (models/gptoss.py): attention sinks + alternating sliding
-    window + clamped-swiglu MoE, same serving signatures as mixtral."""
+    window + clamped-swiglu MoE, same serving signatures as mixtral.
+    No extend program: sinks enter the softmax denominator once per
+    kernel launch, so the two-pass merge_state extend would count them
+    twice — needs a sink-aware merge (tracked in README)."""
 
     name = "gptoss"
+    supports_extend = False
 
     def __init__(self, cfg):
         from ..models import gptoss, llama
@@ -134,6 +135,9 @@ class GptOssAdapter(MixtralAdapter):
         self.cfg = cfg
         self._m = gptoss
         self.rope_cache = llama.build_rope_cache(cfg)
+
+    def prefill_extend(self, *a, **kw):
+        raise NotImplementedError("gptoss extend needs a sink-aware merge")
 
 
 class HybridGdnAdapter(LlamaAdapter):

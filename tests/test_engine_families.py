@@ -51,8 +51,8 @@ class TestEngineFamilies:
         params = mixtral.init_weights(cfg, jax.random.PRNGKey(0))
         prompt = rng.integers(0, cfg.vocab_size, 9).astype(np.int32).tolist()
         ref = oracle(mixtral, cfg, params, prompt, 5)
-        eng = Engine(cfg, params, num_pages=32, page_size=16, prefill_bucket=16)
-        assert eng.native is None  # extend-less family: prefix cache off
+        eng = Engine(cfg, params, num_pages=32, page_size=16, prefill_bucket=16,
+                     enable_prefix_cache=False)
         rid = eng.add_request(prompt, max_new_tokens=5)
         eng.run_until_done()
         assert eng.finished[rid].output == ref
@@ -83,10 +83,13 @@ class TestEngineFamilies:
         assert eng.finished[i2].output == r2
 
     def test_chunk_without_extend_rejected(self):
-        cfg = mixtral.MixtralConfig.tiny()
-        params = mixtral.init_weights(cfg, jax.random.PRNGKey(0))
+        # gpt-oss has no extend program (sink-aware merge pending)
+        cfg = gptoss.GptOssConfig.tiny()
+        params = gptoss.init_weights(cfg, jax.random.PRNGKey(0))
         with pytest.raises(AssertionError):
             Engine(cfg, params, num_pages=32, page_size=16, prefill_chunk=16)
+        eng = Engine(cfg, params, num_pages=32, page_size=16)
+        assert eng.native is None  # prefix cache auto-disabled
 
 
 class TestHybridGdnEngine:
@@ -154,3 +157,24 @@ class TestHybridGdnEngine:
         rid = eng.add_request(prompt, max_new_tokens=6)
         eng.run_until_done()
         assert eng.finished[rid].output == ref
+
+
+class TestMixtralExtend:
+    def test_chunked_prefill_and_prefix_reuse(self, rng):
+        cfg = mixtral.MixtralConfig.tiny()
+        params = mixtral.init_weights(cfg, jax.random.PRNGKey(0))
+        prompt = rng.integers(0, cfg.vocab_size, 40).astype(np.int32).tolist()
+        ref = oracle(mixtral, cfg, params, prompt, 4)
+        eng = Engine(cfg, params, num_pages=32, page_size=16,
+                     prefill_chunk=16, enable_prefix_cache=True,
+                     prefill_bucket=16)
+        rid = eng.add_request(prompt, max_new_tokens=4)
+        eng.run_until_done()
+        assert eng.finished[rid].output == ref
+        prompt2 = prompt[:32] + rng.integers(0, cfg.vocab_size, 4).astype(np.int32).tolist()
+        ref2 = oracle(mixtral, cfg, params, prompt2, 4)
+        rid2 = eng.add_request(prompt2, max_new_tokens=4)
+        eng.run_until_done()
+        assert eng.finished[rid2].output == ref2
+        if eng.native is not None:
+            assert eng.metrics.counters.get("prefix_cache_hit_tokens", 0) > 0
