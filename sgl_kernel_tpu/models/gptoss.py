@@ -149,3 +149,82 @@ def prefill(params, cfg: GptOssConfig, k_cache, v_cache, tokens, positions, q_le
 
 make_caches = llama.make_caches
 build_rope_cache = llama.build_rope_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "prefix_max"), donate_argnums=(2, 3))
+def prefill_extend(params, cfg: GptOssConfig, k_cache, v_cache, tokens,
+                   positions, q_lens, kv_lens, page_tables, slot_loc,
+                   rope_cache, *, prefix_max: int):
+    """Chunked/extend prefill with sinks + alternating sliding window:
+    both passes run sink-FREE, merge_state combines, and apply_sinks
+    renormalizes once (the sink enters the softmax denominator exactly
+    once, matching the single-kernel semantics — ops/attention/
+    merge_state.apply_sinks)."""
+    from ..ops.attention import apply_sinks, flash_attention, merge_state
+
+    b, s = tokens.shape
+    x = params["embed"][tokens.reshape(-1)].astype(cfg.dtype)
+    lw = params["layers"]
+    prefix_lens = kv_lens - q_lens
+    pos_idx = jnp.arange(prefix_max)
+    page_sz = k_cache.shape[-2]
+    pre_slots = (
+        page_tables[:, pos_idx // page_sz] * page_sz + (pos_idx % page_sz)[None, :]
+    )
+
+    def gather_prefix(kc, lidx):
+        pid = pre_slots // page_sz
+        off = pre_slots % page_sz
+        return kc[lidx, pid, :, off]
+
+    def make_layer(window):
+        def layer_fn(carry, lidx):
+            x, kc, vc = carry
+            h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
+            q, k, v = llama._qkv(h, lw, cfg, b * s, layer_id=lidx)
+            q, k = rotary_embedding(positions.reshape(-1), q, k, cfg.head_dim, rope_cache)
+            kc, vc = store_cache_stacked(k, v, kc, vc, slot_loc.reshape(-1), lidx)
+            qb = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
+            kb = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+            vb = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+            o1, l1 = flash_attention(
+                qb, kb, vb, q_lens, q_lens,
+                q_start=prefix_lens, kv_start=prefix_lens,
+                causal=True, sliding_window=window, return_lse=True,
+            )
+            kpre = gather_prefix(kc, lidx).astype(qb.dtype)
+            vpre = gather_prefix(vc, lidx).astype(qb.dtype)
+            o2, l2 = flash_attention(
+                qb, kpre, vpre, q_lens, prefix_lens,
+                q_start=prefix_lens, kv_start=jnp.zeros_like(prefix_lens),
+                causal=True, sliding_window=window, return_lse=True,
+            )
+            om, lm = merge_state(
+                o1.reshape(b * s, cfg.num_heads, cfg.head_dim),
+                jnp.swapaxes(l1, 1, 2).reshape(b * s, cfg.num_heads),
+                o2.reshape(b * s, cfg.num_heads, cfg.head_dim),
+                jnp.swapaxes(l2, 1, 2).reshape(b * s, cfg.num_heads),
+            )
+            om = apply_sinks(om, lm, lw["sinks"][lidx])
+            attn = om.reshape(b * s, -1).astype(cfg.dtype)
+            x = llama._linear(attn, lw["o"], cfg, residual=x, layer_id=lidx)
+            h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
+            x = x + _moe(h2, lw, lidx, cfg)
+            return (x, kc, vc), None
+        return layer_fn
+
+    local_fn = make_layer(cfg.sliding_window)
+    global_fn = make_layer(None)
+
+    def layer_fn(carry, lidx):
+        return jax.lax.cond(lidx % 2 == 0, local_fn, global_fn, carry, lidx)
+
+    (x, k_cache, v_cache), _ = jax.lax.scan(
+        layer_fn, (x, k_cache, v_cache), jnp.arange(cfg.num_layers)
+    )
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    x = x.reshape(b, s, -1)
+    last = jnp.clip(q_lens - 1, 0, s - 1)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    logits = llama._linear(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
+    return logits, k_cache, v_cache

@@ -8,5 +8,5 @@ from .flash_packed import (  # noqa: F401
     pack_padded,
     unpack_to_padded,
 )
-from .merge_state import merge_state, merge_state_v2, merge_states  # noqa: F401
+from .merge_state import apply_sinks, merge_state, merge_state_v2, merge_states  # noqa: F401
 from .paged_decode import paged_attention_decode  # noqa: F401

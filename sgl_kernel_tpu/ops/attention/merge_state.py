@@ -51,3 +51,21 @@ def merge_states(v_stack, s_stack):
     d = jnp.sum(w, axis=0)
     v = jnp.sum(v_stack.astype(jnp.float32) * w[..., None], axis=0) / d[..., None]
     return v.astype(v_stack.dtype), m + jnp.log2(d)
+
+
+_LOG2E = 1.4426950408889634
+
+
+@jax.jit
+def apply_sinks(v, s, sinks):
+    """Post-hoc attention-sink renormalization of a (merged) normalized
+    attention state (reference sink semantics: flash_attention.cpp adds
+    exp(sink) to the softmax denominator ONCE per attention).
+
+    v [T, H, D] normalized output; s [T, H] base-2 LSE; sinks [H]
+    natural-log sink logits. Returns v * sum/(sum + exp(sink)) — exactly
+    the single-kernel sink result, so chunked/split/ring paths can run
+    their partial kernels sink-FREE, merge, then apply the sink once.
+    """
+    w = 1.0 / (1.0 + jnp.exp2(sinks[None, :].astype(jnp.float32) * _LOG2E - s.astype(jnp.float32)))
+    return (v.astype(jnp.float32) * w[..., None]).astype(v.dtype)

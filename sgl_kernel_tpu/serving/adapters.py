@@ -122,12 +122,10 @@ class MixtralAdapter(LlamaAdapter):
 class GptOssAdapter(MixtralAdapter):
     """gpt-oss (models/gptoss.py): attention sinks + alternating sliding
     window + clamped-swiglu MoE, same serving signatures as mixtral.
-    No extend program: sinks enter the softmax denominator once per
-    kernel launch, so the two-pass merge_state extend would count them
-    twice — needs a sink-aware merge (tracked in README)."""
+    Extend runs both passes sink-free and renormalizes once after the
+    merge (apply_sinks), preserving the single-kernel sink semantics."""
 
     name = "gptoss"
-    supports_extend = False
 
     def __init__(self, cfg):
         from ..models import gptoss, llama
@@ -135,9 +133,6 @@ class GptOssAdapter(MixtralAdapter):
         self.cfg = cfg
         self._m = gptoss
         self.rope_cache = llama.build_rope_cache(cfg)
-
-    def prefill_extend(self, *a, **kw):
-        raise NotImplementedError("gptoss extend needs a sink-aware merge")
 
 
 class HybridGdnAdapter(LlamaAdapter):

@@ -390,3 +390,37 @@ class TestConvertVerticalSlash:
         for a, b in zip(full, trunc):
             np.testing.assert_array_equal(a[0, 1], b[0, 1])
         assert (trunc[0][0, 0] <= full[0][0, 0]).all()
+
+
+class TestApplySinks:
+    def test_merge_then_sink_equals_single_kernel_sink(self, rng):
+        """Split attention in two kv halves run sink-FREE, merge_state, then
+        apply_sinks == one flash_attention WITH sinks (the extend/split
+        contract, ops/attention/merge_state.apply_sinks)."""
+        from sgl_kernel_tpu.ops.attention import (
+            apply_sinks, flash_attention, merge_state)
+
+        b, sq, skv, hq, hkv, d = 2, 32, 64, 4, 2, 64
+        q = jnp.asarray(rng.standard_normal((b, sq, hq, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, skv, hkv, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, skv, hkv, d)), jnp.float32)
+        sinks = jnp.asarray(np.linspace(-1.0, 2.0, hq), jnp.float32)
+        lens_q = jnp.full((b,), sq, jnp.int32)
+        lens_kv = jnp.full((b,), skv, jnp.int32)
+        qs = lens_kv - lens_q
+        ref = flash_attention(q, k, v, lens_q, lens_kv, causal=True, sinks=sinks)
+        half = skv // 2
+        o1, l1 = flash_attention(
+            q, k[:, :half], v[:, :half], lens_q, jnp.full((b,), half, jnp.int32),
+            q_start=qs, kv_start=jnp.zeros((b,), jnp.int32),
+            causal=True, return_lse=True)
+        o2, l2 = flash_attention(
+            q, k[:, half:], v[:, half:], lens_q, jnp.full((b,), skv - half, jnp.int32),
+            q_start=qs, kv_start=jnp.full((b,), half, jnp.int32),
+            causal=True, return_lse=True)
+        om, lm = merge_state(
+            o1.reshape(b * sq, hq, d), jnp.swapaxes(l1, 1, 2).reshape(b * sq, hq),
+            o2.reshape(b * sq, hq, d), jnp.swapaxes(l2, 1, 2).reshape(b * sq, hq))
+        got = apply_sinks(om, lm, sinks).reshape(b, sq, hq, d)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)

@@ -83,9 +83,12 @@ class TestEngineFamilies:
         assert eng.finished[i2].output == r2
 
     def test_chunk_without_extend_rejected(self):
-        # gpt-oss has no extend program (sink-aware merge pending)
-        cfg = gptoss.GptOssConfig.tiny()
-        params = gptoss.init_weights(cfg, jax.random.PRNGKey(0))
+        # hybrid_gdn has no extend program (recurrent state is not
+        # prefix-shareable)
+        from sgl_kernel_tpu.models import hybrid_gdn as hg
+
+        cfg = hg.HybridGdnConfig.tiny()
+        params = hg.init_weights(cfg, jax.random.PRNGKey(0))
         with pytest.raises(AssertionError):
             Engine(cfg, params, num_pages=32, page_size=16, prefill_chunk=16)
         eng = Engine(cfg, params, num_pages=32, page_size=16)
@@ -178,3 +181,24 @@ class TestMixtralExtend:
         assert eng.finished[rid2].output == ref2
         if eng.native is not None:
             assert eng.metrics.counters.get("prefix_cache_hit_tokens", 0) > 0
+
+
+class TestGptOssExtend:
+    def test_chunked_prefill_sinks_window(self, rng):
+        """Chunked gpt-oss prefill (sink-free two-pass + apply_sinks +
+        alternating window) matches the single-launch oracle."""
+        cfg = gptoss.GptOssConfig.tiny()
+        params = gptoss.init_weights(cfg, jax.random.PRNGKey(0))
+        prompt = rng.integers(0, cfg.vocab_size, 40).astype(np.int32).tolist()
+        ref = oracle(gptoss, cfg, params, prompt, 4)
+        eng = Engine(cfg, params, num_pages=32, page_size=16,
+                     prefill_chunk=16, enable_prefix_cache=True,
+                     prefill_bucket=16)
+        rid = eng.add_request(prompt, max_new_tokens=4)
+        eng.run_until_done()
+        assert eng.finished[rid].output == ref
+        prompt2 = prompt[:32] + rng.integers(0, cfg.vocab_size, 4).astype(np.int32).tolist()
+        ref2 = oracle(gptoss, cfg, params, prompt2, 4)
+        rid2 = eng.add_request(prompt2, max_new_tokens=4)
+        eng.run_until_done()
+        assert eng.finished[rid2].output == ref2
