@@ -203,3 +203,41 @@ def prefill_extend(params, cfg: MixtralConfig, k_cache, v_cache, tokens,
     x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
     logits = llama._linear(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
     return logits, k_cache, v_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_kvb"), donate_argnums=(2, 3))
+def prefill_packed(params, cfg: MixtralConfig, k_cache, v_cache, tokens,
+                   positions, blk_seq, blk_q0, seq_meta, last_idx, slot_loc,
+                   rope_cache, *, max_kvb: int):
+    """Token-packed multi-prompt prefill for the MoE family
+    (models/llama.prefill_packed with the routed-MoE MLP)."""
+    from ..ops.attention import flash_attention_packed
+
+    tp = tokens.shape[0]
+    x = params["embed"][tokens].astype(cfg.dtype)
+    lw = params["layers"]
+
+    def layer_fn(carry, lidx):
+        x, kc, vc = carry
+        h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
+        q, k, v = llama._qkv(h, lw, cfg, tp, layer_id=lidx)
+        q, k = rotary_embedding(positions, q, k, cfg.head_dim, rope_cache)
+        kc, vc = store_cache_stacked(k, v, kc, vc, slot_loc, lidx)
+        attn = flash_attention_packed(
+            q.reshape(tp, cfg.num_heads, cfg.head_dim),
+            k.reshape(tp, cfg.num_kv_heads, cfg.head_dim),
+            v.reshape(tp, cfg.num_kv_heads, cfg.head_dim),
+            blk_seq, blk_q0, seq_meta, max_kvb=max_kvb, causal=True,
+        ).reshape(tp, -1)
+        x = llama._linear(attn, lw["o"], cfg, residual=x, layer_id=lidx)
+        h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
+        x = x + _moe_mlp(h2, lw, lidx, cfg)
+        return (x, kc, vc), None
+
+    (x, k_cache, v_cache), _ = jax.lax.scan(
+        layer_fn, (x, k_cache, v_cache), jnp.arange(cfg.num_layers)
+    )
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    x_last = x[last_idx]
+    logits = llama._linear(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
+    return logits, k_cache, v_cache

@@ -116,8 +116,6 @@ class MixtralAdapter(LlamaAdapter):
 
         return tuple(llama.make_caches(self.cfg, num_pages, page_size))
 
-    prefill_packed = None  # getattr gate in the engine
-
 
 class GptOssAdapter(MixtralAdapter):
     """gpt-oss (models/gptoss.py): attention sinks + alternating sliding

@@ -202,3 +202,31 @@ class TestGptOssExtend:
         rid2 = eng.add_request(prompt2, max_new_tokens=4)
         eng.run_until_done()
         assert eng.finished[rid2].output == ref2
+
+
+class TestPackedFamilies:
+    def test_gptoss_packed_batch(self, rng):
+        """Concurrent gpt-oss admissions route through the packed prefill
+        (sinks + alternating window in the packed kernel) — oracle parity."""
+        cfg = gptoss.GptOssConfig.tiny()
+        params = gptoss.init_weights(cfg, jax.random.PRNGKey(0))
+        prompts = [rng.integers(0, cfg.vocab_size, n).astype(np.int32).tolist()
+                   for n in (7, 19, 11)]
+        refs = [oracle(gptoss, cfg, params, p, 4) for p in prompts]
+        eng = Engine(cfg, params, num_pages=64, page_size=16, max_batch=4,
+                     prefill_bucket=16, enable_prefix_cache=False)
+        rids = [eng.add_request(p, max_new_tokens=4) for p in prompts]
+        eng.run_until_done()
+        assert [eng.finished[r].output for r in rids] == refs
+
+    def test_mixtral_packed_batch(self, rng):
+        cfg = mixtral.MixtralConfig.tiny()
+        params = mixtral.init_weights(cfg, jax.random.PRNGKey(0))
+        prompts = [rng.integers(0, cfg.vocab_size, n).astype(np.int32).tolist()
+                   for n in (9, 23)]
+        refs = [oracle(mixtral, cfg, params, p, 4) for p in prompts]
+        eng = Engine(cfg, params, num_pages=64, page_size=16, max_batch=4,
+                     prefill_bucket=16, enable_prefix_cache=False)
+        rids = [eng.add_request(p, max_new_tokens=4) for p in prompts]
+        eng.run_until_done()
+        assert [eng.finished[r].output for r in rids] == refs
