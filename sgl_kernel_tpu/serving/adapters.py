@@ -188,6 +188,30 @@ class HybridGdnAdapter(LlamaAdapter):
         )
         return logits, (k, v, conv.at[:, rows].set(cs), ssm.at[:, rows].set(ss))
 
+    # -- PD disaggregation: pages (attention layers) + recurrent state --
+    def extract_pages(self, caches, page_ids):
+        k, v = caches[0], caches[1]
+        ids = jnp.asarray(page_ids, jnp.int32)
+        return (k[:, ids], v[:, ids])
+
+    def inject_pages(self, caches, payload, page_ids):
+        k, v, conv, ssm = caches
+        pk, pv = payload
+        ids = jnp.asarray(page_ids, jnp.int32)
+        return (k.at[:, ids].set(jnp.asarray(pk, k.dtype)),
+                v.at[:, ids].set(jnp.asarray(pv, v.dtype)), conv, ssm)
+
+    def extract_state(self, caches, state_slot: int):
+        _, _, conv, ssm = caches
+        return (conv[:, state_slot], ssm[:, state_slot])
+
+    def inject_state(self, caches, payload, state_slot: int):
+        k, v, conv, ssm = caches
+        cs, ss = payload
+        return (k, v,
+                conv.at[:, state_slot].set(jnp.asarray(cs, conv.dtype)),
+                ssm.at[:, state_slot].set(jnp.asarray(ss, ssm.dtype)))
+
 
 class DeepseekAdapter:
     """DeepSeek-V3/V4 MLA families (models/deepseek.py): single latent pool

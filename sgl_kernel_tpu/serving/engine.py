@@ -217,6 +217,7 @@ class Engine:
         top_p: Optional[float] = None,
         min_p: Optional[float] = None,
         stop_tokens=(),
+        state_payload=None,
     ) -> Optional[int]:
         """PD disaggregation (serving/pd.py): adopt a request whose prompt
         KV was computed on a prefill instance. ``payload`` is the
@@ -225,9 +226,8 @@ class Engine:
         token (its KV slot is still unwritten, decode writes it).
         Skips the prefill path entirely. Returns rid, or None when pages
         can't be allocated."""
-        assert not self._stateful, (
-            "PD adoption for stateful (recurrent) families needs state "
-            "payload transfer — not wired yet")
+        assert not self._stateful or state_payload is not None, (
+            "stateful family: pass state_payload (adapter.extract_state)")
         n_payload = cdiv(len(prompt), self.page_size)
         need = cdiv(len(prompt) + max_new_tokens, self.page_size)
         pages = self.allocator.alloc(need)
@@ -238,6 +238,14 @@ class Engine:
             self.metrics.inc("admission_blocked")
             return None
         self.caches = self.adapter.inject_pages(self.caches, payload, pages[:n_payload])
+        state_slot = -1
+        if self._stateful:
+            if not self._free_state_slots:
+                self.allocator.release(pages)
+                self.metrics.inc("admission_blocked")
+                return None
+            state_slot = self._free_state_slots.pop()
+            self.caches = self.adapter.inject_state(self.caches, state_payload, state_slot)
         rid = self._next_rid
         self._next_rid += 1
         req = Request(
@@ -245,6 +253,7 @@ class Engine:
             top_k=top_k, top_p=top_p, min_p=min_p, stop_tokens=tuple(stop_tokens),
         )
         req.pages = pages
+        req.state_slot = state_slot
         req.output = [int(first_token)]
         if req.max_new_tokens <= 1 or int(first_token) in req.stop_tokens:
             req.done = True

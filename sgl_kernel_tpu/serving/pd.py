@@ -40,9 +40,14 @@ def extract_request_payload(engine: Engine, rid: int, *, transport: str = "devic
     n_pages = cdiv(len(req.prompt), engine.page_size)
     page_ids = req.pages[:n_pages]
     payload = engine.adapter.extract_pages(engine.caches, page_ids)
+    state_payload = None
+    if getattr(engine, "_stateful", False):
+        state_payload = engine.adapter.extract_state(engine.caches, req.state_slot)
     if transport == "host":
         payload = jax.tree.map(np.asarray, payload)
-    return payload, req.output[0]
+        if state_payload is not None:
+            state_payload = jax.tree.map(np.asarray, state_payload)
+    return payload, req.output[0], state_payload
 
 
 class PDOrchestrator:
@@ -92,10 +97,12 @@ class PDOrchestrator:
             if (len(eng.waiting) == was_waiting and not eng.prefilling
                     and not any(r.rid == p_rid for r in eng.running)):
                 return None  # admission blocked: prefill pool exhausted
-        payload, first = extract_request_payload(eng, p_rid, transport=self.transport)
+        payload, first, state_payload = extract_request_payload(
+            eng, p_rid, transport=self.transport)
         eng.step()  # retire the prefill-side request, release its pages
         return self.decode_eng.add_prefilled_request(
-            list(prompt), first, payload, max_new_tokens=max_new_tokens, **sampling
+            list(prompt), first, payload, max_new_tokens=max_new_tokens,
+            state_payload=state_payload, **sampling
         )
 
     def run_until_done(self, max_steps: int = 10_000):

@@ -80,3 +80,22 @@ class TestPD:
         prid = pd.submit(prompt, max_new_tokens=5)
         pd.run_until_done()
         assert pd.output(prid) == ref
+
+    def test_hybrid_gdn_pd(self, rng):
+        """Recurrent state (conv window + SSM) travels with the pages."""
+        from sgl_kernel_tpu.models import hybrid_gdn as hg
+
+        cfg = hg.HybridGdnConfig.tiny()
+        params = hg.init_weights(cfg, jax.random.PRNGKey(0))
+        prompt = rng.integers(0, cfg.vocab_size, 11).astype(np.int32).tolist()
+        eng = Engine(cfg, params, num_pages=32, page_size=16,
+                     prefill_bucket=16, max_batch=2)
+        rid = eng.add_request(prompt, max_new_tokens=5)
+        eng.run_until_done()
+        ref = eng.finished[rid].output
+        pd = PDOrchestrator(cfg, params, num_pages_prefill=32,
+                            num_pages_decode=32, page_size=16,
+                            transport="host", prefill_bucket=16, max_batch=2)
+        prid = pd.submit(prompt, max_new_tokens=5)
+        pd.run_until_done()
+        assert pd.output(prid) == ref
