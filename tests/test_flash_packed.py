@@ -126,3 +126,21 @@ class TestFlashPacked:
             np.testing.assert_allclose(
                 np.asarray(got[i, :n]), np.asarray(ref[i, :n]), rtol=2e-3, atol=2e-3,
             )
+
+
+class TestFlashPackedCombos:
+    @pytest.mark.parametrize("window,softcap", [(64, None), (None, 20.0), (96, 25.0)])
+    def test_window_softcap_combos(self, rng, window, softcap):
+        _run_both(rng, [300, 150], sliding_window=window, logit_soft_cap=softcap)
+
+    @pytest.mark.parametrize("lens", [[256], [256, 256, 256], [1, 1000]])
+    def test_degenerate_lengths(self, rng, lens):
+        _run_both(rng, lens)
+
+    def test_block_128(self, rng):
+        _run_both(rng, [200, 90], block=128)
+
+    def test_sinks_with_window(self, rng):
+        import jax.numpy as jnp
+        _run_both(rng, [280, 90], sliding_window=128,
+                  sinks=jnp.asarray(np.linspace(-1, 1, 4), jnp.float32))

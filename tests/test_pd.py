@@ -99,3 +99,19 @@ class TestPD:
         prid = pd.submit(prompt, max_new_tokens=5)
         pd.run_until_done()
         assert pd.output(prid) == ref
+
+    @pytest.mark.parametrize("page_size", [16, 32])
+    @pytest.mark.parametrize("plen", [7, 16, 33])
+    def test_pd_page_boundary_sweep(self, rng, page_size, plen):
+        """Prompt lengths straddling page boundaries: the extracted
+        whole-page payload count and decode continuation stay exact."""
+        cfg = llama.LlamaConfig.tiny()
+        params = llama.init_weights(cfg, jax.random.PRNGKey(0))
+        prompt = rng.integers(0, cfg.vocab_size, plen).astype(np.int32).tolist()
+        ref = _mono(cfg, params, [prompt], 4)[0]
+        pd = PDOrchestrator(cfg, params, num_pages_prefill=64,
+                            num_pages_decode=64, page_size=page_size,
+                            transport="host", prefill_bucket=16)
+        rid = pd.submit(prompt, max_new_tokens=4)
+        pd.run_until_done()
+        assert pd.output(rid) == ref
