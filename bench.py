@@ -153,4 +153,16 @@ def main():
 
 
 if __name__ == "__main__":
+    # the shared chip's relay occasionally refuses backend init for a
+    # while (observed 2026-08-18: hours-long UNAVAILABLE window) — retry
+    # rather than fail the round's one recorded measurement
+    for attempt in range(5):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt == 4:
+                raise
+            print(f"# TPU backend unavailable ({str(e)[:80]}), retry {attempt + 1}/5", file=sys.stderr)
+            time.sleep(120)
     main()
