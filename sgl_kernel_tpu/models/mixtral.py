@@ -137,10 +137,10 @@ make_caches = llama.make_caches
 build_rope_cache = llama.build_rope_cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "prefix_max"), donate_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnames=("cfg", "prefix_max", "num_logits"), donate_argnums=(2, 3))
 def prefill_extend(params, cfg: MixtralConfig, k_cache, v_cache, tokens,
                    positions, q_lens, kv_lens, page_tables, slot_loc,
-                   rope_cache, *, prefix_max: int):
+                   rope_cache, *, prefix_max: int, num_logits: int = 1):
     """Chunked/extend prefill for the MoE family: llama's two-pass
     merge_state design (models/llama.prefill_extend) with the routed-MoE
     MLP — unlocks radix prefix reuse and chunked prompts in the engine."""
@@ -199,10 +199,17 @@ def prefill_extend(params, cfg: MixtralConfig, k_cache, v_cache, tokens,
     )
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
     x = x.reshape(b, s, -1)
-    last = jnp.clip(q_lens - 1, 0, s - 1)
-    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
-    logits = llama._linear(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
-    return logits, k_cache, v_cache
+    if num_logits == 1:
+        last = jnp.clip(q_lens - 1, 0, s - 1)
+        x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+        logits = llama._linear(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
+        return logits, k_cache, v_cache
+    # last num_logits positions per sequence (speculative verify)
+    n = num_logits
+    idx = jnp.clip(q_lens[:, None] - n + jnp.arange(n)[None, :], 0, s - 1)
+    x_sel = jnp.take_along_axis(x, idx[:, :, None], axis=1)
+    logits = llama._linear(x_sel.reshape(b * n, -1), params["lm_head"], cfg).astype(jnp.float32)
+    return logits[:, : cfg.vocab_size].reshape(b, n, -1), k_cache, v_cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_kvb"), donate_argnums=(2, 3))

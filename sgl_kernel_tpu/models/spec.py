@@ -32,7 +32,7 @@ def _slots(page_tables, positions, page_size):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg_t", "cfg_d", "gamma", "prefix_max"),
+    static_argnames=("cfg_t", "cfg_d", "gamma", "prefix_max", "target"),
     donate_argnums=(2, 3, 4, 5),
 )
 def spec_decode_round(
@@ -48,6 +48,7 @@ def spec_decode_round(
     *,
     cfg_t: llama.LlamaConfig,
     cfg_d: llama.LlamaConfig,
+    target=None,  # target model module (llama-compatible signatures); default llama
     gamma: int,
     prefix_max: int,
 ):
@@ -83,7 +84,8 @@ def spec_decode_round(
     q_tokens = jnp.concatenate([last_tok[:, None], drafts], axis=1)  # [B, g+1]
     positions = lengths[:, None] - 1 + jnp.arange(gamma + 1)[None, :]
     slot_loc = jnp.where(valid[:, None], _slots(page_tables, positions, page), -1)
-    logits_all, kct, vct = llama.prefill_extend(
+    tmod = target if target is not None else llama
+    logits_all, kct, vct = tmod.prefill_extend(
         params_t, cfg_t, kct, vct, q_tokens, positions,
         q_lens=jnp.full((b,), gamma + 1, jnp.int32),
         kv_lens=lengths + gamma,

@@ -101,7 +101,7 @@ class MixtralAdapter(LlamaAdapter):
     work; no packed / spec programs yet."""
 
     name = "mixtral"
-    supports_spec = False
+    supports_spec = True  # MoE target + llama-family draft (models/spec.py)
     supports_extend = True
 
     def __init__(self, cfg):

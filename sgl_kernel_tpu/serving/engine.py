@@ -623,7 +623,7 @@ class Engine:
             jnp.asarray(tokens), jnp.asarray(lengths), jnp.asarray(tables),
             self.rope_cache, self.draft_rope, jnp.asarray(valid),
             cfg_t=self.cfg, cfg_d=self.draft_cfg, gamma=self.spec_gamma,
-            prefix_max=prefix_max,
+            prefix_max=prefix_max, target=self.adapter._m,
         )
         self.caches = (k, v)
         new = np.asarray(new)

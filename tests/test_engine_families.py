@@ -230,3 +230,26 @@ class TestPackedFamilies:
         rids = [eng.add_request(p, max_new_tokens=4) for p in prompts]
         eng.run_until_done()
         assert [eng.finished[r].output for r in rids] == refs
+
+
+class TestMixtralSpec:
+    def test_spec_lossless_vs_plain_greedy(self, rng):
+        """Mixtral target + tiny llama draft: chain speculative decoding
+        must emit exactly plain greedy's tokens (losslessness)."""
+        from sgl_kernel_tpu.models import llama
+
+        cfg = mixtral.MixtralConfig.tiny()
+        params = mixtral.init_weights(cfg, jax.random.PRNGKey(0))
+        dcfg = llama.LlamaConfig.tiny()
+        prompt = rng.integers(0, cfg.vocab_size, 9).astype(np.int32).tolist()
+        plain = Engine(cfg, params, num_pages=64, page_size=16,
+                       prefill_bucket=16, enable_prefix_cache=False)
+        r0 = plain.add_request(prompt, max_new_tokens=8)
+        plain.run_until_done()
+        ref = plain.finished[r0].output
+        spec = Engine(cfg, params, num_pages=64, page_size=16,
+                      prefill_bucket=16, enable_prefix_cache=False,
+                      draft_cfg=dcfg, spec_gamma=3)
+        r1 = spec.add_request(prompt, max_new_tokens=8)
+        spec.run_until_done()
+        assert spec.finished[r1].output == ref
