@@ -49,6 +49,10 @@ class MixtralConfig(llama.LlamaConfig):
 
 
 def init_weights(cfg: MixtralConfig, key) -> Dict[str, Any]:
+    """quant="w4a16" packs the attention linears (llama helpers), the
+    lm_head AND the per-expert MoE matrices into the K-paired int4 layout
+    (ops/moe grouped kernel; reference: the W4A16 fused-MoE CI benches,
+    bench_fused_experts_w4a16.py)."""
     params = llama.init_weights(
         dataclasses.replace(cfg, quant=None), key
     )
@@ -59,15 +63,46 @@ def init_weights(cfg: MixtralConfig, key) -> Dict[str, Any]:
     ks = jax.random.split(jax.random.fold_in(key, 99), 3)
     scale = 1.0 / (h ** 0.5)
     lw["router"] = (jax.random.normal(ks[0], (l, e, h), jnp.float32) * scale).astype(cfg.dtype)
-    lw["moe_w1"] = (jax.random.normal(ks[1], (l, e, h, 2 * i), jnp.float32) * scale).astype(cfg.dtype)
-    lw["moe_w2"] = (jax.random.normal(ks[2], (l, e, i, h), jnp.float32) * (1.0 / i ** 0.5)).astype(cfg.dtype)
+    moe_w1 = (jax.random.normal(ks[1], (l, e, h, 2 * i), jnp.float32) * scale).astype(cfg.dtype)
+    moe_w2 = (jax.random.normal(ks[2], (l, e, i, h), jnp.float32) * (1.0 / i ** 0.5)).astype(cfg.dtype)
+    if cfg.quant == "w4a16":
+        from ..ops.gemm.w4a16 import quantize_w4
+
+        # grouped-kernel weight layout wants [N, K] logical input per
+        # expert: moe_w1 is [H, 2I] per expert -> quantize its transpose
+        def qexp(w_le):  # [L, E, K, N] -> packed [L, E, K//2, N], scales
+            q = jax.vmap(jax.vmap(lambda m: quantize_w4(m.T, group_size=cfg.group_size)[:2]))
+            return q(w_le)
+        w1p, w1s = qexp(moe_w1)
+        w2p, w2s = qexp(moe_w2)
+        lw["moe_w1"] = {"packed": w1p, "scales": w1s}
+        lw["moe_w2"] = {"packed": w2p, "scales": w2s}
+
+        def qz(wm):  # attention linears, llama layout
+            pk, sc = jax.vmap(lambda m: quantize_w4(m, group_size=cfg.group_size)[:2])(wm)
+            return {"packed": pk, "scales": sc}
+
+        for name in ("q", "k", "v", "o"):
+            lw[name] = qz(lw[name])
+        params["lm_head"] = llama._quantize_matrix(params["lm_head"], cfg)
+    else:
+        lw["moe_w1"] = moe_w1
+        lw["moe_w2"] = moe_w2
     return params
 
 
 def _moe_mlp(h2, lw, lidx, cfg: MixtralConfig):
     logits = jnp.dot(h2.astype(jnp.float32), lw["router"][lidx].astype(jnp.float32).T)
     tw, tids = topk_softmax(logits, cfg.top_k, renormalize=True)
-    w = MoeWeights(w1=lw["moe_w1"][lidx], w2=lw["moe_w2"][lidx], fmt="bf16")
+    w1, w2 = lw["moe_w1"], lw["moe_w2"]
+    if isinstance(w1, dict):
+        w = MoeWeights(
+            w1=w1["packed"][lidx], w2=w2["packed"][lidx],
+            w1_scales=w1["scales"][lidx], w2_scales=w2["scales"][lidx],
+            fmt="int4", group_size=cfg.group_size,
+        )
+    else:
+        w = MoeWeights(w1=w1[lidx], w2=w2[lidx], fmt="bf16")
     return fused_experts(h2, w, tw, tids).astype(cfg.dtype)
 
 

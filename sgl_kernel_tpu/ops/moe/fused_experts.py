@@ -28,9 +28,9 @@ from .grouped_gemm import ragged_grouped_mm, w4a16_grouped_mm
 class MoeWeights(NamedTuple):
     """Expert weights for one MoE layer.
 
-    w1: [E, H, 2I] (gate|up concatenated on the output dim) bf16, or int4
-        codes [E, 2I, H] for the quantized path.
-    w2: [E, I, H] bf16, or int4 codes [E, H, I].
+    w1: [E, H, 2I] (gate|up concatenated on the output dim) bf16, or the
+        K-paired packed int4 layout [E, H//2, 2I] (pack_w4_tpu per expert).
+    w2: [E, I, H] bf16, or packed int4 [E, I//2, H].
     Optional per-group quant metadata mirrors ops/gemm/w4a16.py.
     """
 
