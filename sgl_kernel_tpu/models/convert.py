@@ -124,3 +124,168 @@ def load_safetensors(paths) -> Dict[str, np.ndarray]:
                     arr = np.frombuffer(buf, dtype_map[meta["dtype"]])
                 out[name] = arr.reshape(meta["shape"]).copy()
     return out
+
+
+def convert_hf_mixtral(state: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """Convert an HF Mixtral state dict (block_sparse_moe layout) into the
+    framework's layer-stacked params (models/mixtral.py), with optional
+    cfg.quant == "w4a16" packing of attention + per-expert MoE matrices."""
+    from .mixtral import MixtralConfig  # noqa: F401 (type of cfg)
+
+    l, e = cfg.num_layers, cfg.num_experts
+
+    def get(name):
+        return np.asarray(state[name])
+
+    def stack(suffix):
+        return np.stack([get(f"model.layers.{i}.{suffix}") for i in range(l)])
+
+    layers: Dict[str, Any] = {
+        "input_norm": jnp.asarray(stack("input_layernorm.weight"), cfg.dtype),
+        "post_norm": jnp.asarray(stack("post_attention_layernorm.weight"), cfg.dtype),
+        "router": jnp.asarray(stack("block_sparse_moe.gate.weight"), cfg.dtype),
+    }
+    attn = {n: stack(f"self_attn.{n}_proj.weight") for n in ("q", "k", "v", "o")}
+    # experts: HF w1 = gate [I, H], w3 = up [I, H], w2 = down [H, I];
+    # framework moe_w1 [E, H, 2I] (x @ w1), moe_w2 [E, I, H]
+    def experts(wname):
+        return np.stack([
+            np.stack([get(f"model.layers.{i}.block_sparse_moe.experts.{j}.{wname}.weight") for j in range(e)])
+            for i in range(l)
+        ])  # [L, E, out, in]
+
+    w1 = experts("w1")  # [L, E, I, H]
+    w3 = experts("w3")  # [L, E, I, H]
+    w2 = experts("w2")  # [L, E, H, I]
+    moe_w1 = np.concatenate([w1, w3], axis=2).transpose(0, 1, 3, 2)  # [L, E, H, 2I]
+    moe_w2 = w2.transpose(0, 1, 3, 2)  # [L, E, I, H]
+
+    if cfg.quant == "w4a16":
+        def qz(wm):
+            pk, sc = jax.vmap(lambda m: quantize_w4(m, group_size=cfg.group_size)[:2])(
+                jnp.asarray(wm, jnp.float32))
+            return {"packed": pk, "scales": sc}
+
+        for n, wm in attn.items():
+            layers[n] = qz(wm)
+
+        def qexp(w_le):  # [L, E, K, N] logical x@W: quantize W.T per expert
+            q = jax.vmap(jax.vmap(lambda m: quantize_w4(m.T, group_size=cfg.group_size)[:2]))
+            pk, sc = q(jnp.asarray(w_le, jnp.float32))
+            return {"packed": pk, "scales": sc}
+
+        layers["moe_w1"] = qexp(moe_w1)
+        layers["moe_w2"] = qexp(moe_w2)
+    else:
+        for n, wm in attn.items():
+            layers[n] = jnp.asarray(wm, cfg.dtype)
+        layers["moe_w1"] = jnp.asarray(moe_w1, cfg.dtype)
+        layers["moe_w2"] = jnp.asarray(moe_w2, cfg.dtype)
+
+    lm = np.asarray(state.get("lm_head.weight", state["model.embed_tokens.weight"]))
+    if cfg.quant == "w4a16":
+        from .llama import _quantize_matrix
+
+        lm_head = _quantize_matrix(jnp.asarray(lm, jnp.float32), cfg)
+    else:
+        lm_head = jnp.asarray(lm, cfg.dtype)
+    return {
+        "embed": jnp.asarray(get("model.embed_tokens.weight"), cfg.dtype),
+        "final_norm": jnp.asarray(get("model.norm.weight"), cfg.dtype),
+        "lm_head": lm_head,
+        "layers": layers,
+    }
+
+
+def convert_hf_deepseek(state: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """Convert an HF DeepSeek-V2/V3-style MLA state dict into the
+    framework's ABSORBED params (models/deepseek.py): kv_b_proj is split
+    per head into W_UK (q_nope -> latent) and W_UV (latent -> value).
+
+    Supports the direct q_proj layout (DeepSeek-V2-Lite). Checkpoints
+    with q_a_proj/q_b_proj (q LoRA + q_a_layernorm, V3) can't be folded
+    offline through the intervening RMSNorm — raise with guidance.
+    """
+    from ..ops.attention.mla import D_LATENT, D_ROPE
+
+    if "model.layers.0.self_attn.q_a_proj.weight" in state:
+        raise NotImplementedError(
+            "q-LoRA DeepSeek checkpoints (q_a_proj/q_b_proj + q_a_layernorm) "
+            "need the low-rank q path in the model; export a merged q_proj "
+            "or use the direct-q layout (DeepSeek-V2-Lite style)")
+
+    l, e = cfg.num_layers, cfg.num_experts
+    nh, dn, dv = cfg.num_heads, cfg.qk_nope_dim, cfg.v_head_dim
+
+    def get(name):
+        return np.asarray(state[name])
+
+    def stack(suffix):
+        return np.stack([get(f"model.layers.{i}.{suffix}") for i in range(l)])
+
+    # kv_b_proj [nh*(dn+dv), D_LATENT] -> per-head W_UK [nh, dn, 512] and
+    # W_UV [nh, 512, dv]
+    kv_b = stack("self_attn.kv_b_proj.weight").reshape(l, nh, dn + dv, D_LATENT)
+    w_uk = kv_b[:, :, :dn, :]                      # [L, nh, dn, 512]
+    w_uv = kv_b[:, :, dn:, :].transpose(0, 1, 3, 2)  # [L, nh, 512, dv]
+
+    layers: Dict[str, Any] = {
+        "input_norm": jnp.asarray(stack("input_layernorm.weight"), cfg.dtype),
+        "post_norm": jnp.asarray(stack("post_attention_layernorm.weight"), cfg.dtype),
+        "kv_norm": jnp.asarray(stack("self_attn.kv_a_layernorm.weight"), cfg.dtype),
+        "wq": jnp.asarray(stack("self_attn.q_proj.weight"), cfg.dtype),
+        "wkv_a": jnp.asarray(stack("self_attn.kv_a_proj_with_mqa.weight"), cfg.dtype),
+        "w_uk": jnp.asarray(w_uk, cfg.dtype),
+        "w_uv": jnp.asarray(w_uv, cfg.dtype),
+        "wo": jnp.asarray(stack("self_attn.o_proj.weight"), cfg.dtype),
+        "router": jnp.asarray(
+            np.stack([get(f"model.layers.{i}.mlp.gate.weight")
+                      if f"model.layers.{i}.mlp.gate.weight" in state
+                      else np.zeros((e, cfg.hidden_size), np.float32)
+                      for i in range(l)]), cfg.dtype),
+    }
+    layers["router_bias"] = jnp.asarray(
+        np.stack([get(f"model.layers.{i}.mlp.gate.e_score_correction_bias")
+                  if f"model.layers.{i}.mlp.gate.e_score_correction_bias" in state
+                  else np.zeros((e,), np.float32) for i in range(l)]), jnp.float32)
+
+    # dense layers (< num_dense_layers) use mlp.{gate,up,down}_proj; MoE
+    # layers use mlp.experts.J + mlp.shared_experts. Missing tensors (a
+    # dense layer has no experts and vice versa) are zero-filled — the
+    # model's lax.cond only reads the matching branch per layer.
+    def maybe(name, shape):
+        return get(name) if name in state else np.zeros(shape, np.float32)
+
+    h, di, mi = cfg.hidden_size, cfg.dense_intermediate, cfg.moe_intermediate
+    layers["gate"] = jnp.asarray(np.stack(
+        [maybe(f"model.layers.{i}.mlp.gate_proj.weight", (di, h)) for i in range(l)]), cfg.dtype)
+    layers["up"] = jnp.asarray(np.stack(
+        [maybe(f"model.layers.{i}.mlp.up_proj.weight", (di, h)) for i in range(l)]), cfg.dtype)
+    layers["down"] = jnp.asarray(np.stack(
+        [maybe(f"model.layers.{i}.mlp.down_proj.weight", (h, di)) for i in range(l)]), cfg.dtype)
+
+    def expert_cat(i):
+        if f"model.layers.{i}.mlp.experts.0.gate_proj.weight" not in state:
+            return (np.zeros((e, h, 2 * mi), np.float32), np.zeros((e, mi, h), np.float32))
+        g = np.stack([get(f"model.layers.{i}.mlp.experts.{j}.gate_proj.weight") for j in range(e)])
+        u = np.stack([get(f"model.layers.{i}.mlp.experts.{j}.up_proj.weight") for j in range(e)])
+        d = np.stack([get(f"model.layers.{i}.mlp.experts.{j}.down_proj.weight") for j in range(e)])
+        return (np.concatenate([g, u], axis=1).transpose(0, 2, 1), d.transpose(0, 2, 1))
+
+    pairs = [expert_cat(i) for i in range(l)]
+    layers["moe_w1"] = jnp.asarray(np.stack([p[0] for p in pairs]), cfg.dtype)
+    layers["moe_w2"] = jnp.asarray(np.stack([p[1] for p in pairs]), cfg.dtype)
+    for nm, suf, shape in (("shared_gate", "gate_proj", (mi, h)),
+                           ("shared_up", "up_proj", (mi, h)),
+                           ("shared_down", "down_proj", (h, mi))):
+        layers[nm] = jnp.asarray(np.stack(
+            [maybe(f"model.layers.{i}.mlp.shared_experts.{suf}.weight", shape)
+             for i in range(l)]), cfg.dtype)
+
+    lm = np.asarray(state.get("lm_head.weight", state["model.embed_tokens.weight"]))
+    return {
+        "embed": jnp.asarray(get("model.embed_tokens.weight"), cfg.dtype),
+        "final_norm": jnp.asarray(get("model.norm.weight"), cfg.dtype),
+        "lm_head": jnp.asarray(lm, cfg.dtype),
+        "layers": layers,
+    }
