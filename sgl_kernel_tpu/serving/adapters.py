@@ -230,7 +230,6 @@ class DeepseekAdapter:
         self.use_nsa = use_nsa
         self.rope_cache = deepseek.build_rope_cache(cfg)
         self.idx_rope_cache = deepseek.build_idx_rope_cache(cfg) if use_nsa else None
-        self._pool_tokens = None  # num_pages * page_size (set by make_caches)
 
     def init_weights(self, key):
         return self._m.init_weights(self.cfg, key)
@@ -240,7 +239,6 @@ class DeepseekAdapter:
         if not self.use_nsa:
             return (kv,)
         idx_k, idx_s = self._m.make_indexer_cache(self.cfg, num_pages, page_size)
-        self._pool_tokens = num_pages * page_size
         return (kv, idx_k, idx_s)
 
     def prefill(self, params, caches, tokens, positions, q_lens, slot_loc):

@@ -158,8 +158,7 @@ class Engine:
         self.draft_cfg = draft_cfg
         self.spec_gamma = spec_gamma
         if draft_cfg is not None:
-            assert self.adapter.supports_spec, "chain spec decode is llama-family only (models/spec.py)"
-            assert draft_cfg.head_dim == cfg.head_dim or True
+            assert self.adapter.supports_spec, f"{self.adapter.name} has no spec-decode program (models/spec.py)"
             self.draft_params = draft_params if draft_params is not None else llama.init_weights(
                 draft_cfg, jax.random.PRNGKey(seed + 1)
             )
@@ -228,6 +227,15 @@ class Engine:
         can't be allocated."""
         assert not self._stateful or state_payload is not None, (
             "stateful family: pass state_payload (adapter.extract_state)")
+        assert self.draft_cfg is None, (
+            "PD adoption into a draft-spec decode engine is not supported: "
+            "the draft KV cache was never prefilled with the prompt and the "
+            "page reservation lacks spec_gamma slack")
+        if len(self.running) + len(self.prefilling) >= self.max_batch:
+            # the decode batch is padded to max_batch; over-admitting would
+            # overflow it. Callers retry after a step() retires something.
+            self.metrics.inc("admission_blocked")
+            return None
         n_payload = cdiv(len(prompt), self.page_size)
         need = cdiv(len(prompt) + max_new_tokens, self.page_size)
         pages = self.allocator.alloc(need)
@@ -268,6 +276,18 @@ class Engine:
         pt = np.zeros(self.max_pages_per_seq, np.int32)
         pt[: len(req.pages)] = req.pages
         return pt
+
+    def _batch_tables(self, reqs, bp: int) -> np.ndarray:
+        """Batched page-table assembly; the C++ binding when available
+        (native.assemble_tables — one call instead of per-request numpy
+        copies on the decode hot path)."""
+        if self.native is not None:
+            lists = [r.pages for r in reqs] + [[]] * (bp - len(reqs))
+            return self.native.assemble_tables(lists, self.max_pages_per_seq)
+        t = np.zeros((bp, self.max_pages_per_seq), np.int32)
+        for i, r in enumerate(reqs):
+            t[i, : len(r.pages)] = r.pages
+        return t
 
     # ------------------------------------------------------------------
     def _admit(self):
@@ -482,7 +502,8 @@ class Engine:
         reqs = [r for r in self.running if not r.done]
         if not reqs:
             return
-        if self.draft_cfg is not None and all(r.temperature == 0.0 for r in reqs):
+        if (self.draft_cfg is not None
+                and all(r.temperature == 0.0 and r.grammar is None for r in reqs)):
             return self._spec_decode_batch(reqs)
         if (self.decode_burst > 1 and self._pstep is None
                 and all(r.temperature == 0.0 and r.grammar is None for r in reqs)):
@@ -496,14 +517,13 @@ class Engine:
         positions = np.zeros(bp, np.int32)
         lengths = np.zeros(bp, np.int32)
         slot_loc = np.full(bp, -1, np.int32)
-        tables = np.zeros((bp, self.max_pages_per_seq), np.int32)
+        tables = self._batch_tables(reqs, bp)
         for i, r in enumerate(reqs):
             pos = r.seq_len - 1  # position of the token being fed
             tokens[i] = r.output[-1] if r.output else r.prompt[-1]
             positions[i] = pos
             lengths[i] = r.seq_len
             slot_loc[i] = self._slot(r, pos)
-            tables[i] = self._page_table(r)
         if self._pstep is not None:
             k, v = self.caches
             logits, k, v = self._pstep(
@@ -568,14 +588,13 @@ class Engine:
         positions = np.zeros(bp, np.int32)
         lengths = np.ones(bp, np.int32)
         slot_loc = np.full(bp, -1, np.int32)
-        tables = np.zeros((bp, self.max_pages_per_seq), np.int32)
+        tables = self._batch_tables(reqs, bp)
         for i, r in enumerate(reqs):
             pos = r.seq_len - 1
             tokens[i] = r.output[-1] if r.output else r.prompt[-1]
             positions[i] = pos
             lengths[i] = r.seq_len
             slot_loc[i] = self._slot(r, pos)
-            tables[i] = self._page_table(r)
         if burst not in self._burst_fns:
             self._burst_fns[burst] = self._make_burst_fn(burst)
         bkw = {}
@@ -609,12 +628,11 @@ class Engine:
         tokens = np.zeros(bp, np.int32)
         lengths = np.ones(bp, np.int32)
         valid = np.zeros(bp, bool)
-        tables = np.zeros((bp, self.max_pages_per_seq), np.int32)
+        tables = self._batch_tables(reqs, bp)
         for i, r in enumerate(reqs):
             tokens[i] = r.output[-1] if r.output else r.prompt[-1]
             lengths[i] = r.seq_len
             valid[i] = True
-            tables[i] = self._page_table(r)
         prefix_max = max(self.page_size, cdiv(int(lengths.max()) + self.spec_gamma, self.page_size) * self.page_size)
         k, v = self.caches
         new, n_new, k, v, self.dk_cache, self.dv_cache = spec.spec_decode_round(

@@ -31,9 +31,15 @@ def _load():
         # serving_native.cpp take effect (the .so is not version-controlled).
         try:
             subprocess.run(["make", "-C", _CSRC, "-B"], check=True, capture_output=True, timeout=120)
-        except Exception:
+        except Exception as e:
             if not os.path.exists(_LIB_PATH):
                 return None
+            # NEVER silently load a stale binary over edited source — the
+            # behavior/code divergence is worse than losing the native path
+            raise RuntimeError(
+                f"csrc/serving_native.cpp is newer than the built library and "
+                f"rebuilding failed ({e}); fix the build or delete the stale .so"
+            ) from e
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:

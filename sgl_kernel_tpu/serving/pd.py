@@ -64,12 +64,12 @@ class PDOrchestrator:
                  num_pages_decode: int = 128, page_size: int = 64,
                  transport: str = "host", adapter=None, decode_adapter=None,
                  **engine_kw):
-        import jax as _jax
-
         if params is None:
             from .adapters import adapter_for
 
-            params = (adapter or adapter_for(cfg)).init_weights(_jax.random.PRNGKey(engine_kw.get("seed", 0)))
+            if adapter is None:
+                adapter = adapter_for(cfg)  # reused by the prefill engine
+            params = adapter.init_weights(jax.random.PRNGKey(engine_kw.get("seed", 0)))
         self.transport = transport
         self.prefill_eng = Engine(
             cfg, params, num_pages=num_pages_prefill, page_size=page_size,
@@ -96,7 +96,11 @@ class PDOrchestrator:
             eng._advance_prefilling()
             if (len(eng.waiting) == was_waiting and not eng.prefilling
                     and not any(r.rid == p_rid for r in eng.running)):
-                return None  # admission blocked: prefill pool exhausted
+                # admission blocked: DROP the request — leaving it queued
+                # would head-of-line-block every later submit and prefill
+                # at full cost with nobody extracting the payload
+                eng.waiting = [r for r in eng.waiting if r.rid != p_rid]
+                return None
         payload, first, state_payload = extract_request_payload(
             eng, p_rid, transport=self.transport)
         eng.step()  # retire the prefill-side request, release its pages

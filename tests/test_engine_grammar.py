@@ -88,3 +88,22 @@ class TestEngineGrammar:
         eng.run_until_done()
         assert eng.finished[r1].output == free_ref
         assert eng.finished[r2].output == [4] * 6
+
+
+class TestGrammarWithSpec:
+    def test_spec_engine_respects_grammar(self, setup, rng):
+        """A grammar request must NOT be routed through the spec fast path
+        (which bypasses masking): tokens stay constrained and other
+        requests still spec-decode losslessly."""
+        cfg, params = setup
+        from sgl_kernel_tpu.models import llama
+
+        allowed = {3, 99}
+        mask = make_mask(cfg.vocab_size, allowed)
+        eng = Engine(cfg, params, num_pages=64, page_size=16,
+                     prefill_bucket=16, enable_prefix_cache=False,
+                     draft_cfg=llama.LlamaConfig.tiny(), spec_gamma=3)
+        prompt = rng.integers(0, cfg.vocab_size, 9).astype(np.int32).tolist()
+        rid = eng.add_request(prompt, max_new_tokens=6, grammar=mask)
+        eng.run_until_done()
+        assert all(t in allowed for t in eng.finished[rid].output)

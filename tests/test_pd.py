@@ -115,3 +115,25 @@ class TestPD:
         rid = pd.submit(prompt, max_new_tokens=4)
         pd.run_until_done()
         assert pd.output(rid) == ref
+
+    def test_adoption_respects_max_batch(self, rng):
+        """add_prefilled_request must refuse adoption past max_batch (the
+        decode batch is padded to max_batch; over-admission would overflow
+        it) and accept again after a retirement."""
+        cfg = llama.LlamaConfig.tiny()
+        params = llama.init_weights(cfg, jax.random.PRNGKey(0))
+        pd = PDOrchestrator(cfg, params, num_pages_prefill=128,
+                            num_pages_decode=128, page_size=16,
+                            transport="host", prefill_bucket=16, max_batch=2)
+        prompts = [rng.integers(0, cfg.vocab_size, 8).astype(np.int32).tolist()
+                   for _ in range(3)]
+        r0 = pd.submit(prompts[0], max_new_tokens=3)
+        r1 = pd.submit(prompts[1], max_new_tokens=3)
+        assert r0 is not None and r1 is not None
+        r2 = pd.submit(prompts[2], max_new_tokens=3)
+        assert r2 is None  # decode engine full
+        pd.run_until_done()
+        r2 = pd.submit(prompts[2], max_new_tokens=3)
+        assert r2 is not None
+        pd.run_until_done()
+        assert len(pd.output(r2)) == 3
