@@ -64,6 +64,7 @@ def build_packed_metadata(q_lens, kv_lens=None, *, block: int = 256):
         blk_q0=blk_q0,
         seq_tok0=qblk0 * block,
         seq_kvblk0=kvblk0,
+        nkvb=nkvb,
         total_q=int(nqb.sum()) * block,
         total_kv=int(nkvb.sum()) * block,
         max_kvb=int(nkvb.max()),
@@ -250,6 +251,9 @@ def flash_attention_packed(
     bq = bkv = block
     assert tp % bq == 0 and k.shape[0] % bkv == 0
     nqb = tp // bq
+    assert blk_seq.shape[0] == nqb, (
+        f"metadata built for a different block size: {blk_seq.shape[0]} q-block "
+        f"rows vs {nqb} packed q blocks (tp={tp}, block={block})")
 
     qt = jnp.swapaxes(q, 0, 1)  # [Hq, TPq, D]
     kt = jnp.swapaxes(k, 0, 1)
@@ -258,17 +262,24 @@ def flash_attention_packed(
     grid = (nqb, hq, max_kvb)
 
     def kv_index(nb, h, ikv, blk, seq, _g=group):
-        # clamp beyond-end and causally-irrelevant steps to the previous
-        # block: consecutive identical indices -> Mosaic skips the refetch
+        # clamp beyond-end / causally-irrelevant / pre-window steps to a
+        # neighbouring relevant block: consecutive identical indices ->
+        # Mosaic skips the refetch, so skipped tiles cost no DMA either
         s = blk[nb, 0]
         kvblks = seq[s, 5]
         jmax = kvblks - 1
+        jmin = 0
         if causal:
             # last kv block with any kv_pos <= last q_pos of this block
             q_hi = seq[s, 2] + jnp.minimum(blk[nb, 1] + bq, seq[s, 0]) - 1
             cmax = (q_hi - seq[s, 3]) // bkv
             jmax = jnp.minimum(jmax, jnp.maximum(cmax, 0))
-        j = seq[s, 4] + jnp.minimum(ikv, jmax)
+        if sliding_window is not None:
+            # first kv block with any kv_pos > first q_pos - window
+            q_lo = seq[s, 2] + blk[nb, 1]
+            wmin = (q_lo - sliding_window + 1 - seq[s, 3]) // bkv
+            jmin = jnp.clip(wmin, 0, jmax)
+        j = seq[s, 4] + jnp.clip(ikv, jmin, jmax)
         return (h // _g, j, 0)
 
     in_specs = [
@@ -343,8 +354,7 @@ def make_seq_meta(q_lens, kv_lens=None, q_start=None, kv_start=None, *, block: i
     kv_lens = q_lens if kv_lens is None else np.asarray(kv_lens, np.int32)
     q_start = (kv_lens - q_lens) if q_start is None else np.asarray(q_start, np.int32)
     kv_start = np.zeros_like(q_lens) if kv_start is None else np.asarray(kv_start, np.int32)
-    kvblks = np.maximum(cdiv(kv_lens, block), 1)
     return (
-        np.stack([q_lens, kv_lens, q_start, kv_start, meta["seq_kvblk0"], kvblks], axis=1),
+        np.stack([q_lens, kv_lens, q_start, kv_start, meta["seq_kvblk0"], meta["nkvb"]], axis=1),
         meta,
     )

@@ -226,6 +226,10 @@ def w4a16_gemm(
         assert w.shape == (k // 2, n) and w.dtype == jnp.uint8, (w.shape, w.dtype)
         assert scales.shape == (k // group_size, n), (scales.shape, (k // group_size, n))
 
+    assert (a2 is not None) == (prologue == "silu_mul"), (
+        "prologue='silu_mul' requires a2 (and vice versa)")
+    if zeros is not None:
+        assert zeros.shape == scales.shape, (zeros.shape, scales.shape)
     tbm, tbn, tbk = pick_tiles(m, n, k, group_size)
     bm = bm or tbm
     bn = tbn if bn == 2048 else bn  # explicit bn kwarg overrides the table

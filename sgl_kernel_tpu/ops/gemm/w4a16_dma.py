@@ -90,11 +90,13 @@ def _kernel(
                 a_g, wf[gg * g0 : (gg + 1) * g0, :], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            srow = jax.lax.dynamic_slice_in_dim(s_ref[...], kk * ngb + gg, 1, axis=0)
+            # direct row reads — s_ref[...] would load the whole [ng, bn]
+            # block per group iteration in the bandwidth-bound hot loop
+            srow = s_ref[pl.ds(kk * ngb + gg, 1), :]
             acc = acc + part * srow.astype(jnp.float32)
             if z_ref is not None:
                 asum = jnp.sum(a_g.astype(jnp.float32), axis=1, keepdims=True)
-                zrow = jax.lax.dynamic_slice_in_dim(z_ref[...], kk * ngb + gg, 1, axis=0)
+                zrow = z_ref[pl.ds(kk * ngb + gg, 1), :]
                 acc = acc - asum * zrow.astype(jnp.float32)
         acc_scr[...] = acc
         return 0
@@ -169,6 +171,12 @@ def w4a16_gemm_dma(
     l = w.shape[0]
     assert w.shape == (l, k // 2, n) and w.dtype == jnp.uint8, (w.shape, w.dtype)
     assert scales.shape == (l, k // group_size, n), scales.shape
+    assert (a2 is not None) == (prologue == "silu_mul"), (
+        "prologue='silu_mul' requires a2 (and vice versa)")
+    if zeros is not None:
+        assert zeros.shape == scales.shape, (zeros.shape, scales.shape)
+    if residual is not None:
+        assert residual.shape == (m, n), (residual.shape, (m, n))
     out_dtype = out_dtype or a.dtype
 
     bn = min(bn, n)
