@@ -36,6 +36,49 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LOG2E = 1.4426950408889634
 
 
+def flash_tile_update(q, k, v, mask, m_scr, l_scr, acc_scr, *, sm_scale, soft_cap):
+    """One online-softmax KV-tile update (shared by the padded and packed
+    kernels — flash_packed.py imports this so the softmax/accumulator math
+    cannot diverge between them).
+
+    q [bq, D]; k/v [bkv, D]; mask [bq, bkv] bool; scratches as allocated
+    by the callers ([bq, 128] m/l broadcast rows + [bq, D] f32 acc).
+    """
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s = s * sm_scale
+    if soft_cap is not None:
+        s = soft_cap * jnp.tanh(s / soft_cap)
+    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+    m_prev = m_scr[:, :1]
+    l_prev = l_scr[:, :1]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+    m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+
+
+def flash_finalize(m_scr, l_scr, acc_scr, sink_val):
+    """Normalize the accumulator; returns (o [bq, D] f32, lse [bq] base-2).
+    sink_val: per-head sink logit scalar or None (added to the denominator
+    ONCE — the single-kernel sink semantics)."""
+    m = m_scr[:, :1]
+    l = l_scr[:, :1]
+    if sink_val is not None:
+        l = l + jnp.exp(sink_val - m)
+    l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+    o = acc_scr[...] * l_inv
+    lse = ((m + jnp.log(jnp.maximum(l, 1e-38))) * LOG2E)[:, 0]
+    return o, lse
+
+
 def _kernel(
     lens_ref,  # scalar prefetch [B, 4] (q_len, kv_len, q_start, kv_start)
     q_ref,  # [1, 1, bq, D]
@@ -85,12 +128,6 @@ def _kernel(
     @pl.when(run)
     def _body():
         q = q_ref[0, 0]
-        k = k_ref[0, 0].astype(q.dtype)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = s * sm_scale
-        if soft_cap is not None:
-            s = soft_cap * jnp.tanh(s / soft_cap)
-
         rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0) + iq * bq
         cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1) + kv_tile
         q_pos = rows + q_start
@@ -100,34 +137,16 @@ def _kernel(
             mask = jnp.logical_and(mask, kv_pos <= q_pos)
         if window is not None:
             mask = jnp.logical_and(mask, kv_pos > q_pos - window)
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-
-        m_prev = m_scr[:, :1]
-        l_prev = l_scr[:, :1]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-
-        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
-
-        v = v_ref[0, 0].astype(q.dtype)
-        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
+        flash_tile_update(
+            q, k_ref[0, 0].astype(q.dtype), v_ref[0, 0].astype(q.dtype), mask,
+            m_scr, l_scr, acc_scr, sm_scale=sm_scale, soft_cap=soft_cap)
 
     @pl.when(ikv == n_kv - 1)
     def _finalize():
-        m = m_scr[:, :1]
-        l = l_scr[:, :1]
-        if has_sink:
-            l = l + jnp.exp(sink_ref[0, 0, 0] - m)
-        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        o, lse = flash_finalize(
+            m_scr, l_scr, acc_scr, sink_ref[0, 0, 0] if has_sink else None)
+        o_ref[0, 0] = o.astype(o_ref.dtype)
         if has_lse:
-            lse = ((m + jnp.log(jnp.maximum(l, 1e-38))) * LOG2E)[:, 0]  # [bq]
             lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
 
 
