@@ -78,11 +78,9 @@ def convert_hf_llama(state: Mapping[str, np.ndarray], cfg: LlamaConfig) -> Dict[
     lm_head_name = "lm_head.weight" if "lm_head.weight" in state else "model.embed_tokens.weight"
     lm = np.asarray(state[lm_head_name])
     if cfg.quant == "w4a16":
-        n_pad = ((lm.shape[0] + 2047) // 2048) * 2048
-        if n_pad != lm.shape[0]:
-            lm = np.concatenate([lm, np.zeros((n_pad - lm.shape[0], lm.shape[1]), lm.dtype)])
-        packed, scales, _ = quantize_w4(jnp.asarray(lm, jnp.float32), group_size=cfg.group_size)
-        lm_head = {"packed": packed, "scales": scales}
+        from .llama import _quantize_matrix
+
+        lm_head = _quantize_matrix(jnp.asarray(lm, jnp.float32), cfg)
     else:
         lm_head = jnp.asarray(lm, cfg.dtype)
 
@@ -100,9 +98,13 @@ def load_safetensors(paths) -> Dict[str, np.ndarray]:
     import struct
 
     out: Dict[str, np.ndarray] = {}
+    import ml_dtypes
+
     dtype_map = {
-        "F32": np.float32, "F16": np.float16, "BF16": None, "I64": np.int64,
-        "I32": np.int32, "U8": np.uint8, "I8": np.int8,
+        "F32": np.float32, "F16": np.float16, "F64": np.float64,
+        "I64": np.int64, "I32": np.int32, "U8": np.uint8, "I8": np.int8,
+        # DeepSeek-V3 checkpoints ship fp8 weights
+        "F8_E4M3": ml_dtypes.float8_e4m3fn, "F8_E5M2": ml_dtypes.float8_e5m2,
     }
     if isinstance(paths, (str, bytes)):
         paths = [paths]
@@ -120,8 +122,12 @@ def load_safetensors(paths) -> Dict[str, np.ndarray]:
                 if meta["dtype"] == "BF16":
                     u16 = np.frombuffer(buf, np.uint16)
                     arr = (u16.astype(np.uint32) << 16).view(np.float32)
-                else:
+                elif meta["dtype"] in dtype_map:
                     arr = np.frombuffer(buf, dtype_map[meta["dtype"]])
+                else:
+                    raise ValueError(
+                        f"unsupported safetensors dtype {meta['dtype']} in "
+                        f"tensor {name!r} ({path})")
                 out[name] = arr.reshape(meta["shape"]).copy()
     return out
 
@@ -132,6 +138,7 @@ def convert_hf_mixtral(state: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
     cfg.quant == "w4a16" packing of attention + per-expert MoE matrices."""
     from .mixtral import MixtralConfig  # noqa: F401 (type of cfg)
 
+    assert not cfg.fused, "Mixtral paths emit separate q/k/v (fused=True unsupported)"
     l, e = cfg.num_layers, cfg.num_experts
 
     def get(name):
@@ -213,6 +220,10 @@ def convert_hf_deepseek(state: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
             "q-LoRA DeepSeek checkpoints (q_a_proj/q_b_proj + q_a_layernorm) "
             "need the low-rank q path in the model; export a merged q_proj "
             "or use the direct-q layout (DeepSeek-V2-Lite style)")
+    if getattr(cfg, "nsa", False):
+        raise NotImplementedError(
+            "NSA indexer weights (self_attn.indexer.*) are not ingested yet; "
+            "convert with nsa=False or add the indexer tensors")
 
     l, e = cfg.num_layers, cfg.num_experts
     nh, dn, dv = cfg.num_heads, cfg.qk_nope_dim, cfg.v_head_dim
@@ -222,6 +233,16 @@ def convert_hf_deepseek(state: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
 
     def stack(suffix):
         return np.stack([get(f"model.layers.{i}.{suffix}") for i in range(l)])
+
+    def deinterleave_rope_rows(w_rows):
+        """HF DeepSeek stores rope dims INTERLEAVED (pairs (2i, 2i+1));
+        this model applies neox-style rotary (half-split pairs (i, i+d/2),
+        ops/rope.py is_neox=True). Reorder the D_ROPE output rows once at
+        load so the runtime rope matches HF numerics (the vLLM/SGLang
+        equivalent is is_neox_style=False at runtime)."""
+        half = D_ROPE // 2
+        idx = np.concatenate([np.arange(half) * 2, np.arange(half) * 2 + 1])
+        return w_rows[..., idx, :]
 
     # kv_b_proj [nh*(dn+dv), D_LATENT] -> per-head W_UK [nh, dn, 512] and
     # W_UV [nh, 512, dv]
@@ -233,8 +254,8 @@ def convert_hf_deepseek(state: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
         "input_norm": jnp.asarray(stack("input_layernorm.weight"), cfg.dtype),
         "post_norm": jnp.asarray(stack("post_attention_layernorm.weight"), cfg.dtype),
         "kv_norm": jnp.asarray(stack("self_attn.kv_a_layernorm.weight"), cfg.dtype),
-        "wq": jnp.asarray(stack("self_attn.q_proj.weight"), cfg.dtype),
-        "wkv_a": jnp.asarray(stack("self_attn.kv_a_proj_with_mqa.weight"), cfg.dtype),
+        "wq": None,  # filled below (rope rows de-interleaved)
+        "wkv_a": None,
         "w_uk": jnp.asarray(w_uk, cfg.dtype),
         "w_uv": jnp.asarray(w_uv, cfg.dtype),
         "wo": jnp.asarray(stack("self_attn.o_proj.weight"), cfg.dtype),
@@ -244,6 +265,13 @@ def convert_hf_deepseek(state: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
                       else np.zeros((e, cfg.hidden_size), np.float32)
                       for i in range(l)]), cfg.dtype),
     }
+    wq = stack("self_attn.q_proj.weight").reshape(l, nh, dn + D_ROPE, -1)
+    wq[:, :, dn:, :] = deinterleave_rope_rows(wq[:, :, dn:, :])
+    layers["wq"] = jnp.asarray(wq.reshape(l, nh * (dn + D_ROPE), -1), cfg.dtype)
+    wkv_a = stack("self_attn.kv_a_proj_with_mqa.weight")
+    wkv_a[:, D_LATENT:, :] = deinterleave_rope_rows(wkv_a[:, D_LATENT:, :])
+    layers["wkv_a"] = jnp.asarray(wkv_a, cfg.dtype)
+
     layers["router_bias"] = jnp.asarray(
         np.stack([get(f"model.layers.{i}.mlp.gate.e_score_correction_bias")
                   if f"model.layers.{i}.mlp.gate.e_score_correction_bias" in state
@@ -253,6 +281,16 @@ def convert_hf_deepseek(state: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
     # layers use mlp.experts.J + mlp.shared_experts. Missing tensors (a
     # dense layer has no experts and vice versa) are zero-filled — the
     # model's lax.cond only reads the matching branch per layer.
+    for i in range(l):
+        is_dense_ckpt = f"model.layers.{i}.mlp.gate_proj.weight" in state
+        is_dense_cfg = i < cfg.num_dense_layers
+        if is_dense_ckpt != is_dense_cfg:
+            raise ValueError(
+                f"layer {i}: checkpoint is {'dense' if is_dense_ckpt else 'MoE'} "
+                f"but cfg.num_dense_layers={cfg.num_dense_layers} makes it "
+                f"{'dense' if is_dense_cfg else 'MoE'} — a silent zero-filled "
+                f"MLP would result")
+
     def maybe(name, shape):
         return get(name) if name in state else np.zeros(shape, np.float32)
 

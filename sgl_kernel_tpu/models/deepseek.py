@@ -172,9 +172,6 @@ def _mla_out(attn_lat, weights, lidx, cfg, n_tokens):
     return jnp.dot(o, weights["wo"][lidx].T, preferred_element_type=jnp.float32).astype(cfg.dtype)
 
 
-_SM = 1.0 / ((128 + 64) ** 0.5)  # DSv3 scale: per-head qk dim (nope + rope)
-
-
 def _sm_scale(cfg):
     return 1.0 / ((cfg.qk_nope_dim + D_ROPE) ** 0.5)
 
@@ -277,11 +274,11 @@ def _mla_attend_packed(q_lat, q_pe, kv_row, blk_seq, blk_q0, seq_meta, cfg,
     return out[..., :D_LATENT]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_kvb", "with_indexer"), donate_argnums=(2,))
-def prefill_packed(params, cfg: DeepseekConfig, kv_cache, tokens, positions,
-                   blk_seq, blk_q0, seq_meta, last_idx, slot_loc, rope_cache,
-                   *, max_kvb: int, with_indexer: bool = False,
-                   idx_caches=None, idx_rope_cache=None):
+@functools.partial(jax.jit, static_argnames=("cfg", "max_kvb", "with_indexer"), donate_argnums=(2, 3, 4))
+def prefill_packed(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
+                   tokens, positions, blk_seq, blk_q0, seq_meta, last_idx,
+                   slot_loc, rope_cache, *, max_kvb: int,
+                   with_indexer: bool = False, idx_rope_cache=None):
     """Token-packed multi-prompt MLA prefill (models/llama.prefill_packed
     analog): several prompts block-aligned packed into one launch. With
     ``with_indexer`` the NSA fp8 indexer keys are ingested per token too
@@ -292,7 +289,6 @@ def prefill_packed(params, cfg: DeepseekConfig, kv_cache, tokens, positions,
     lw = params["layers"]
     l, np_, pg, dd = kv_cache.shape
     pool_tokens = np_ * pg
-    idx_k, idx_s = idx_caches if with_indexer else (None, None)
 
     def layer_fn(carry, lidx):
         if with_indexer:

@@ -53,6 +53,7 @@ def init_weights(cfg: MixtralConfig, key) -> Dict[str, Any]:
     lm_head AND the per-expert MoE matrices into the K-paired int4 layout
     (ops/moe grouped kernel; reference: the W4A16 fused-MoE CI benches,
     bench_fused_experts_w4a16.py)."""
+    assert not cfg.fused, "Mixtral paths emit separate q/k/v (fused=True unsupported)"
     params = llama.init_weights(
         dataclasses.replace(cfg, quant=None), key
     )
@@ -96,13 +97,16 @@ def _moe_mlp(h2, lw, lidx, cfg: MixtralConfig):
     tw, tids = topk_softmax(logits, cfg.top_k, renormalize=True)
     w1, w2 = lw["moe_w1"], lw["moe_w2"]
     if isinstance(w1, dict):
+        # quantized: the STACKED banks go to the kernel whole; the layer is
+        # scalar-prefetched (slicing [lidx] here would copy the entire
+        # expert bank out of HBM every scan step — docs/PERF.md trap)
         w = MoeWeights(
-            w1=w1["packed"][lidx], w2=w2["packed"][lidx],
-            w1_scales=w1["scales"][lidx], w2_scales=w2["scales"][lidx],
+            w1=w1["packed"], w2=w2["packed"],
+            w1_scales=w1["scales"], w2_scales=w2["scales"],
             fmt="int4", group_size=cfg.group_size,
         )
-    else:
-        w = MoeWeights(w1=w1[lidx], w2=w2[lidx], fmt="bf16")
+        return fused_experts(h2, w, tw, tids, layer_id=lidx).astype(cfg.dtype)
+    w = MoeWeights(w1=w1[lidx], w2=w2[lidx], fmt="bf16")
     return fused_experts(h2, w, tw, tids).astype(cfg.dtype)
 
 

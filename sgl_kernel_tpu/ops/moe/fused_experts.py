@@ -58,6 +58,7 @@ def _fused_experts_impl(
     w2_scales,
     w1_zeros,
     w2_zeros,
+    layer_id=None,
     *,
     activation: str,
     block_size: int,
@@ -67,7 +68,7 @@ def _fused_experts_impl(
     group_size: int,
 ):
     t, h = hidden.shape
-    e = w1.shape[0]
+    e = w1.shape[1] if layer_id is not None else w1.shape[0]
     act_fn = ACTIVATIONS[activation]
 
     align = moe_align_block_size(topk_ids, topk_weights, e, block_size)
@@ -86,8 +87,11 @@ def _fused_experts_impl(
             a = act_fn(inter)
         out_sorted = ragged_grouped_mm(a, w2, padded_sizes)  # [cap, H]
     else:
+        # layer_id (layer-stacked expert banks) rides scalar prefetch
+        # through the grouped kernel — slicing w1[layer_id] here would
+        # materialize the whole expert bank per scan step
         inter = w4a16_grouped_mm(
-            x, w1, w1_scales, align.block_expert_ids, w1_zeros,
+            x, w1, w1_scales, align.block_expert_ids, w1_zeros, layer_id,
             group_size=group_size, fmt=fmt, bm=block_size,
         )
         if activation in ("silu_clamp", "swiglu_gpt_oss"):
@@ -95,7 +99,7 @@ def _fused_experts_impl(
         else:
             a = act_fn(inter)
         out_sorted = w4a16_grouped_mm(
-            a, w2, w2_scales, align.block_expert_ids, w2_zeros,
+            a, w2, w2_scales, align.block_expert_ids, w2_zeros, layer_id,
             group_size=group_size, fmt=fmt, bm=block_size,
         )
 
@@ -107,13 +111,22 @@ def fused_experts(
     weights: MoeWeights,
     topk_weights,
     topk_ids,
+    layer_id=None,
     *,
     activation: str = "silu",
     block_size: int = 128,
     gemm1_alpha: float = 1.702,
     gemm1_limit: float = 7.0,
 ):
-    """MoE layer forward. hidden [T, H]; topk_weights/ids [T, K]."""
+    """MoE layer forward. hidden [T, H]; topk_weights/ids [T, K].
+
+    layer_id: quantized path only — weights carry a leading layer dim
+    ([L, E, ...]) and the grouped kernel selects the layer via scalar
+    prefetch (no per-scan-step expert-bank slice)."""
+    if layer_id is not None:
+        assert weights.fmt != "bf16", (
+            "layer-stacked fused_experts needs the quantized grouped kernel "
+            "(bf16 ragged_dot has no scalar-prefetch path)")
     return _fused_experts_impl(
         hidden,
         weights.w1,
@@ -124,6 +137,7 @@ def fused_experts(
         weights.w2_scales,
         weights.w1_zeros,
         weights.w2_zeros,
+        layer_id,
         activation=activation,
         block_size=block_size,
         gemm1_alpha=gemm1_alpha,

@@ -35,7 +35,7 @@ def ragged_grouped_mm(x_sorted, weights, group_sizes):
 
 def _w4_kernel(
     expert_ids_ref,  # [n_blocks] scalar prefetch
-    a_ref,  # [bm, bk]
+    a_ref,  # [bm, bk]  (after the optional layer-id scalar ref)
     w_ref,  # [1, bk//2, bn] packed
     s_ref,  # [1, ngb, bn]
     z_ref,  # [1, ngb, bn] or None
@@ -81,6 +81,7 @@ def w4a16_grouped_mm(
     scales,
     block_expert_ids,
     zeros=None,
+    layer_id=None,
     *,
     group_size: int = 128,
     fmt: str = "int4",
@@ -94,7 +95,12 @@ def w4a16_grouped_mm(
 
     x_sorted: [cap, K] activations in expert-sorted block-aligned order
       (cap multiple of bm — from moe_align_block_size(block_size=bm)).
-    w: [E, K//2, N] packed uint8 (pack_w4_tpu layout per expert);
+    w: [E, K//2, N] packed uint8 (pack_w4_tpu layout per expert) — or the
+      LAYER-STACKED [L, E, K//2, N] with a traced ``layer_id``: the layer
+      is selected via scalar-prefetched BlockSpec indexing, so a
+      scan-over-layers model never dynamic-slices the whole expert bank
+      out of HBM per step (the same trap as the per-layer weight slices,
+      models/llama._linear docstring / docs/PERF.md);
     scales [E, K//G, N]; zeros opt [E, K//G, N] (z*s pre-product).
     block_expert_ids: [cap // bm] expert id per row-block (scalar-prefetched).
     per_channel: scales/zeros are [E, 1, N] applied to every k-tile
@@ -103,10 +109,11 @@ def w4a16_grouped_mm(
     Returns [cap, N].
     """
     cap, k = x_sorted.shape
-    e = w.shape[0]
-    n = w.shape[2]
+    stacked = layer_id is not None
+    e = w.shape[1] if stacked else w.shape[0]
+    n = w.shape[-1]
     assert cap % bm == 0
-    assert w.shape[1] == k // 2 and w.dtype == jnp.uint8, (w.shape, w.dtype)
+    assert w.shape[-2] == k // 2 and w.dtype == jnp.uint8, (w.shape, w.dtype)
     bn = min(bn, n)
     bk = bk or min(GROUPS_PER_KTILE * group_size, k)
     assert n % bn == 0 and k % bk == 0 and bk % group_size == 0
@@ -115,16 +122,28 @@ def w4a16_grouped_mm(
     n_k = k // bk
 
     scales_f = scales  # stored dtype (bf16 canonical); upcast per-tile in-kernel
-    if per_channel:
-        assert ngb == 1 and scales.shape[1] == 1
-        s_spec = pl.BlockSpec((1, ngb, bn), lambda i, j, kk, eids: (eids[i], 0, j))
+    if stacked:
+        if per_channel:
+            assert ngb == 1 and scales.shape[2] == 1
+            s_spec = pl.BlockSpec((None, 1, ngb, bn), lambda i, j, kk, eids, lid: (lid[0], eids[i], 0, j))
+        else:
+            s_spec = pl.BlockSpec((None, 1, ngb, bn), lambda i, j, kk, eids, lid: (lid[0], eids[i], kk, j))
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda i, j, kk, eids, lid: (i, kk)),
+            pl.BlockSpec((None, 1, bk // 2, bn), lambda i, j, kk, eids, lid: (lid[0], eids[i], kk, j)),
+            s_spec,
+        ]
     else:
-        s_spec = pl.BlockSpec((1, ngb, bn), lambda i, j, kk, eids: (eids[i], kk, j))
-    in_specs = [
-        pl.BlockSpec((bm, bk), lambda i, j, kk, eids: (i, kk)),
-        pl.BlockSpec((1, bk // 2, bn), lambda i, j, kk, eids: (eids[i], kk, j)),
-        s_spec,
-    ]
+        if per_channel:
+            assert ngb == 1 and scales.shape[1] == 1
+            s_spec = pl.BlockSpec((1, ngb, bn), lambda i, j, kk, eids: (eids[i], 0, j))
+        else:
+            s_spec = pl.BlockSpec((1, ngb, bn), lambda i, j, kk, eids: (eids[i], kk, j))
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda i, j, kk, eids: (i, kk)),
+            pl.BlockSpec((1, bk // 2, bn), lambda i, j, kk, eids: (eids[i], kk, j)),
+            s_spec,
+        ]
     inputs = [x_sorted, w, scales_f]
     if zeros is not None:
         in_specs.append(s_spec)
@@ -132,19 +151,28 @@ def w4a16_grouped_mm(
 
     kernel = functools.partial(
         _w4_kernel_entry,
+        has_lid=stacked,
         has_zeros=zeros is not None,
         fmt=fmt,
         group_size=group_size,
         ngb=ngb,
         n_k=n_k,
     )
+    if stacked:
+        out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk, eids, lid: (i, j))
+        scalar_args = (block_expert_ids, jnp.asarray(layer_id, jnp.int32).reshape(1))
+        nsp = 2
+    else:
+        out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk, eids: (i, j))
+        scalar_args = (block_expert_ids,)
+        nsp = 1
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=nsp,
             grid=(cap // bm, n // bn, n_k),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk, eids: (i, j)),
+            out_specs=out_spec,
             scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((cap, n), out_dtype),
@@ -157,10 +185,12 @@ def w4a16_grouped_mm(
             transcendentals=0,
         ),
         interpret=pallas_interpret(),
-    )(block_expert_ids, *inputs)
+    )(*scalar_args, *inputs)
 
 
-def _w4_kernel_entry(eids_ref, *refs, has_zeros, fmt, group_size, ngb, n_k):
+def _w4_kernel_entry(eids_ref, *refs, has_lid=False, has_zeros, fmt, group_size, ngb, n_k):
+    if has_lid:
+        refs = refs[1:]  # stacked: layer-id scalar ref consumed by BlockSpecs
     a_ref, w_ref, s_ref = refs[0], refs[1], refs[2]
     idx = 3
     z_ref = refs[idx] if has_zeros else None

@@ -297,16 +297,17 @@ class DeepseekAdapter:
         if self.use_nsa:
             kv, idx_k, idx_s = caches
             logits, kv, idx_k, idx_s = self._m.prefill_packed(
-                params, self.cfg, kv, tokens, positions, blk_seq, blk_q0,
-                seq_meta, last_idx, slot_loc, self.rope_cache,
-                max_kvb=max_kvb, with_indexer=True,
-                idx_caches=(idx_k, idx_s), idx_rope_cache=self.idx_rope_cache,
+                params, self.cfg, kv, idx_k, idx_s, tokens, positions,
+                blk_seq, blk_q0, seq_meta, last_idx, slot_loc,
+                self.rope_cache, max_kvb=max_kvb, with_indexer=True,
+                idx_rope_cache=self.idx_rope_cache,
             )
             return logits, (kv, idx_k, idx_s)
         (kv,) = caches
         logits, kv = self._m.prefill_packed(
-            params, self.cfg, kv, tokens, positions, blk_seq, blk_q0,
-            seq_meta, last_idx, slot_loc, self.rope_cache, max_kvb=max_kvb,
+            params, self.cfg, kv, None, None, tokens, positions, blk_seq,
+            blk_q0, seq_meta, last_idx, slot_loc, self.rope_cache,
+            max_kvb=max_kvb,
         )
         return logits, (kv,)
 
