@@ -56,6 +56,14 @@ class DeepseekConfig:
     index_topk: int = 2048
     idx_heads: int = 4
     idx_dim: int = 128  # power of two (hadamard rotation)
+    # W4A16: pack every linear (wq/wkv_a/wo, dense MLP, shared expert,
+    # routed expert banks, lm_head) into the K-paired int4 layout; the
+    # small absorbed einsum factors (w_uk/w_uv) stay in cfg.dtype
+    quant: Optional[str] = None
+    group_size: int = 128
+    # latent KV-cache dtype (BASELINE flagship: fp8 latent pool; the MLA
+    # decode kernel upcasts via the integer-bitcast fast path)
+    kv_dtype: Any = None
 
     @staticmethod
     def tiny(**kw):
@@ -110,24 +118,59 @@ def init_weights(cfg: DeepseekConfig, key):
             "idx_norm": jnp.ones((l, cfg.idx_dim), cfg.dtype),
             "w_idx_gate": w((l, cfg.idx_heads, h), 0.02),
         })
+    lm_head = w((cfg.vocab_size, h))
+    if cfg.quant == "w4a16":
+        from ..ops.gemm.w4a16 import quantize_w4
+
+        def qz(wm):  # [L, N, K] stacked linear
+            pk, sc = jax.vmap(lambda m: quantize_w4(m, group_size=cfg.group_size)[:2])(wm)
+            return {"packed": pk, "scales": sc}
+
+        def qexp(w_le):  # [L, E, K, N] expert banks (x @ W convention)
+            q = jax.vmap(jax.vmap(lambda m: quantize_w4(m.T, group_size=cfg.group_size)[:2]))
+            pk, sc = q(w_le)
+            return {"packed": pk, "scales": sc}
+
+        for name in ("wq", "wkv_a", "wo", "gate", "up", "down",
+                     "shared_gate", "shared_up", "shared_down"):
+            layers[name] = qz(layers[name])
+        layers["moe_w1"] = qexp(layers["moe_w1"])
+        layers["moe_w2"] = qexp(layers["moe_w2"])
+        from .llama import _quantize_matrix
+
+        lm_head = _quantize_matrix(lm_head, cfg)
     return {
         "embed": w((cfg.vocab_size, h), 0.02),
         "final_norm": jnp.ones((h,), cfg.dtype),
-        "lm_head": w((cfg.vocab_size, h)),
+        "lm_head": lm_head,
         "layers": layers,
     }
 
 
 def make_cache(cfg: DeepseekConfig, num_pages: int, page_size: int, kv_dtype=None):
     """Latent KV cache [L, P, page, 576] — single pool (MLA)."""
-    return jnp.zeros((cfg.num_layers, num_pages, page_size, D_CKV), kv_dtype or cfg.dtype)
+    return jnp.zeros((cfg.num_layers, num_pages, page_size, D_CKV),
+                     kv_dtype or cfg.kv_dtype or cfg.dtype)
 
 
-def _silu_mlp(x, gate_w, up_w, down_w, cfg):
-    g = jnp.dot(x, gate_w.T, preferred_element_type=jnp.float32)
-    u = jnp.dot(x, up_w.T, preferred_element_type=jnp.float32)
+def _lin(x, w, cfg, lidx=None):
+    """Linear with optional W4A16 packing; quantized stacked weights ride
+    the layer_id scalar prefetch (models/llama._linear pattern)."""
+    if isinstance(w, dict):
+        from ..ops.gemm.w4a16 import w4a16_gemm
+
+        return w4a16_gemm(x, w["packed"], w["scales"], layer_id=lidx,
+                          group_size=cfg.group_size, out_dtype=cfg.dtype)
+    if lidx is not None:
+        w = w[lidx]
+    return jnp.dot(x, w.T, preferred_element_type=jnp.float32).astype(cfg.dtype)
+
+
+def _silu_mlp(x, gate_w, up_w, down_w, cfg, lidx=None):
+    g = _lin(x, gate_w, cfg, lidx).astype(jnp.float32)
+    u = _lin(x, up_w, cfg, lidx).astype(jnp.float32)
     a = (g * jax.nn.sigmoid(g) * u).astype(cfg.dtype)
-    return jnp.dot(a, down_w.T, preferred_element_type=jnp.float32).astype(cfg.dtype)
+    return _lin(a, down_w, cfg, lidx)
 
 
 def _moe_block(x, weights, lidx, cfg):
@@ -139,25 +182,34 @@ def _moe_block(x, weights, lidx, cfg):
         routed_scaling_factor=cfg.routed_scaling_factor,
         apply_routed_scaling_factor_on_output=True,
     )
-    mw = MoeWeights(w1=weights["moe_w1"][lidx], w2=weights["moe_w2"][lidx], fmt="bf16")
-    routed = fused_experts(x, mw, tw, tids, block_size=16)
-    shared = _silu_mlp(x, weights["shared_gate"][lidx], weights["shared_up"][lidx], weights["shared_down"][lidx], cfg)
+    w1, w2 = weights["moe_w1"], weights["moe_w2"]
+    if isinstance(w1, dict):
+        # stacked quantized banks: layer selected by scalar prefetch inside
+        # the grouped kernel (slicing [lidx] would copy the bank per step)
+        mw = MoeWeights(w1=w1["packed"], w2=w2["packed"],
+                        w1_scales=w1["scales"], w2_scales=w2["scales"],
+                        fmt="int4", group_size=cfg.group_size)
+        routed = fused_experts(x, mw, tw, tids, layer_id=lidx, block_size=16)
+    else:
+        mw = MoeWeights(w1=w1[lidx], w2=w2[lidx], fmt="bf16")
+        routed = fused_experts(x, mw, tw, tids, block_size=16)
+    shared = _silu_mlp(x, weights["shared_gate"], weights["shared_up"], weights["shared_down"], cfg, lidx)
     return routed + shared
 
 
 def _mla_qkv(x, weights, lidx, cfg, n_tokens, positions, rope_cache):
     """Project to (q_nope_latent [T, H, 512], q_pe [T, H, 64], kv_row [T, 576])."""
     nh, dn = cfg.num_heads, cfg.qk_nope_dim
-    lw = {k: weights[k][lidx] for k in ("wq", "wkv_a", "w_uk", "kv_norm")}
-    q = jnp.dot(x, lw["wq"].T, preferred_element_type=jnp.float32).astype(cfg.dtype)
+    q = _lin(x, weights["wq"], cfg, lidx)
     q = q.reshape(n_tokens, nh, dn + D_ROPE)
     q_nope, q_pe = q[..., :dn], q[..., dn:]
     q_pe, _ = rotary_embedding(positions, q_pe, None, D_ROPE, rope_cache)
     # absorb W_UK: [T, H, dn] x [H, dn, 512] -> [T, H, 512]
-    q_lat = jnp.einsum("thd,hdl->thl", q_nope.astype(jnp.float32), lw["w_uk"].astype(jnp.float32)).astype(cfg.dtype)
+    w_uk = weights["w_uk"][lidx]
+    q_lat = jnp.einsum("thd,hdl->thl", q_nope.astype(jnp.float32), w_uk.astype(jnp.float32)).astype(cfg.dtype)
 
-    kv = jnp.dot(x, lw["wkv_a"].T, preferred_element_type=jnp.float32).astype(cfg.dtype)
-    kv_c = rmsnorm(kv[:, :D_LATENT], lw["kv_norm"], cfg.rms_eps)
+    kv = _lin(x, weights["wkv_a"], cfg, lidx)
+    kv_c = rmsnorm(kv[:, :D_LATENT], weights["kv_norm"][lidx], cfg.rms_eps)
     k_pe = kv[:, D_LATENT:]
     k_pe, _ = rotary_embedding(positions, k_pe[:, None, :], None, D_ROPE, rope_cache)
     kv_row = jnp.concatenate([kv_c, k_pe[:, 0]], axis=-1)  # [T, 576]
@@ -169,7 +221,7 @@ def _mla_out(attn_lat, weights, lidx, cfg, n_tokens):
     w_uv = weights["w_uv"][lidx]
     o = jnp.einsum("thl,hlv->thv", attn_lat.astype(jnp.float32), w_uv.astype(jnp.float32))
     o = o.reshape(n_tokens, -1).astype(cfg.dtype)
-    return jnp.dot(o, weights["wo"][lidx].T, preferred_element_type=jnp.float32).astype(cfg.dtype)
+    return _lin(o, weights["wo"], cfg, lidx)
 
 
 def _sm_scale(cfg):
@@ -199,7 +251,7 @@ def decode_step(params, cfg: DeepseekConfig, kv_cache, tokens, positions, page_t
         is_dense = lidx < cfg.num_dense_layers
         mlp = jax.lax.cond(
             is_dense,
-            lambda h2: _silu_mlp(h2, lw["gate"][lidx], lw["up"][lidx], lw["down"][lidx], cfg),
+            lambda h2: _silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx),
             lambda h2: _moe_block(h2, lw, lidx, cfg),
             h2,
         )
@@ -207,7 +259,7 @@ def decode_step(params, cfg: DeepseekConfig, kv_cache, tokens, positions, page_t
 
     (x, kv_cache), _ = jax.lax.scan(layer_fn, (x, kv_cache), jnp.arange(cfg.num_layers))
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
-    logits = jnp.dot(x, params["lm_head"].T, preferred_element_type=jnp.float32)
+    logits = _lin(x, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
     return logits, kv_cache
 
 
@@ -237,7 +289,7 @@ def prefill(params, cfg: DeepseekConfig, kv_cache, tokens, positions, q_lens, sl
         is_dense = lidx < cfg.num_dense_layers
         mlp = jax.lax.cond(
             is_dense,
-            lambda h2: _silu_mlp(h2, lw["gate"][lidx], lw["up"][lidx], lw["down"][lidx], cfg),
+            lambda h2: _silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx),
             lambda h2: _moe_block(h2, lw, lidx, cfg),
             h2,
         )
@@ -248,7 +300,7 @@ def prefill(params, cfg: DeepseekConfig, kv_cache, tokens, positions, q_lens, sl
     x = x.reshape(b, s, -1)
     last = jnp.clip(q_lens - 1, 0, s - 1)
     x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
-    logits = jnp.dot(x_last, params["lm_head"].T, preferred_element_type=jnp.float32)
+    logits = _lin(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
     return logits, kv_cache
 
 
@@ -309,7 +361,7 @@ def prefill_packed(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
         is_dense = lidx < cfg.num_dense_layers
         mlp = jax.lax.cond(
             is_dense,
-            lambda h2: _silu_mlp(h2, lw["gate"][lidx], lw["up"][lidx], lw["down"][lidx], cfg),
+            lambda h2: _silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx),
             lambda h2: _moe_block(h2, lw, lidx, cfg),
             h2,
         )
@@ -322,7 +374,7 @@ def prefill_packed(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
     kv_cache = carry[1]
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
     x_last = x[last_idx]
-    logits = jnp.dot(x_last, params["lm_head"].T, preferred_element_type=jnp.float32)
+    logits = _lin(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
     if with_indexer:
         return logits, kv_cache, carry[2], carry[3]
     return logits, kv_cache
@@ -392,7 +444,7 @@ def prefill_extend(params, cfg: DeepseekConfig, kv_cache, tokens, positions,
         is_dense = lidx < cfg.num_dense_layers
         mlp = jax.lax.cond(
             is_dense,
-            lambda h2: _silu_mlp(h2, lw["gate"][lidx], lw["up"][lidx], lw["down"][lidx], cfg),
+            lambda h2: _silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx),
             lambda h2: _moe_block(h2, lw, lidx, cfg),
             h2,
         )
@@ -403,7 +455,7 @@ def prefill_extend(params, cfg: DeepseekConfig, kv_cache, tokens, positions,
     x = x.reshape(b, s, -1)
     last = jnp.clip(q_lens - 1, 0, s - 1)
     x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
-    logits = jnp.dot(x_last, params["lm_head"].T, preferred_element_type=jnp.float32)
+    logits = _lin(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
     return logits, kv_cache
 
 
@@ -508,7 +560,7 @@ def decode_step_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
         is_dense = lidx < cfg.num_dense_layers
         mlp = jax.lax.cond(
             is_dense,
-            lambda h2: _silu_mlp(h2, lw["gate"][lidx], lw["up"][lidx], lw["down"][lidx], cfg),
+            lambda h2: _silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx),
             lambda h2: _moe_block(h2, lw, lidx, cfg),
             h2,
         )
@@ -517,7 +569,7 @@ def decode_step_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
     (x, kv_cache, idx_k, idx_s), _ = jax.lax.scan(
         layer_fn, (x, kv_cache, idx_k, idx_s), jnp.arange(cfg.num_layers))
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
-    logits = jnp.dot(x, params["lm_head"].T, preferred_element_type=jnp.float32)
+    logits = _lin(x, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
     return logits, kv_cache, idx_k, idx_s
 
 
@@ -552,7 +604,7 @@ def prefill_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s, tokens,
         is_dense = lidx < cfg.num_dense_layers
         mlp = jax.lax.cond(
             is_dense,
-            lambda h2: _silu_mlp(h2, lw["gate"][lidx], lw["up"][lidx], lw["down"][lidx], cfg),
+            lambda h2: _silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx),
             lambda h2: _moe_block(h2, lw, lidx, cfg),
             h2,
         )
@@ -564,7 +616,7 @@ def prefill_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s, tokens,
     x = x.reshape(b, s, -1)
     last = jnp.clip(q_lens - 1, 0, s - 1)
     x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
-    logits = jnp.dot(x_last, params["lm_head"].T, preferred_element_type=jnp.float32)
+    logits = _lin(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
     return logits, kv_cache, idx_k, idx_s
 
 
@@ -626,7 +678,7 @@ def prefill_extend_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
         is_dense = lidx < cfg.num_dense_layers
         mlp = jax.lax.cond(
             is_dense,
-            lambda h2: _silu_mlp(h2, lw["gate"][lidx], lw["up"][lidx], lw["down"][lidx], cfg),
+            lambda h2: _silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx),
             lambda h2: _moe_block(h2, lw, lidx, cfg),
             h2,
         )
@@ -638,5 +690,5 @@ def prefill_extend_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
     x = x.reshape(b, s, -1)
     last = jnp.clip(q_lens - 1, 0, s - 1)
     x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
-    logits = jnp.dot(x_last, params["lm_head"].T, preferred_element_type=jnp.float32)
+    logits = _lin(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
     return logits, kv_cache, idx_k, idx_s

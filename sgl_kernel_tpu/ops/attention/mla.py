@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...utils import pallas_interpret, round_up
 from .flash_prefill import flash_attention
+from .paged_decode_dma import _upcast
 
 D_LATENT = 512
 D_ROPE = 64
@@ -68,7 +69,9 @@ def _decode_kernel(
     @pl.when(i * page < length)
     def _body():
         q = q_ref[0]  # [Hp, D_CKV]
-        kv = kv_ref[0].astype(q.dtype)  # [page, D_CKV]
+        kv = _upcast(kv_ref[0], q.dtype)  # [page, D_CKV]; fp8 pools upcast
+        # via the integer-bitcast fast path (Mosaic's native f8 convert is
+        # scalar-slow — paged_decode_dma._upcast)
         s = jax.lax.dot_general(q, kv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         s = s * sm_scale  # [Hp, page]
         pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * page

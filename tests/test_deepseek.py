@@ -198,3 +198,76 @@ class TestPrefillExtend:
         np.testing.assert_allclose(
             np.asarray(ext_logits), np.asarray(ref_logits), rtol=3e-2, atol=3e-2
         )
+
+
+class TestDeepseekQuantFp8:
+    def test_w4a16_engine_serves(self, rng):
+        """quant='w4a16': every linear + expert bank + lm_head on the
+        packed-int4 kernels (stacked layer prefetch); engine end-to-end."""
+        cfg = deepseek.DeepseekConfig.tiny(quant="w4a16", group_size=32)
+        params = deepseek.init_weights(cfg, jax.random.PRNGKey(0))
+        assert isinstance(params["layers"]["wq"], dict)
+        assert isinstance(params["layers"]["moe_w1"], dict)
+        from sgl_kernel_tpu.serving import Engine
+
+        eng = Engine(cfg, params, num_pages=16, page_size=16,
+                     enable_prefix_cache=False)
+        rid = eng.add_request(rng.integers(0, cfg.vocab_size, 9).tolist(),
+                              max_new_tokens=5)
+        eng.run_until_done()
+        assert len(eng.finished[rid].output) == 5
+
+    def test_w4a16_close_to_bf16_logits(self, rng):
+        """Quantized prefill logits stay close to the bf16 model built from
+        the SAME underlying weights (quantization error bound)."""
+        cfg_b = deepseek.DeepseekConfig.tiny()
+        params_b = deepseek.init_weights(cfg_b, jax.random.PRNGKey(3))
+        cfg_q = deepseek.DeepseekConfig.tiny(quant="w4a16", group_size=32)
+        params_q = deepseek.init_weights(cfg_q, jax.random.PRNGKey(3))
+        page, s = 16, 8
+        toks = rng.integers(0, cfg_b.vocab_size, s).astype(np.int32)
+        rope = deepseek.build_rope_cache(cfg_b)
+        tok = np.zeros((1, 16), np.int32); tok[0, :s] = toks
+        pos = np.zeros((1, 16), np.int32); pos[0, :s] = np.arange(s)
+        sl = np.full((1, 16), -1, np.int32); sl[0, :s] = page + np.arange(s)
+
+        def run(cfg, params):
+            cache = deepseek.make_cache(cfg, 4, page)
+            logits, _ = deepseek.prefill(
+                params, cfg, cache, jnp.asarray(tok), jnp.asarray(pos),
+                jnp.asarray([s], jnp.int32), jnp.asarray(sl), rope)
+            return np.asarray(logits[0], np.float64)
+
+        lb, lq = run(cfg_b, params_b), run(cfg_q, params_q)
+        rel = np.abs(lb - lq).mean() / (np.abs(lb).mean() + 1e-9)
+        assert rel < 0.25, rel  # 4-bit quantization noise bound, tiny model
+
+    def test_fp8_latent_cache_close_to_bf16(self, rng):
+        """kv_dtype=fp8: decode logits close to the bf16-cache run (same
+        weights; only the latent pool is quantized to e4m3)."""
+        cfg = deepseek.DeepseekConfig.tiny()
+        params = deepseek.init_weights(cfg, jax.random.PRNGKey(0))
+        page, s = 16, 10
+        toks = rng.integers(0, cfg.vocab_size, s + 1).astype(np.int32)
+        rope = deepseek.build_rope_cache(cfg)
+
+        def run(kv_dtype):
+            cache = deepseek.make_cache(cfg, 8, page, kv_dtype=kv_dtype)
+            tok = np.zeros((1, 16), np.int32); tok[0, :s] = toks[:s]
+            pos = np.zeros((1, 16), np.int32); pos[0, :s] = np.arange(s)
+            sl = np.full((1, 16), -1, np.int32); sl[0, :s] = page + np.arange(s)
+            _, cache = deepseek.prefill(
+                params, cfg, cache, jnp.asarray(tok), jnp.asarray(pos),
+                jnp.asarray([s], jnp.int32), jnp.asarray(sl), rope)
+            table = np.asarray([[1, 2, 0, 0]], np.int32)
+            logits, _ = deepseek.decode_step(
+                params, cfg, cache, jnp.asarray([toks[s]], jnp.int32),
+                jnp.asarray([s], jnp.int32), jnp.asarray(table),
+                jnp.asarray([s + 1], jnp.int32),
+                jnp.asarray([page + s], jnp.int32), rope)
+            return np.asarray(logits[0], np.float64)
+
+        lb = run(None)
+        l8 = run(jnp.float8_e4m3fn)
+        rel = np.abs(lb - l8).mean() / (np.abs(lb).mean() + 1e-9)
+        assert rel < 0.15, rel
