@@ -41,9 +41,12 @@ def _param_specs(params):
     def linear(name, v):
         row = name in ("o", "down")
         if isinstance(v, dict):
+            # K-paired packed layout [L, K/2, N] + scales [L, K/G, N]:
+            # column-parallel shards N (dim 2), row-parallel shards K (dim 1)
             if row:
-                return {"packed": P(None, None, "tp"), "scales": P(None, None, "tp")}
-            return {"packed": P(None, "tp", None), "scales": P(None, "tp", None)}
+                return {"packed": P(None, "tp", None), "scales": P(None, "tp", None)}
+            return {"packed": P(None, None, "tp"), "scales": P(None, None, "tp")}
+        # bf16 [L, N, K]: column-parallel shards N (dim 1), row K (dim 2)
         return P(None, None, "tp") if row else P(None, "tp", None)
 
     return {

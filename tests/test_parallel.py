@@ -59,6 +59,33 @@ class TestTPDecode:
         sharded = mesh_lib.shard_params(params, mesh8, specs)
         assert sharded["layers"]["q"].sharding.spec == P(None, "tp", None)
 
+    def test_tp_quantized_matches_single_device(self, rng):
+        """W4A16 TP: K-paired packed [L, K/2, N] shards N for column-
+        parallel and K for row-parallel (the layout migration inverted the
+        sharded dims; this pins the spec against the real kernel)."""
+        cfg = llama.LlamaConfig.tiny(quant="w4a16", group_size=32)
+        mesh = mesh_lib.make_mesh({"dp": 2, "tp": 2})
+        params = llama.init_weights(cfg, jax.random.PRNGKey(0))
+        b, pages, page = 4, 8, 16
+        kc, vc = llama.make_caches(cfg, pages, page)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, b), jnp.int32)
+        positions = jnp.zeros(b, jnp.int32)
+        tables = jnp.asarray(np.stack([[i, 0, 0, 0] for i in range(b)]).astype(np.int32))
+        lengths = jnp.ones(b, jnp.int32)
+        slots = jnp.asarray([i * page for i in range(b)], jnp.int32)
+        rope_cache = llama.build_rope_cache(cfg)
+        ref_logits, _, _ = llama.decode_step(
+            params, cfg, kc, vc, tokens, positions, tables, lengths, slots, rope_cache
+        )
+        kc2, vc2 = llama.make_caches(cfg, pages, page)
+        step = tp.make_parallel_decode_step(cfg, mesh, params)
+        tables_l = jnp.asarray(np.stack([[i % 2, 0, 0, 0] for i in range(b)]).astype(np.int32))
+        slots_l = jnp.asarray([(i % 2) * page for i in range(b)], jnp.int32)
+        out_logits, _, _ = jax.jit(step)(
+            params, kc2, vc2, tokens, positions, tables_l, lengths, slots_l, rope_cache
+        )
+        np.testing.assert_allclose(np.asarray(out_logits), np.asarray(ref_logits), rtol=2e-2, atol=2e-2)
+
 
 class TestEP:
     def test_ep_matches_single_device(self, rng):
