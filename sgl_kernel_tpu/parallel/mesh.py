@@ -42,11 +42,12 @@ def llama_param_specs(mesh: Mesh, tp_axis: str = "tp"):
         return P(*lead, t, None)
 
     def qspec(row_parallel: bool, stacked: bool):
+        # K-paired packed [L?, K/2, N], scales [L?, K/G, N]:
+        # column-parallel shards N (last dim), row-parallel shards K
         lead = (None,) if stacked else ()
         if row_parallel:
-            # packed [L, N, K/2], scales [L, N, K/G]: K sharded
-            return {"packed": P(*lead, None, t), "scales": P(*lead, None, t)}
-        return {"packed": P(*lead, t, None), "scales": P(*lead, t, None)}
+            return {"packed": P(*lead, t, None), "scales": P(*lead, t, None)}
+        return {"packed": P(*lead, None, t), "scales": P(*lead, None, t)}
 
     def spec_for(name, value, stacked):
         row = name in ("o", "down")
