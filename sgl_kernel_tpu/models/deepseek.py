@@ -173,7 +173,11 @@ def _silu_mlp(x, gate_w, up_w, down_w, cfg, lidx=None):
     return _lin(a, down_w, cfg, lidx)
 
 
-def _moe_block(x, weights, lidx, cfg):
+def _maybe_psum(x, tp_axis):
+    return jax.lax.psum(x, tp_axis) if tp_axis else x
+
+
+def _moe_block(x, weights, lidx, cfg, tp_axis=None):
     tw, tids = biased_topk(
         jnp.dot(x.astype(jnp.float32), weights["router"][lidx].astype(jnp.float32).T),
         weights["router_bias"][lidx],
@@ -183,6 +187,18 @@ def _moe_block(x, weights, lidx, cfg):
         apply_routed_scaling_factor_on_output=True,
     )
     w1, w2 = weights["moe_w1"], weights["moe_w2"]
+    if tp_axis is not None:
+        # TP/EP: tokens replicated across tp, experts sharded — each shard
+        # evaluates only pairs routed to its local expert range, partials
+        # psum (the TP-MoE formulation; tokens are NOT tp-sharded here, so
+        # the all-to-all dispatch variant does not apply)
+        ep = jax.lax.psum(1, tp_axis)
+        rank = jax.lax.axis_index(tp_axis)
+        e_local = cfg.num_experts // ep
+        local = tids - rank * e_local
+        in_range = (local >= 0) & (local < e_local)
+        tids = jnp.where(in_range, local, 0)
+        tw = jnp.where(in_range, tw, 0.0)
     if isinstance(w1, dict):
         # stacked quantized banks: layer selected by scalar prefetch inside
         # the grouped kernel (slicing [lidx] would copy the bank per step)
@@ -194,7 +210,9 @@ def _moe_block(x, weights, lidx, cfg):
         mw = MoeWeights(w1=w1[lidx], w2=w2[lidx], fmt="bf16")
         routed = fused_experts(x, mw, tw, tids, block_size=16)
     shared = _silu_mlp(x, weights["shared_gate"], weights["shared_up"], weights["shared_down"], cfg, lidx)
-    return routed + shared
+    # one combined psum covers the routed partials AND the tp-sharded
+    # shared-expert/dense intermediates
+    return _maybe_psum(routed + shared, tp_axis)
 
 
 def _mla_qkv(x, weights, lidx, cfg, n_tokens, positions, rope_cache):
@@ -228,9 +246,15 @@ def _sm_scale(cfg):
     return 1.0 / ((cfg.qk_nope_dim + D_ROPE) ** 0.5)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
-def decode_step(params, cfg: DeepseekConfig, kv_cache, tokens, positions, page_tables, lengths, slot_loc, rope_cache):
-    """One decode step: tokens [B]; kv_cache [L, P, page, 576]."""
+@functools.partial(jax.jit, static_argnames=("cfg", "tp_axis"), donate_argnums=(2,))
+def decode_step(params, cfg: DeepseekConfig, kv_cache, tokens, positions, page_tables, lengths, slot_loc, rope_cache, *, tp_axis=None):
+    """One decode step: tokens [B]; kv_cache [L, P, page, 576].
+
+    tp_axis: inside shard_map, heads (wq/w_uk/w_uv/wo rows) and the MoE
+    expert range are per-shard LOCAL (cfg already divided); the latent
+    pool is REPLICATED over tp (MLA has one shared latent head — the
+    standard MLA-TP tradeoff); o-proj partials and MoE/shared/dense
+    partials psum over tp."""
     b = tokens.shape[0]
     x = params["embed"][tokens].astype(cfg.dtype)
     lw = params["layers"]
@@ -246,13 +270,13 @@ def decode_step(params, cfg: DeepseekConfig, kv_cache, tokens, positions, page_t
         off_slots = jnp.where(slot_loc >= 0, lidx * np_ * pg + slot_loc, -1)
         cache = store_cache_mla(kv_row, cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
         attn = mla_decode(q_lat, q_pe, cache, lengths, page_tables, layer_id=lidx, sm_scale=_sm_scale(cfg))
-        x = x + _mla_out(attn, lw, lidx, cfg, b)
+        x = x + _maybe_psum(_mla_out(attn, lw, lidx, cfg, b), tp_axis)
         h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
         is_dense = lidx < cfg.num_dense_layers
         mlp = jax.lax.cond(
             is_dense,
-            lambda h2: _silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx),
-            lambda h2: _moe_block(h2, lw, lidx, cfg),
+            lambda h2: _maybe_psum(_silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx), tp_axis),
+            lambda h2: _moe_block(h2, lw, lidx, cfg, tp_axis),
             h2,
         )
         return (x + mlp, cache), None

@@ -127,3 +127,96 @@ def make_parallel_prefill(cfg: llama.LlamaConfig, mesh: Mesh, params):
         out_specs=(P("dp", None), _cache_spec(), _cache_spec()),
         check_vma=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# DeepSeek MLA tensor parallelism
+# ---------------------------------------------------------------------------
+
+
+def deepseek_local_config(cfg, tp: int):
+    """Heads shard over tp; the latent pool is replicated per shard (MLA
+    has ONE shared latent head — the standard MLA-TP tradeoff; DeepSeek
+    deployments scale attention with DP for this reason). Experts shard
+    over the same axis (cfg.num_experts stays GLOBAL — the EP formulation
+    derives the local range from the axis size)."""
+    assert cfg.num_heads % tp == 0
+    assert cfg.num_experts % tp == 0
+    assert cfg.moe_intermediate % tp == 0 and cfg.dense_intermediate % tp == 0
+    return dataclasses.replace(cfg, num_heads=cfg.num_heads // tp)
+
+
+def _ds_param_specs(params):
+    def lin(row):
+        # quantized K-paired [L, K/2, N] / bf16 [L, N, K]
+        def spec(v):
+            if isinstance(v, dict):
+                if row:
+                    return {"packed": P(None, "tp", None), "scales": P(None, "tp", None)}
+                return {"packed": P(None, None, "tp"), "scales": P(None, None, "tp")}
+            return P(None, None, "tp") if row else P(None, "tp", None)
+        return spec
+
+    col, row = lin(False), lin(True)
+
+    def expert_bank(v):
+        if isinstance(v, dict):
+            return {"packed": P(None, "tp", None, None), "scales": P(None, "tp", None, None)}
+        return P(None, "tp", None, None)
+
+    lw = params["layers"]
+    specs = {
+        "input_norm": P(None, None), "post_norm": P(None, None),
+        "kv_norm": P(None, None),
+        "wq": col(lw["wq"]),                       # heads (output rows)
+        "wkv_a": P(None, None, None) if not isinstance(lw["wkv_a"], dict)
+                 else {"packed": P(None, None, None), "scales": P(None, None, None)},
+        "w_uk": P(None, "tp", None, None),         # [L, nh, dn, 512]
+        "w_uv": P(None, "tp", None, None),         # [L, nh, 512, dv]
+        "wo": row(lw["wo"]),                       # input rows = heads
+        # dense MLP + shared expert shard the intermediate (combined psum)
+        "gate": col(lw["gate"]), "up": col(lw["up"]), "down": row(lw["down"]),
+        "shared_gate": col(lw["shared_gate"]), "shared_up": col(lw["shared_up"]),
+        "shared_down": row(lw["shared_down"]),
+        "router": P(None, None, None),             # global expert logits
+        "router_bias": P(None, None),
+        "moe_w1": expert_bank(lw["moe_w1"]),
+        "moe_w2": expert_bank(lw["moe_w2"]),
+    }
+    for extra in ("wq_idx", "wk_idx", "idx_norm", "w_idx_gate"):
+        if extra in lw:
+            specs[extra] = P(*([None] * jnp.ndim(lw[extra])))
+    lm = params["lm_head"]
+    return {
+        "embed": P(None, None),
+        "final_norm": P(None),
+        "lm_head": ({"packed": P(None, None), "scales": P(None, None)}
+                    if isinstance(lm, dict) else P(None, None)),
+        "layers": specs,
+    }
+
+
+def make_parallel_deepseek_decode_step(cfg, mesh: Mesh, params):
+    """dp shards batch + latent pages; tp shards heads + experts +
+    MLP intermediates (latent pool replicated over tp)."""
+    from ..models import deepseek
+
+    tpn = mesh.shape["tp"]
+    cfg_local = deepseek_local_config(cfg, tpn)
+    pspecs = _ds_param_specs(params)
+
+    def step(params, kv_cache, tokens, positions, page_tables, lengths, slot_loc, rope_cache):
+        return deepseek.decode_step(
+            params, cfg_local, kv_cache, tokens, positions, page_tables,
+            lengths, slot_loc, rope_cache, tp_axis="tp",
+        )
+
+    cache_spec = P(None, "dp", None, None)
+    return shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(pspecs, cache_spec, P("dp"), P("dp"), P("dp", None),
+                  P("dp"), P("dp"), P(None, None)),
+        out_specs=(P("dp", None), cache_spec),
+        check_vma=False,
+    )

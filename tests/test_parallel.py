@@ -231,3 +231,36 @@ class TestUlysses:
             )
         )(q, k, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+class TestDeepseekTP:
+    @pytest.mark.parametrize("quant", [None, "w4a16"])
+    def test_matches_single_device(self, rng, quant):
+        """MLA TP (heads + experts + intermediates sharded, latent pool
+        replicated): decode logits match the single-device step."""
+        from sgl_kernel_tpu.models import deepseek
+
+        kw = dict(quant=quant, group_size=32) if quant else {}
+        cfg = deepseek.DeepseekConfig.tiny(**kw)
+        mesh = mesh_lib.make_mesh({"dp": 2, "tp": 2})
+        params = deepseek.init_weights(cfg, jax.random.PRNGKey(0))
+        b, pages, page = 4, 8, 16
+        cache = deepseek.make_cache(cfg, pages, page)
+        rope = deepseek.build_rope_cache(cfg)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, b), jnp.int32)
+        positions = jnp.zeros(b, jnp.int32)
+        tables = jnp.asarray(np.stack([[i, 0, 0, 0] for i in range(b)]).astype(np.int32))
+        lengths = jnp.ones(b, jnp.int32)
+        slots = jnp.asarray([i * page for i in range(b)], jnp.int32)
+        ref_logits, _ = deepseek.decode_step(
+            params, cfg, cache, tokens, positions, tables, lengths, slots, rope)
+
+        cache2 = deepseek.make_cache(cfg, pages, page)
+        step = tp.make_parallel_deepseek_decode_step(cfg, mesh, params)
+        # dp shards pages: seq i -> local page i % 2 in its dp shard's pool
+        tables_l = jnp.asarray(np.stack([[i % 2, 0, 0, 0] for i in range(b)]).astype(np.int32))
+        slots_l = jnp.asarray([(i % 2) * page for i in range(b)], jnp.int32)
+        out_logits, _ = jax.jit(step)(
+            params, cache2, tokens, positions, tables_l, lengths, slots_l, rope)
+        np.testing.assert_allclose(np.asarray(out_logits), np.asarray(ref_logits),
+                                   rtol=3e-2, atol=3e-2)
