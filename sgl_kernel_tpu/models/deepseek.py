@@ -287,9 +287,10 @@ def decode_step(params, cfg: DeepseekConfig, kv_cache, tokens, positions, page_t
     return logits, kv_cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
-def prefill(params, cfg: DeepseekConfig, kv_cache, tokens, positions, q_lens, slot_loc, rope_cache):
-    """Prefill padded batch [B, S]; causal MLA over the fresh latent rows."""
+@functools.partial(jax.jit, static_argnames=("cfg", "tp_axis"), donate_argnums=(2,))
+def prefill(params, cfg: DeepseekConfig, kv_cache, tokens, positions, q_lens, slot_loc, rope_cache, *, tp_axis=None):
+    """Prefill padded batch [B, S]; causal MLA over the fresh latent rows.
+    tp_axis: shard_map TP (see decode_step)."""
     b, s = tokens.shape
     x = params["embed"][tokens.reshape(-1)].astype(cfg.dtype)
     lw = params["layers"]
@@ -308,13 +309,13 @@ def prefill(params, cfg: DeepseekConfig, kv_cache, tokens, positions, q_lens, sl
             kv_row.reshape(b, s, D_CKV),
             q_lens, q_lens, sm_scale=_sm_scale(cfg),
         ).reshape(b * s, cfg.num_heads, D_LATENT)
-        x = x + _mla_out(attn, lw, lidx, cfg, b * s)
+        x = x + _maybe_psum(_mla_out(attn, lw, lidx, cfg, b * s), tp_axis)
         h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
         is_dense = lidx < cfg.num_dense_layers
         mlp = jax.lax.cond(
             is_dense,
-            lambda h2: _silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx),
-            lambda h2: _moe_block(h2, lw, lidx, cfg),
+            lambda h2: _maybe_psum(_silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx), tp_axis),
+            lambda h2: _moe_block(h2, lw, lidx, cfg, tp_axis),
             h2,
         )
         return (x + mlp, cache), None

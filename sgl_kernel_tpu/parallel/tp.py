@@ -220,3 +220,26 @@ def make_parallel_deepseek_decode_step(cfg, mesh: Mesh, params):
         out_specs=(P("dp", None), cache_spec),
         check_vma=False,
     )
+
+
+def make_parallel_deepseek_prefill(cfg, mesh: Mesh, params):
+    from ..models import deepseek
+
+    tpn = mesh.shape["tp"]
+    cfg_local = deepseek_local_config(cfg, tpn)
+    cache_spec = P(None, "dp", None, None)
+
+    def run(params, kv_cache, tokens, positions, q_lens, slot_loc, rope_cache):
+        return deepseek.prefill(
+            params, cfg_local, kv_cache, tokens, positions, q_lens, slot_loc,
+            rope_cache, tp_axis="tp",
+        )
+
+    return shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(_ds_param_specs(params), cache_spec, P("dp", None),
+                  P("dp", None), P("dp"), P("dp", None), P(None, None)),
+        out_specs=(P("dp", None), cache_spec),
+        check_vma=False,
+    )

@@ -93,6 +93,26 @@ class LlamaAdapter:
         return (k.at[:, ids].set(jnp.asarray(pk, k.dtype)),
                 v.at[:, ids].set(jnp.asarray(pv, v.dtype)))
 
+    # -- mesh execution (engine mesh=...): jitted shard_map step builders
+    # over the caches pytree --
+    def make_mesh_steps(self, mesh, params):
+        from ..parallel import tp as tp_lib
+
+        dstep = jax.jit(tp_lib.make_parallel_decode_step(self.cfg, mesh, params))
+        pfill = jax.jit(tp_lib.make_parallel_prefill(self.cfg, mesh, params))
+
+        def decode(params, caches, *a):
+            k, v = caches
+            logits, k, v = dstep(params, k, v, *a, self.rope_cache)
+            return logits, (k, v)
+
+        def prefill(params, caches, *a):
+            k, v = caches
+            logits, k, v = pfill(params, k, v, *a, self.rope_cache)
+            return logits, (k, v)
+
+        return decode, prefill
+
 
 class MixtralAdapter(LlamaAdapter):
     """Mixtral-style routed-MoE Llama (models/mixtral.py): identical
@@ -115,6 +135,8 @@ class MixtralAdapter(LlamaAdapter):
         from ..models import llama
 
         return tuple(llama.make_caches(self.cfg, num_pages, page_size))
+
+    make_mesh_steps = None  # no family-specific shard_map step yet
 
 
 class GptOssAdapter(MixtralAdapter):
@@ -177,6 +199,7 @@ class HybridGdnAdapter(LlamaAdapter):
                                   "(recurrent state is not prefix-shareable)")
 
     prefill_packed = None
+    make_mesh_steps = None
 
     def decode(self, params, caches, tokens, positions, page_tables,
                lengths, slot_loc, state_slots=None):
@@ -310,6 +333,25 @@ class DeepseekAdapter:
             max_kvb=max_kvb,
         )
         return logits, (kv,)
+
+    def make_mesh_steps(self, mesh, params):
+        assert not self.use_nsa, "NSA has no mesh TP step yet (dense MLA only)"
+        from ..parallel import tp as tp_lib
+
+        dstep = jax.jit(tp_lib.make_parallel_deepseek_decode_step(self.cfg, mesh, params))
+        pfill = jax.jit(tp_lib.make_parallel_deepseek_prefill(self.cfg, mesh, params))
+
+        def decode(params, caches, *a):
+            (kv,) = caches
+            logits, kv = dstep(params, kv, *a, self.rope_cache)
+            return logits, (kv,)
+
+        def prefill(params, caches, *a):
+            (kv,) = caches
+            logits, kv = pfill(params, kv, *a, self.rope_cache)
+            return logits, (kv,)
+
+        return decode, prefill
 
     # -- PD disaggregation: whole-page latent (+ indexer) movement --
     def extract_pages(self, caches, page_ids):

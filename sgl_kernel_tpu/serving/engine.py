@@ -19,7 +19,7 @@ import numpy as np
 
 from ..models import llama
 from ..ops.sampling import sample_tokens
-from .adapters import LlamaAdapter, adapter_for
+from .adapters import adapter_for
 from ..utils import cdiv
 from ..utils.metrics import Metrics, logger
 
@@ -128,13 +128,10 @@ class Engine:
         self.mesh = mesh
         self._pstep = self._pprefill = None
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            from ..parallel import tp as tp_lib
-
-            assert isinstance(self.adapter, LlamaAdapter), "mesh TP path is llama-family only (parallel/tp.py)"
+            builder = getattr(self.adapter, "make_mesh_steps", None)
+            assert builder is not None, f"no mesh TP path for {self.adapter.name} (parallel/tp.py)"
             assert mesh.shape.get("dp", 1) == 1, "dp>1 needs per-shard page pools"
-            self._pstep = jax.jit(tp_lib.make_parallel_decode_step(cfg, mesh, params))
-            self._pprefill = jax.jit(tp_lib.make_parallel_prefill(cfg, mesh, params))
+            self._pstep, self._pprefill = builder(mesh, params)
         # families without an extend-prefill program can't consume cached
         # prefixes or chunk prompts — auto-disable instead of failing later
         if not getattr(self.adapter, "supports_extend", True):
@@ -433,13 +430,11 @@ class Engine:
         slot_loc[0, :s] = [self._slot(req, p) for p in range(pre, end)]
         if pre == 0:
             if self._pprefill is not None:
-                k, v = self.caches
-                logits, k, v = self._pprefill(
-                    self.params, k, v,
+                logits, self.caches = self._pprefill(
+                    self.params, self.caches,
                     jnp.asarray(tokens), jnp.asarray(positions),
-                    jnp.asarray([s], jnp.int32), jnp.asarray(slot_loc), self.rope_cache,
+                    jnp.asarray([s], jnp.int32), jnp.asarray(slot_loc),
                 )
-                self.caches = (k, v)
             else:
                 kw = ({"state_slots": jnp.asarray([req.state_slot], jnp.int32)}
                       if self._stateful else {})
@@ -525,13 +520,11 @@ class Engine:
             lengths[i] = r.seq_len
             slot_loc[i] = self._slot(r, pos)
         if self._pstep is not None:
-            k, v = self.caches
-            logits, k, v = self._pstep(
-                self.params, k, v,
+            logits, self.caches = self._pstep(
+                self.params, self.caches,
                 jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
-                jnp.asarray(lengths), jnp.asarray(slot_loc), self.rope_cache,
+                jnp.asarray(lengths), jnp.asarray(slot_loc),
             )
-            self.caches = (k, v)
         else:
             kw = {}
             if self._stateful:

@@ -143,3 +143,23 @@ class TestDeepseekEngine:
         rids = [eng.add_request(p, max_new_tokens=4) for p in prompts]
         eng.run_until_done()
         assert [eng.finished[r].output for r in rids] == refs
+
+
+class TestDeepseekMeshEngine:
+    def test_mesh_engine_matches_single(self, rng):
+        """DeepSeek engine over a tp=2 mesh (adapter-built shard_map steps)
+        emits the same greedy tokens as the single-device engine."""
+        from sgl_kernel_tpu.parallel import mesh as mesh_lib
+
+        cfg = deepseek.DeepseekConfig.tiny()
+        params = deepseek.init_weights(cfg, jax.random.PRNGKey(0))
+        prompt = rng.integers(0, cfg.vocab_size, 9).astype(np.int32).tolist()
+        e0 = Engine(cfg, params, num_pages=16, page_size=16, enable_prefix_cache=False)
+        r0 = e0.add_request(prompt, max_new_tokens=5)
+        e0.run_until_done()
+        mesh = mesh_lib.make_mesh({"dp": 1, "tp": 2})
+        e1 = Engine(cfg, params, num_pages=16, page_size=16,
+                    enable_prefix_cache=False, mesh=mesh)
+        r1 = e1.add_request(prompt, max_new_tokens=5)
+        e1.run_until_done()
+        assert e1.finished[r1].output == e0.finished[r0].output
