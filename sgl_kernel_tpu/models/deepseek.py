@@ -405,10 +405,10 @@ def prefill_packed(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
     return logits, kv_cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "prefix_max"), donate_argnums=(2,))
+@functools.partial(jax.jit, static_argnames=("cfg", "prefix_max", "tp_axis"), donate_argnums=(2,))
 def prefill_extend(params, cfg: DeepseekConfig, kv_cache, tokens, positions,
                    q_lens, kv_lens, page_tables, slot_loc, rope_cache, *,
-                   prefix_max: int):
+                   prefix_max: int, tp_axis=None):
     """Chunked/extend MLA prefill: the q tokens are the suffix of sequences
     whose prefix LATENTS already live in the paged cache (radix prefix
     reuse / chunked prompt ingestion). Two-pass design as the GQA analog
@@ -464,7 +464,7 @@ def prefill_extend(params, cfg: DeepseekConfig, kv_cache, tokens, positions,
             jnp.swapaxes(l2, 1, 2).reshape(b * s, cfg.num_heads),
         )
         attn = om.reshape(b * s, cfg.num_heads, D_LATENT)
-        x = x + _mla_out(attn, lw, lidx, cfg, b * s)
+        x = x + _maybe_psum(_mla_out(attn, lw, lidx, cfg, b * s), tp_axis)
         h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
         is_dense = lidx < cfg.num_dense_layers
         mlp = jax.lax.cond(
@@ -546,10 +546,10 @@ def _indexer_select(h, lw, lidx, cfg, positions, lengths, page_tables,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnames=("cfg", "tp_axis"), donate_argnums=(2, 3, 4))
 def decode_step_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
                     tokens, positions, page_tables, lengths, slot_loc,
-                    rope_cache, idx_rope_cache):
+                    rope_cache, idx_rope_cache, *, tp_axis=None):
     """NSA decode step: per layer, the fp8 indexer scores every cached
     token (streaming Pallas kernel), fast_topk picks ``index_topk`` tokens,
     and sparse MLA attends only to the gathered latent rows — O(topk)
@@ -580,13 +580,13 @@ def decode_step_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
             q_lat, q_pe, cache.reshape(l * pool_tokens, dd), slots_off,
             sm_scale=_sm_scale(cfg),
         )
-        x = x + _mla_out(attn, lw, lidx, cfg, b)
+        x = x + _maybe_psum(_mla_out(attn, lw, lidx, cfg, b), tp_axis)
         h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
         is_dense = lidx < cfg.num_dense_layers
         mlp = jax.lax.cond(
             is_dense,
-            lambda h2: _silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx),
-            lambda h2: _moe_block(h2, lw, lidx, cfg),
+            lambda h2: _maybe_psum(_silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx), tp_axis),
+            lambda h2: _moe_block(h2, lw, lidx, cfg, tp_axis),
             h2,
         )
         return (x + mlp, cache, ik, isc), None
@@ -598,9 +598,9 @@ def decode_step_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
     return logits, kv_cache, idx_k, idx_s
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnames=("cfg", "tp_axis"), donate_argnums=(2, 3, 4))
 def prefill_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s, tokens,
-                positions, q_lens, slot_loc, rope_cache, idx_rope_cache):
+                positions, q_lens, slot_loc, rope_cache, idx_rope_cache, *, tp_axis=None):
     """Dense causal prefill that ALSO ingests the per-layer indexer keys so
     subsequent decode_step_nsa steps can score the full history."""
     b, s = tokens.shape
@@ -624,13 +624,13 @@ def prefill_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s, tokens,
             kv_row.reshape(b, s, D_CKV),
             q_lens, q_lens, sm_scale=_sm_scale(cfg),
         ).reshape(b * s, cfg.num_heads, D_LATENT)
-        x = x + _mla_out(attn, lw, lidx, cfg, b * s)
+        x = x + _maybe_psum(_mla_out(attn, lw, lidx, cfg, b * s), tp_axis)
         h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
         is_dense = lidx < cfg.num_dense_layers
         mlp = jax.lax.cond(
             is_dense,
-            lambda h2: _silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx),
-            lambda h2: _moe_block(h2, lw, lidx, cfg),
+            lambda h2: _maybe_psum(_silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx), tp_axis),
+            lambda h2: _moe_block(h2, lw, lidx, cfg, tp_axis),
             h2,
         )
         return (x + mlp, cache, ik, isc), None
@@ -645,11 +645,11 @@ def prefill_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s, tokens,
     return logits, kv_cache, idx_k, idx_s
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "prefix_max"), donate_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnames=("cfg", "prefix_max", "tp_axis"), donate_argnums=(2, 3, 4))
 def prefill_extend_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
                        tokens, positions, q_lens, kv_lens, page_tables,
                        slot_loc, rope_cache, idx_rope_cache, *,
-                       prefix_max: int):
+                       prefix_max: int, tp_axis=None):
     """Chunked/extend NSA prefill: the dense two-pass MLA extend
     (prefill_extend) plus per-chunk indexer-key ingest, so later
     decode_step_nsa steps can score the whole history. Indexer ingest is
@@ -698,13 +698,13 @@ def prefill_extend_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
             o2.reshape(b * s, cfg.num_heads, D_LATENT),
             jnp.swapaxes(l2, 1, 2).reshape(b * s, cfg.num_heads),
         )
-        x = x + _mla_out(om.reshape(b * s, cfg.num_heads, D_LATENT), lw, lidx, cfg, b * s)
+        x = x + _maybe_psum(_mla_out(om.reshape(b * s, cfg.num_heads, D_LATENT), lw, lidx, cfg, b * s), tp_axis)
         h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
         is_dense = lidx < cfg.num_dense_layers
         mlp = jax.lax.cond(
             is_dense,
-            lambda h2: _silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx),
-            lambda h2: _moe_block(h2, lw, lidx, cfg),
+            lambda h2: _maybe_psum(_silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx), tp_axis),
+            lambda h2: _moe_block(h2, lw, lidx, cfg, tp_axis),
             h2,
         )
         return (x + mlp, cache, ik, isc), None

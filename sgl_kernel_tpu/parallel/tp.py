@@ -243,3 +243,46 @@ def make_parallel_deepseek_prefill(cfg, mesh: Mesh, params):
         out_specs=(P("dp", None), cache_spec),
         check_vma=False,
     )
+
+
+def make_parallel_deepseek_nsa_steps(cfg, mesh: Mesh, params, idx_rope_cache):
+    """NSA decode/prefill under TP: heads/experts/intermediates shard as in
+    the dense MLA step; the fp8 indexer (weights, pools, scoring, topk) is
+    REPLICATED per shard — it is MQA-style and cheap relative to sparse
+    MLA, and replicating keeps the selected token set bit-identical across
+    shards. Latent + indexer pools replicate over tp (dp=1 pools)."""
+    from ..models import deepseek
+
+    tpn = mesh.shape["tp"]
+    cfg_local = deepseek_local_config(cfg, tpn)
+    # indexer projections act on replicated hidden states with GLOBAL idx
+    # heads — keep the global count in the local config
+    cfg_local = dataclasses.replace(cfg_local, idx_heads=cfg.idx_heads)
+    pspecs = _ds_param_specs(params)
+    cache_spec = P(None, "dp", None, None)
+    flat = P(None)  # idx pools [L*P*page(, D)] replicated (dp = 1)
+    idx_k_spec = P(None, None)
+
+    def dstep(params, kv, idx_k, idx_s, *a):
+        return deepseek.decode_step_nsa(
+            params, cfg_local, kv, idx_k, idx_s, *a, tp_axis="tp")
+
+    def pstep(params, kv, idx_k, idx_s, *a):
+        return deepseek.prefill_nsa(
+            params, cfg_local, kv, idx_k, idx_s, *a, tp_axis="tp")
+
+    decode_sm = shard_map(
+        dstep, mesh=mesh,
+        in_specs=(pspecs, cache_spec, idx_k_spec, flat, P("dp"), P("dp"),
+                  P("dp", None), P("dp"), P("dp"), P(None, None), P(None, None)),
+        out_specs=(P("dp", None), cache_spec, idx_k_spec, flat),
+        check_vma=False,
+    )
+    prefill_sm = shard_map(
+        pstep, mesh=mesh,
+        in_specs=(pspecs, cache_spec, idx_k_spec, flat, P("dp", None),
+                  P("dp", None), P("dp"), P("dp", None), P(None, None), P(None, None)),
+        out_specs=(P("dp", None), cache_spec, idx_k_spec, flat),
+        check_vma=False,
+    )
+    return decode_sm, prefill_sm

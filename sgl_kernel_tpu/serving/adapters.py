@@ -335,8 +335,26 @@ class DeepseekAdapter:
         return logits, (kv,)
 
     def make_mesh_steps(self, mesh, params):
-        assert not self.use_nsa, "NSA has no mesh TP step yet (dense MLA only)"
         from ..parallel import tp as tp_lib
+
+        if self.use_nsa:
+            dstep, pfill = tp_lib.make_parallel_deepseek_nsa_steps(
+                self.cfg, mesh, params, self.idx_rope_cache)
+            dstep, pfill = jax.jit(dstep), jax.jit(pfill)
+
+            def decode(params, caches, *a):
+                kv, ik, isc = caches
+                logits, kv, ik, isc = dstep(params, kv, ik, isc, *a,
+                                            self.rope_cache, self.idx_rope_cache)
+                return logits, (kv, ik, isc)
+
+            def prefill(params, caches, *a):
+                kv, ik, isc = caches
+                logits, kv, ik, isc = pfill(params, kv, ik, isc, *a,
+                                            self.rope_cache, self.idx_rope_cache)
+                return logits, (kv, ik, isc)
+
+            return decode, prefill
 
         dstep = jax.jit(tp_lib.make_parallel_deepseek_decode_step(self.cfg, mesh, params))
         pfill = jax.jit(tp_lib.make_parallel_deepseek_prefill(self.cfg, mesh, params))

@@ -163,3 +163,25 @@ class TestDeepseekMeshEngine:
         r1 = e1.add_request(prompt, max_new_tokens=5)
         e1.run_until_done()
         assert e1.finished[r1].output == e0.finished[r0].output
+
+    def test_nsa_mesh_engine_matches_single(self, rng):
+        """NSA over a tp=2 mesh (replicated indexer, sharded heads/experts)
+        == single-device NSA engine."""
+        from sgl_kernel_tpu.parallel import mesh as mesh_lib
+
+        cfg = deepseek.DeepseekConfig.tiny(nsa=True, idx_dim=32, idx_heads=2,
+                                           index_topk=128)
+        params = deepseek.init_weights(cfg, jax.random.PRNGKey(0))
+        prompt = rng.integers(0, cfg.vocab_size, 9).astype(np.int32).tolist()
+        e0 = Engine(cfg, params, num_pages=16, page_size=16,
+                    enable_prefix_cache=False,
+                    adapter=DeepseekAdapter(cfg, use_nsa=True))
+        r0 = e0.add_request(prompt, max_new_tokens=5)
+        e0.run_until_done()
+        mesh = mesh_lib.make_mesh({"dp": 1, "tp": 2})
+        e1 = Engine(cfg, params, num_pages=16, page_size=16,
+                    enable_prefix_cache=False, mesh=mesh,
+                    adapter=DeepseekAdapter(cfg, use_nsa=True))
+        r1 = e1.add_request(prompt, max_new_tokens=5)
+        e1.run_until_done()
+        assert e1.finished[r1].output == e0.finished[r0].output
