@@ -258,7 +258,11 @@ def fp8_mqa_logits(q_fp8, kv_fp8, weights, ks, ke, clean_logits: bool = False):
     ) * k_scale[None, :].astype(jnp.float32)
     j = jnp.arange(kf.shape[0], dtype=jnp.int32)[None, :]
     mask = (j >= ks[:, None]) & (j < ke[:, None])
-    return jnp.where(mask, score, 0.0)
+    # clean_logits (reference contract): out-of-window scores become -inf
+    # so a direct top_k can never select invisible positions (0.0 would
+    # outrank in-window negatives — gate weights can be negative)
+    fill = -jnp.inf if clean_logits else 0.0
+    return jnp.where(mask, score, fill)
 
 
 @functools.partial(jax.jit, static_argnames=("topk",))
@@ -297,11 +301,15 @@ def fast_topk_transform_ragged_fused(logits, ks, ke, src_page_table, page_size: 
     nq, nk = logits.shape
     j = jnp.arange(nk, dtype=jnp.int32)[None, :]
     masked = jnp.where((j >= ks[:, None]) & (j < ke[:, None]), logits, -jnp.inf)
-    _, idx = jax.lax.top_k(masked, topk)
+    k = min(topk, nk)  # short KV (< topk cached tokens) clamps like fast_topk
+    _, idx = jax.lax.top_k(masked, k)
     valid = jnp.take_along_axis(masked, idx, axis=1) > -jnp.inf
     pages = jnp.take_along_axis(src_page_table, idx // page_size, axis=1)
     slots = pages * page_size + idx % page_size
-    return jnp.where(valid, slots, -1)
+    out = jnp.where(valid, slots, -1)
+    if k < topk:
+        out = jnp.pad(out, ((0, 0), (0, topk - k)), constant_values=-1)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale",))
@@ -368,7 +376,8 @@ def fused_k_indexer_norm_rope_quant_store(
     return idx_cache, idx_scale_cache
 
 
-def fused_q_indexer_rope_hadamard_quant(q, positions, cos_sin_cache, *, eps: float = 1e-10):
+@jax.jit
+def fused_q_indexer_rope_hadamard_quant(q, positions, cos_sin_cache):
     """DSv4 q-indexer preprocessing (reference
     fused_q_indexer_rope_hadamard_quant_torch.py): RoPE the query, apply a
     128-point Walsh-Hadamard rotation (1/sqrt(D) normalized), then

@@ -225,7 +225,9 @@ def gdn_attention_prefill(
     q = conv_out[..., :nk].reshape(bsz, s, num_k_heads, head_k_dim)
     k = conv_out[..., nk : 2 * nk].reshape(bsz, s, num_k_heads, head_k_dim)
     v = conv_out[..., 2 * nk :].reshape(bsz, s, num_v_heads, head_v_dim)
-    q = l2norm(q)
+    # reference q scale: HF modeling_qwen3_next torch_chunk/recurrent_
+    # gated_delta_rule applies q * dk**-0.5 AFTER the L2 norm
+    q = l2norm(q) * (head_k_dim ** -0.5)
     k = l2norm(k)
     # broadcast k-heads to v-heads (GQA-style grouping)
     g_rep = num_v_heads // num_k_heads
@@ -263,7 +265,7 @@ def gdn_attention_decode(
     mixed = jnp.concatenate([q.reshape(bsz, -1), k.reshape(bsz, -1), v.reshape(bsz, -1)], axis=-1)
     conv_out, conv_state = causal_conv1d_update(mixed, conv_state, conv_weight, conv_bias, activation=activation)
     nk = num_k_heads * head_k_dim
-    q = l2norm(conv_out[..., :nk].reshape(bsz, num_k_heads, head_k_dim))
+    q = l2norm(conv_out[..., :nk].reshape(bsz, num_k_heads, head_k_dim)) * (head_k_dim ** -0.5)
     k = l2norm(conv_out[..., nk : 2 * nk].reshape(bsz, num_k_heads, head_k_dim))
     v = conv_out[..., 2 * nk :].reshape(bsz, num_v_heads, head_v_dim)
     g_rep = num_v_heads // num_k_heads

@@ -254,3 +254,38 @@ class TestKIndexerIngest:
         np.testing.assert_allclose(got[4], np.asarray(q8, np.float32)[2, 0], rtol=2e-2, atol=2e-2)
         assert np.all(got[2] == 0)  # dropped row untouched
         np.testing.assert_allclose(np.asarray(sc2)[1], np.asarray(qs).reshape(-1)[0], rtol=1e-4)
+
+
+class TestNsaRegressions:
+    def test_ragged_topk_short_kv(self, rng):
+        """KV width < topk must clamp + pad with -1, not crash (trace-time
+        ValueError before the fix)."""
+        from sgl_kernel_tpu.ops.attention.nsa import fast_topk_transform_ragged_fused
+
+        nq, nk, page = 4, 64, 16
+        logits = jnp.asarray(rng.standard_normal((nq, nk)), jnp.float32)
+        ks = jnp.zeros(nq, jnp.int32)
+        ke = jnp.asarray([10, 64, 1, 30], jnp.int32)
+        table = jnp.asarray(rng.integers(0, 8, (nq, nk // page)), jnp.int32)
+        out = fast_topk_transform_ragged_fused(logits, ks, ke, table, page)
+        assert out.shape == (nq, 2048)
+        n_valid = (np.asarray(out) >= 0).sum(axis=1)
+        np.testing.assert_array_equal(n_valid, [10, 64, 1, 30])
+
+    def test_mqa_logits_clean_masks_inf(self, rng):
+        """clean_logits=True: out-of-window positions are -inf (a direct
+        top_k can never select them even when in-window scores are
+        negative — reference ref_fp8_mqa_logits contract)."""
+        from sgl_kernel_tpu.ops.attention.nsa import fp8_mqa_logits
+
+        nq, h, d, t = 2, 2, 32, 16
+        q = jnp.asarray(rng.standard_normal((nq, h, d)), jnp.float8_e4m3fn)
+        kv = jnp.asarray(rng.standard_normal((t, d)), jnp.float8_e4m3fn)
+        sc = jnp.ones(t, jnp.float32)
+        w = jnp.asarray(-np.abs(rng.standard_normal((nq, h))), jnp.float32)
+        ks = jnp.asarray([2, 0], jnp.int32)
+        ke = jnp.asarray([10, 5], jnp.int32)
+        out = fp8_mqa_logits(q, (kv, sc), w, ks, ke, clean_logits=True)
+        o = np.asarray(out)
+        assert np.isneginf(o[0, :2]).all() and np.isneginf(o[0, 10:]).all()
+        assert np.isneginf(o[1, 5:]).all() and np.isfinite(o[1, :5]).all()
