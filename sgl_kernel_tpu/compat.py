@@ -39,8 +39,8 @@ store_cache_xpu = _kv.store_cache
 transfer_kv_direct = _kv.transfer_kv_per_layer
 transfer_kv_all_layer_direct_lf_pf = _kv.transfer_kv_all_layer_lf_pf
 transfer_kv_per_layer_direct_pf_lf = _kv.transfer_kv_per_layer_pf_lf
-transfer_kv_all_layer_mla_lf_pf = _kv.transfer_kv_all_layer_lf_pf
-transfer_kv_per_layer_mla_pf_lf = _kv.transfer_kv_per_layer_pf_lf
+transfer_kv_all_layer_mla_lf_pf = _kv.transfer_kv_all_layer_mla_lf_pf
+transfer_kv_per_layer_mla_pf_lf = _kv.transfer_kv_per_layer_mla_pf_lf
 
 # --- top-k (TopKTransform.cpp v2 = same contract, tuned differently) ---
 fast_topk_v2 = _fast_topk

@@ -105,9 +105,10 @@ def store_cache_all_layers_xla(k_all, v_all, k_pool, v_pool, loc):
     l, p, h, page, d = k_pool.shape
     slot = _page_major_slots(loc, p, h, page)  # [T, H]
     rows = (jnp.arange(l) * (p * h * page))[:, None, None] + slot[None]  # [L, T, H]
-    # re-apply the drop encoding: per-layer OOB offsets would land in the
-    # NEXT layer's region of the flat view
-    rows = jnp.where((loc >= 0)[None, :, None], rows, l * p * h * page)
+    # re-apply the drop encoding: per-layer OOB offsets (negative OR past
+    # the pool) would land in the NEXT layer's region of the flat view
+    in_range = (loc >= 0) & (loc < p * page)
+    rows = jnp.where(in_range[None, :, None], rows, l * p * h * page)
     fk = k_pool.reshape(l * p * h * page, d)
     fv = v_pool.reshape(l * p * h * page, d)
     fk = fk.at[rows].set(k_all.astype(k_pool.dtype), mode="drop")
@@ -261,7 +262,6 @@ def transfer_kv_all_layer_mla(src_layers, dst_layers, src_indices, dst_indices):
 @jax.jit
 def transfer_kv_all_layer_lf_pf(src_k_layers, src_v_layers, dst_pf, src_indices, dst_indices):
     """lf [L, T, item] (x2 for k/v) -> pf [T, 2L, item] staging pool."""
-    l = src_k_layers.shape[0]
     kv = jnp.concatenate([src_k_layers[:, src_indices], src_v_layers[:, src_indices]], axis=0)  # [2L, n, item]
     return dst_pf.at[dst_indices].set(jnp.swapaxes(kv, 0, 1).astype(dst_pf.dtype))
 
@@ -275,6 +275,24 @@ def transfer_kv_per_layer_pf_lf(src_pf, dst_k, dst_v, src_indices, dst_indices, 
     k_rows = jnp.take_along_axis(rows, idx, axis=1)[:, 0]
     v_rows = jnp.take_along_axis(rows, idx + l, axis=1)[:, 0]
     return dst_k.at[dst_indices].set(k_rows.astype(dst_k.dtype)), dst_v.at[dst_indices].set(v_rows.astype(dst_v.dtype))
+
+
+@jax.jit
+def transfer_kv_all_layer_mla_lf_pf(src_layers, dst_pf, src_indices, dst_indices):
+    """MLA single-pool lf [L, T, item] -> pf [T, L, item] staging (the
+    reference's transfer_kv_all_layer_mla_lf_pf: one latent pool, no K/V
+    pair — KVCacheIO.cpp MLA entry points)."""
+    rows = jnp.swapaxes(src_layers[:, src_indices], 0, 1)  # [n, L, item]
+    return dst_pf.at[dst_indices].set(rows.astype(dst_pf.dtype))
+
+
+@jax.jit
+def transfer_kv_per_layer_mla_pf_lf(src_pf, dst, src_indices, dst_indices, layer_id: jax.Array):
+    """pf [T, L, *item] -> MLA lf one layer [T, *item]."""
+    rows = src_pf[src_indices]  # [n, L, *item]
+    idx = jnp.full((rows.shape[0], 1) + (1,) * (rows.ndim - 2), layer_id)
+    sel = jnp.take_along_axis(rows, idx, axis=1)[:, 0]
+    return dst.at[dst_indices].set(sel.astype(dst.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("page_size",))
@@ -303,16 +321,51 @@ def transfer_kv_per_layer_ph_lf(src_ph, dst_k, dst_v, src_page_ids, dst_page_ids
     return dst_k.at[tok].set(k_rows.astype(dst_k.dtype)), dst_v.at[tok].set(v_rows.astype(dst_v.dtype))
 
 
+def _placement_device(x):
+    """The device x already lives on (preserves mesh placement for sharded
+    HiCache round-trips) or the default device for host arrays."""
+    devs = getattr(x, "devices", None)
+    if callable(devs):
+        ds = list(devs())
+        if len(ds) == 1:
+            return ds[0]
+    return jax.devices()[0]
+
+
+def _supports_pinned_host() -> bool:
+    return "pinned_host" in getattr(jax.devices()[0], "memory_spaces_by_kind",
+                                    lambda: {"pinned_host": None})()         if False else any(
+        m.kind == "pinned_host" for m in getattr(jax.devices()[0], "addressable_memories", lambda: [])()
+    )
+
+
+_PINNED_OK = None
+
+
 def to_host(x):
-    """Move an array to pinned host memory (HiCache staging tier)."""
-    try:
-        return jax.device_put(x, jax.sharding.SingleDeviceSharding(jax.devices()[0], memory_kind="pinned_host"))
-    except Exception:  # CPU backend has no pinned_host memory space
-        return jax.device_put(x)
+    """Move an array to pinned host memory (HiCache staging tier) on the
+    SAME device it lives on. The pinned_host probe runs once; backends
+    without the memory space (CPU tests) fall back to default placement —
+    real placement failures are NOT swallowed."""
+    global _PINNED_OK
+    if _PINNED_OK is None:
+        try:
+            _PINNED_OK = _supports_pinned_host()
+        except Exception:
+            _PINNED_OK = False
+    dev = _placement_device(x)
+    if not _PINNED_OK:
+        return jax.device_put(x, dev)
+    return jax.device_put(x, jax.sharding.SingleDeviceSharding(dev, memory_kind="pinned_host"))
 
 
 def to_device(x):
+    """Move a (possibly pinned-host) array back to device memory, on the
+    device it is already associated with."""
+    dev = _placement_device(x)
+    if not _PINNED_OK and _PINNED_OK is not None:
+        return jax.device_put(x, dev)
     try:
-        return jax.device_put(x, jax.sharding.SingleDeviceSharding(jax.devices()[0], memory_kind="device"))
-    except Exception:
-        return jax.device_put(x)
+        return jax.device_put(x, jax.sharding.SingleDeviceSharding(dev, memory_kind="device"))
+    except ValueError:  # backend without named memory kinds
+        return jax.device_put(x, dev)

@@ -58,14 +58,12 @@ def _deq_q8_0(blocks):
 def _q4k_scales(sc12):
     """12 packed bytes -> (scales [8], mins [8]) 6-bit each (ggml layout)."""
     sc12 = sc12.astype(jnp.int32)
-    j = jnp.arange(8)
     lo = sc12[..., :8]
     sc_lo = lo[..., :4] & 63
     m_lo = lo[..., 4:8] & 63
     hi = sc12[..., 8:12]
     sc_hi = (hi & 0xF) | ((lo[..., :4] >> 6) << 4)
     m_hi = (hi >> 4) | ((lo[..., 4:8] >> 6) << 4)
-    del j
     return (
         jnp.concatenate([sc_lo, sc_hi], axis=-1).astype(jnp.float32),
         jnp.concatenate([m_lo, m_hi], axis=-1).astype(jnp.float32),
@@ -139,7 +137,12 @@ def ggml_moe_a8(x, qweight_experts, topk_ids, quant_type: int, row: int, top_k: 
     w = jax.vmap(lambda qw: ggml_dequantize(qw, quant_type, row, k, jnp.bfloat16))(qweight_experts)
     xe = jnp.repeat(x, top_k, axis=0).astype(jnp.bfloat16)  # [T*top_k, K]
     eid = topk_ids.reshape(-1)
-    out = jnp.einsum("td,tnd->tn", xe, w[eid], preferred_element_type=jnp.float32)
+    # contract against the [E, row, K] bank with a per-expert routing mask
+    # instead of gathering w[eid] ([T*top_k, row, K] — 64 GiB at serving
+    # shapes). One [T*top_k, E, row] einsum then a mask-select keeps the
+    # intermediate at activations scale.
+    all_out = jnp.einsum("td,end->ten", xe, w, preferred_element_type=jnp.float32)
+    out = jnp.take_along_axis(all_out, eid[:, None, None], axis=1)[:, 0]
     return out.astype(x.dtype)
 
 

@@ -104,7 +104,7 @@ def marlin_unpermute_scales(scales, *, size_k: int, size_n: int, group_size: int
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "num_bits"))
-def gptq_marlin_to_tpu_layout(qweight, scales, *, group_size: int = 128, num_bits: int = 4):
+def gptq_marlin_to_tpu_layout(qweight, scales, g_idx=None, *, group_size: int = 128, num_bits: int = 4):
     """Convert a GPTQ-Marlin checkpoint (qweight int32 [K/16, N*2] for
     4-bit, scales [K/G * N / 64-chunked marlin order]) into the kernel
     layout (packed uint8 [K//2, N], scales f32 [K//G, N], zeros None).
@@ -112,7 +112,16 @@ def gptq_marlin_to_tpu_layout(qweight, scales, *, group_size: int = 128, num_bit
     GPTQ-Marlin is symmetric with implicit zero-point 8, which maps exactly
     onto the kernel's signed-nibble decode (reference parity surface:
     gptq_marlin_repack, tests/test_marlin_repack.py:84-140 — inverted for
-    TPU ingestion, see module docstring)."""
+    TPU ingestion, see module docstring).
+
+    desc_act (act-order) checkpoints: Marlin repack pre-sorts the K rows
+    by g_idx, so the unpacked codes here are already group-contiguous —
+    pass the checkpoint's ``g_idx`` to ALSO receive the activation
+    permutation ``perm = argsort(g_idx)`` that callers must apply to the
+    activation channels (``a[:, perm]``), the gptq_to_tpu_layout
+    contract. Omitting g_idx for an act-order checkpoint silently
+    mis-orders K against the activations — returns a 4-tuple whenever
+    g_idx is given."""
     if num_bits != 4:
         raise NotImplementedError("TPU W4 kernels are 4-bit; repack 8-bit to int8 scaled_mm instead")
     pack = 32 // num_bits
@@ -126,4 +135,7 @@ def gptq_marlin_to_tpu_layout(qweight, scales, *, group_size: int = 128, num_bit
         scales.astype(jnp.float32), size_k=size_k, size_n=size_n, group_size=group_size
     )
     assert s.shape == (size_k // g, size_n), s.shape
+    if g_idx is not None:
+        perm = jnp.argsort(g_idx.astype(jnp.int32), stable=True)
+        return packed, s.astype(jnp.bfloat16), None, perm
     return packed, s.astype(jnp.bfloat16), None

@@ -141,3 +141,39 @@ def test_store_all_layers_matrix(rng, dtype, page, t):
     k2, v2 = kvcache.store_cache_all_layers_xla(ka, va, kp, vp, loc)
     eq(k1, k2)
     eq(v1, v2)
+
+
+class TestMlaStaging:
+    def test_mla_lf_pf_roundtrip(self, rng):
+        """MLA single-pool lf -> pf staging -> lf one layer: exact bits
+        (the compat aliases transfer_kv_*_mla_* bind to these)."""
+        from sgl_kernel_tpu.ops.kvcache import (
+            transfer_kv_all_layer_mla_lf_pf, transfer_kv_per_layer_mla_pf_lf)
+
+        l, t, d, n = 3, 32, 64, 8
+        src = jnp.asarray(rng.standard_normal((l, t, d)), jnp.bfloat16)
+        pf = jnp.zeros((t, l, d), jnp.bfloat16)
+        si = jnp.asarray(rng.permutation(t)[:n], jnp.int32)
+        di = jnp.asarray(rng.permutation(t)[:n], jnp.int32)
+        pf = transfer_kv_all_layer_mla_lf_pf(src, pf, si, di)
+        for lid in range(l):
+            dst = jnp.zeros((t, d), jnp.bfloat16)
+            back = transfer_kv_per_layer_mla_pf_lf(pf, dst, di, si, jnp.int32(lid))
+            np.testing.assert_array_equal(
+                np.asarray(back[np.asarray(si)]), np.asarray(src[lid, np.asarray(si)]))
+
+    def test_all_layers_xla_drops_out_of_range(self, rng):
+        """Positive out-of-range slots must DROP, not write into the next
+        layer's region of the flat view (regression)."""
+        from sgl_kernel_tpu.ops.kvcache import store_cache_all_layers_xla
+
+        l, p, h, page, d = 2, 2, 2, 8, 16
+        kp = jnp.zeros((l, p, h, page, d)); vp = jnp.zeros((l, p, h, page, d))
+        k_all = jnp.asarray(rng.standard_normal((l, 3, h, d)), jnp.float32)
+        v_all = jnp.asarray(rng.standard_normal((l, 3, h, d)), jnp.float32)
+        loc = jnp.asarray([0, p * page, -1], jnp.int32)  # slot 1: past the pool
+        kp2, vp2 = store_cache_all_layers_xla(k_all, v_all, kp, vp, loc)
+        np.testing.assert_array_equal(np.asarray(kp2[0, 0, :, 0]), np.asarray(k_all[0, 0]))
+        # everything except the one valid token stays zero
+        kz = np.array(kp2); kz[0, 0, :, 0] = 0; kz[1, 0, :, 0] = 0
+        assert (kz == 0).all()
