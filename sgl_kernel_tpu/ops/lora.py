@@ -81,7 +81,11 @@ def embedding_lora_a_fwd(input_ids, weights, seg_indptr, weight_indices, lora_ra
     index extra_embeddings [num_loras, num_extra, max_rank] when given.
     """
     t = input_ids.shape[0]
-    num_loras, max_rank, vocab = weights.shape
+    num_loras, max_rank, table_vocab = weights.shape
+    # the LOGICAL vocab boundary may be smaller than the (padded) weight
+    # table: ids in [vocab_size, table_vocab) must route to
+    # extra_embeddings, not gather padding columns
+    vocab = table_vocab if vocab_size is None else vocab_size
     seg_ids = _expand_segment_ids(seg_indptr, t)
     adapter = weight_indices[seg_ids]
     in_vocab = input_ids < vocab

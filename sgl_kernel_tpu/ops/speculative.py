@@ -75,8 +75,11 @@ def verify_tree_greedy(
                 tok = tpred[cur]
                 preds = preds.at[cur].set(tok.astype(jnp.int32))
                 child = find_child(cur, tok)
-                new_count = jnp.where(child >= 0, count + 1, count)
-                return child, new_count, preds, accept
+                # a child found on the FINAL step has no accept slot left —
+                # do not count it (consumers read accept[:count+1])
+                last = i + 1 >= num_spec_step
+                new_count = jnp.where((child >= 0) & (~last), count + 1, count)
+                return jnp.where(last, -1, child), new_count, preds, accept
 
             return jax.lax.cond(cur >= 0, live, lambda a: a, (cur, count, preds, accept))
 
@@ -118,17 +121,26 @@ def tree_speculative_sampling_target_only(
         accept = jnp.full((num_spec_step,), -1, jnp.int32)
 
         def try_children(parent):
-            """Walk the sibling list; return accepted child or -1."""
+            """Walk the sibling list; return (accepted child or -1, residual
+            target distribution after the rejections).
+
+            Non-deterministic path = recursive rejection sampling
+            (SpecInfer/flashinfer): accept child tok with prob
+            min(1, p(tok)/q(tok)); on rejection the target residualizes
+            p <- norm(relu(p - q)) so the final fallback sample preserves
+            the target distribution exactly."""
+
+            q_d = dp[parent]
 
             def cond(state):
-                node, acc_p, accepted = state
+                node, acc_p, accepted, res = state
                 return (node >= 0) & (accepted < 0)
 
             def body(state):
-                node, acc_p, _ = state
+                node, acc_p, _, res = state
                 tok = cand[node]
-                p_t = tp[parent, tok]
-                p_d = dp[parent, tok]
+                p_t = res[tok]
+                p_d = q_d[tok]
                 acc_p = acc_p + p_t
                 det_ok = (p_t >= threshold_single) | (acc_p >= threshold_acc)
                 if deterministic:
@@ -136,11 +148,15 @@ def tree_speculative_sampling_target_only(
                 else:
                     ratio = jnp.where(p_d > 0, p_t / jnp.maximum(p_d, 1e-20), jnp.where(p_t > 0, 1.0, 0.0))
                     ok = det_ok | (coins[node] < ratio)
+                    new_res = jnp.maximum(res - q_d, 0.0)
+                    new_res = new_res / jnp.maximum(new_res.sum(), 1e-20)
+                    res = jnp.where(ok, res, new_res)
                 accepted = jnp.where(ok, node, -1)
-                return jnp.where(ok, node, sib[node]), acc_p, accepted
+                return jnp.where(ok, node, sib[node]), acc_p, accepted, res
 
-            _, _, accepted = jax.lax.while_loop(cond, body, (nxt[parent], jnp.float32(0), -1))
-            return accepted
+            _, _, accepted, res = jax.lax.while_loop(
+                cond, body, (nxt[parent], jnp.float32(0), -1, tp[parent].astype(jnp.float32)))
+            return accepted, res
 
         def step(i, state):
             cur, count, preds, accept = state
@@ -148,15 +164,22 @@ def tree_speculative_sampling_target_only(
             def live(args):
                 cur, count, preds, accept = args
                 accept = accept.at[i].set(ridx[cur].astype(jnp.int32))
-                child = try_children(cur)
+                child, res = try_children(cur)
                 # prediction at this node: the accepted child's token, else
-                # a fresh sample from the target distribution (argmax under
-                # deterministic near-one-hot targets)
-                final_tok = jnp.argmax(tp[cur]).astype(jnp.int32)
+                # a sample from the RESIDUAL target distribution — argmax
+                # when deterministic, inverse-CDF with the node's own coin
+                # otherwise (rejection-sampling correctness)
+                if deterministic:
+                    final_tok = jnp.argmax(tp[cur]).astype(jnp.int32)
+                else:
+                    csum = jnp.cumsum(res)
+                    u = coins[cur] * jnp.maximum(csum[-1], 1e-20)
+                    final_tok = jnp.clip(jnp.sum((csum < u).astype(jnp.int32)), 0, res.shape[0] - 1).astype(jnp.int32)
                 tok = jnp.where(child >= 0, cand[jnp.maximum(child, 0)].astype(jnp.int32), final_tok)
                 preds = preds.at[cur].set(tok)
-                count = jnp.where(child >= 0, count + 1, count)
-                return child, count, preds, accept
+                last = i + 1 >= num_spec_step
+                count = jnp.where((child >= 0) & (~last), count + 1, count)
+                return jnp.where(last, -1, child), count, preds, accept
 
             return jax.lax.cond(cur >= 0, live, lambda a: a, (cur, count, preds, accept))
 
@@ -188,13 +211,12 @@ def segment_packbits(x, input_indptr, output_indptr, out_size: int):
     return out.at[byte_idx].add(contrib, mode="drop")
 
 
-@functools.partial(jax.jit, static_argnames=("topk", "depth", "draft_token_num"))
+@functools.partial(jax.jit, static_argnames=("depth", "draft_token_num"))
 def build_tree_kernel_efficient(
     parent_list,
     selected_index,
     verified_seq_len,
     *,
-    topk: int,
     depth: int,
     draft_token_num: int,
 ):

@@ -288,3 +288,22 @@ class TestCompatLayer:
         ref128 = compression.compress_window(pool_kv[:128], pool_sc[:128], ape128)
         np.testing.assert_allclose(
             np.asarray(out128b)[0, 0], np.asarray(ref128), rtol=1e-4, atol=1e-5)
+
+
+def test_embedding_lora_padded_vocab_routes_to_extra(rng):
+    """vocab_size < padded table width: ids in the padding band must route
+    to extra_embeddings, not gather padding columns (regression)."""
+    from sgl_kernel_tpu.ops import lora
+    import jax.numpy as jnp
+
+    real_vocab, padded, rank = 10, 16, 4
+    w = rng.standard_normal((2, rank, padded)).astype(np.float32)
+    extra = rng.standard_normal((2, 4, rank)).astype(np.float32)
+    ids = jnp.asarray([3, 11], jnp.int32)  # 11 >= real_vocab -> extra[.., 1]
+    out = lora.embedding_lora_a_fwd(
+        ids, jnp.asarray(w), jnp.asarray([0, 2], jnp.int32),
+        jnp.asarray([1], jnp.int32), jnp.asarray([rank, rank], jnp.int32),
+        extra_embeddings=jnp.asarray(extra), vocab_size=real_vocab,
+    )
+    np.testing.assert_allclose(np.asarray(out[0]), w[1, :, 3], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[1]), extra[1, 1], rtol=1e-6)

@@ -162,3 +162,46 @@ class TestKvCache:
         dk2, dv2 = kvcache.transfer_kv_per_layer_ph_lf(ph2, dk, dv, dst_pages, jnp.asarray([0, 1], jnp.int32), jnp.int32(0), page)
         # page 1 of src layer 0 should land at dst page 0 (tokens 0..3)
         np.testing.assert_allclose(np.asarray(dk2)[:page], np.asarray(src_k)[0, page : 2 * page], rtol=1e-6)
+
+
+class TestSamplingEdgeCases:
+    def test_top_k_disabled_sentinel(self, rng):
+        """top_k <= 0 means 'no filtering' (SGLang/HF convention), not
+        top-1 (regression: clip turned 0/-1 into greedy)."""
+        from sgl_kernel_tpu.ops.sampling import top_k_renorm_probs
+
+        p = jnp.asarray(rng.random((3, 16)), jnp.float32)
+        p = p / p.sum(-1, keepdims=True)
+        for k in (0, -1):
+            out = top_k_renorm_probs(p, k)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(p), rtol=1e-6)
+
+    def test_top_p_zero_keeps_top1(self, rng):
+        from sgl_kernel_tpu.ops.sampling import top_p_renorm_probs
+
+        p = jnp.asarray(rng.random((2, 8)), jnp.float32)
+        p = p / p.sum(-1, keepdims=True)
+        out = np.asarray(top_p_renorm_probs(p, 0.0))
+        assert (out.sum(-1) > 0.99).all()
+        np.testing.assert_array_equal(out.argmax(-1), np.asarray(p).argmax(-1))
+        assert ((out > 0).sum(-1) == 1).all()
+
+    def test_sampler_never_emits_filtered_token(self, rng):
+        """Filtered (zero-probability) tokens must never be sampled even
+        when the float32 cumsum undershoots 1 (regression)."""
+        from sgl_kernel_tpu.ops.sampling import sampling_from_probs, top_k_renorm_probs
+
+        p = jnp.asarray(rng.random((4, 4096)), jnp.float32)
+        p = top_k_renorm_probs(p / p.sum(-1, keepdims=True), 7)
+        allowed = np.asarray(p) > 0
+        for i in range(20):
+            toks = np.asarray(sampling_from_probs(p, jax.random.PRNGKey(i)))
+            assert all(allowed[r, t] for r, t in enumerate(toks))
+
+    def test_per_token_temperature(self, rng):
+        from sgl_kernel_tpu.ops.sampling import sample_tokens
+
+        logits = jnp.asarray(rng.standard_normal((3, 32)), jnp.float32)
+        toks = sample_tokens(logits, jax.random.PRNGKey(0),
+                             temperature=jnp.asarray([0.5, 1.0, 2.0]))
+        assert toks.shape == (3,)

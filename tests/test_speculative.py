@@ -88,7 +88,7 @@ class TestBuildTree:
         selected = jnp.asarray([[0, 1, 2, 3]], jnp.int32)
         seq_len = jnp.asarray([10], jnp.int32)
         mask, pos, ridx, nxt, sib = build_tree_kernel_efficient(
-            parent_list, selected, seq_len, topk=2, depth=2, draft_token_num=5
+            parent_list, selected, seq_len, depth=2, draft_token_num=5
         )
         assert pos.tolist() == [[10, 11, 11, 12, 12]]
         assert ridx.tolist() == [[0, 1, 2, 3, 4]]
@@ -108,7 +108,7 @@ class TestBuildTree:
         parent_list = jnp.asarray([[-1, -1, 0, 1]], jnp.int32)
         selected = jnp.asarray([[0, 1, 2, 3]], jnp.int32)
         _, _, ridx, nxt, sib = build_tree_kernel_efficient(
-            parent_list, selected, jnp.asarray([0], jnp.int32), topk=2, depth=2, draft_token_num=5
+            parent_list, selected, jnp.asarray([0], jnp.int32), depth=2, draft_token_num=5
         )
         # tokens at nodes: root=7, n1=3, n2=5, n3=9, n4=2
         candidates = jnp.asarray([[7, 3, 5, 9, 2]], jnp.int32)
