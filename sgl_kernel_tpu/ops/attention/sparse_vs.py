@@ -129,8 +129,10 @@ def convert_vertical_slash_indexes(
                 # band [shift + end_m - s - block_M, shift + end_m - s)
                 ends = shift + end_m - s_idx[bb, hh]
                 ends = ends[(ends > 0)]
-                if causal:
-                    ends = np.minimum(ends, col_bound)
+                # clamp to the visible KV range in BOTH modes: unclamped
+                # non-causal ends schedule blocks past kv_len whose zero
+                # K rows outrank negative real logits in the softmax
+                ends = np.minimum(ends, col_bound)
                 ranges = sorted((max(int(e) - block_size_M, 0), int(e)) for e in ends if e > 0)
                 merged = []
                 for st, en in ranges:
@@ -141,16 +143,22 @@ def convert_vertical_slash_indexes(
                 blocks = []
                 for st, en in merged:
                     st_b = st // block_size_N * block_size_N
-                    while st_b < en and len(blocks) < ns:
+                    while st_b < en:
                         if not blocks or blocks[-1] != st_b:
                             blocks.append(st_b)
                         st_b += block_size_N
+                # a slash band can straddle two N-blocks, so up to 2*NS
+                # blocks may be needed; keep the NS nearest (largest) ends
+                # and let the EXCLUSION test below use only the KEPT blocks
+                # so dropped ranges stay covered by vertical columns
+                blocks = blocks[-ns:] if len(blocks) > ns else blocks
                 block_count[bb, hh, r] = len(blocks)
                 block_offset[bb, hh, r, : len(blocks)] = blocks
+                kept = [(bs, bs + block_size_N) for bs in blocks]
                 cols = [
                     int(c) for c in v_idx[bb, hh]
-                    if c < col_bound and not any(st <= c < en for st, en in merged)
-                    and not any(bs <= c < bs + block_size_N for bs in blocks)
+                    if 0 <= c < col_bound
+                    and not any(st <= c < en for st, en in kept)
                 ][:nv]
                 column_count[bb, hh, r] = len(cols)
                 column_index[bb, hh, r, : len(cols)] = cols
@@ -208,7 +216,10 @@ def build_vertical_slash_indexes(
     scores = jnp.einsum("hqd,hkd->hqk", qt, kt) * sm
     rows = s - last_q + jnp.arange(last_q)[:, None]
     cols = jnp.arange(s)[None, :]
-    scores = jnp.where(cols <= rows, jax.nn.softmax(scores, axis=-1), 0.0)
+    scores = jnp.where(cols <= rows, scores, -jnp.inf)  # mask BEFORE
+    # softmax: post-softmax zeroing lets future columns absorb mass and
+    # deflates the valid columns' estimated importance
+    scores = jax.nn.softmax(scores, axis=-1)
     col_mass = scores.sum(axis=1)  # [H, S]
     _, v_idx = jax.lax.top_k(col_mass, num_vertical)
     # diagonal mass: offset o = row - col in [0, S)

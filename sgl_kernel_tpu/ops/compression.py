@@ -48,8 +48,10 @@ def compress_sequence(kv, scores, ape, compress_ratio: int = 4):
         pad_sc = jnp.concatenate(
             [jnp.full((r, d), -jnp.inf, jnp.float32), scores[: n * r].astype(jnp.float32)], axis=0
         )
-        win_kv = jnp.stack([pad_kv[i * r : i * r + 2 * r] for i in range(n)])  # [n, 8, D]
-        win_sc = jnp.stack([pad_sc[i * r : i * r + 2 * r] for i in range(n)])
+        # one gather, not n traced slices (n = 32k at 128k-token prefills)
+        idx = jnp.arange(n)[:, None] * r + jnp.arange(2 * r)[None, :]
+        win_kv = pad_kv[idx]  # [n, 2r, D]
+        win_sc = pad_sc[idx]
         assert ape.shape[0] == 2 * r
     else:
         win_kv = kv[: n * r].reshape(n, r, d)
@@ -81,7 +83,9 @@ def plan_compress_decode(lengths, *, compress_ratio: int = 4, ring_size: int = 6
     """
     r = compress_ratio
     w = window or (2 * r if r == 4 else r)
-    event = (lengths % r) == 0
+    event = ((lengths % r) == 0) & (lengths > 0)  # len 0 (padded slot)
+    # must NOT fire: an all-(-1) window softmaxes over -inf -> NaN written
+    # into a live ring slot
     n_events = lengths // r  # events so far (1-based index of this event)
     # window covers positions [len - w, len)
     start = lengths - w

@@ -45,8 +45,15 @@ def compute_cos_sin_cache(
     """
     inv_freq = 1.0 / (base ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim))
     if low_freq_factor is not None:
-        # llama3 rope scaling
-        omax = float(original_max_position or max_position)
+        # llama3 rope scaling. The wavelength thresholds are defined in
+        # terms of the ORIGINAL (pre-extension) context: defaulting to the
+        # extended max_position would silently scale the wrong bands.
+        assert high_freq_factor is not None, "llama3 scaling needs BOTH freq factors"
+        assert original_max_position is not None, (
+            "llama3 scaling needs original_max_position (the pre-extension "
+            "context, e.g. 8192 for Llama-3) — max_position is the EXTENDED "
+            "cache size and would mis-scale every band")
+        omax = float(original_max_position)
         low_wl = omax / low_freq_factor
         high_wl = omax / high_freq_factor
         wavelen = 2.0 * jnp.pi / inv_freq
@@ -203,8 +210,7 @@ def fused_k_norm_rope_mla(
     MLA paged cache (reference fused_k_norm_rope_flashmla, FusedQKRope.cpp):
     kv_latent [T, 512]; k_pe [T, 64]; kv_cache [P, page, 576]; slot_loc [T].
     Returns the updated cache."""
-    from .norm import rmsnorm as _rms
-    latent = _rms(kv_latent, norm_weight, eps)
+    latent = rmsnorm(kv_latent, norm_weight, eps)
     k_pe_rot, _ = rotary_embedding(positions, k_pe[:, None, :], None, k_pe.shape[-1], cos_sin_cache)
     row = jnp.concatenate([latent, k_pe_rot[:, 0]], axis=-1)
     p, page, d = kv_cache.shape

@@ -118,3 +118,42 @@ def test_vs_bf16_and_end_to_end_estimator(rng):
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
     ref = oracle_from_schedule(q, k, v, bc, bo, cc, ci, 64, 64, True, 1.0 / d**0.5)
     np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=0.1, atol=0.1)
+
+
+class TestScheduleRegressions:
+    def test_zero_length_plan_no_nan(self):
+        """lengths==0 (padded slot) must not fire a compress event — an
+        all-(-1) window softmaxes -inf into NaN inside a live ring slot."""
+        from sgl_kernel_tpu.ops import compression
+
+        src, dst, n = compression.plan_compress_decode(
+            jnp.asarray([0, 8], jnp.int32), compress_ratio=4, ring_size=4)
+        assert int(dst[0]) == -1 and int(n[0]) == 0
+        assert int(dst[1]) >= 0
+
+    def test_noncausal_blocks_clamped_to_kv_len(self, rng):
+        """Non-causal schedules must not emit blocks past kv_len."""
+        from sgl_kernel_tpu.ops.attention.sparse_vs import convert_vertical_slash_indexes
+
+        s = 100
+        bc, bo, cc, ci = convert_vertical_slash_indexes(
+            np.asarray([s]), np.asarray([s]),
+            np.zeros((1, 1, 4), np.int32),
+            np.asarray([[[0, 3, 7, 11]]], np.int32),
+            context_size=s, block_size_M=64, block_size_N=128, causal=False)
+        for r in range(bc.shape[2]):
+            for j in range(int(bc[0, 0, r])):
+                assert int(bo[0, 0, r, j]) < s
+
+    def test_negative_vertical_pad_excluded(self, rng):
+        from sgl_kernel_tpu.ops.attention.sparse_vs import convert_vertical_slash_indexes
+
+        s = 128
+        bc, bo, cc, ci = convert_vertical_slash_indexes(
+            np.asarray([s]), np.asarray([s]),
+            np.asarray([[[5, -1, -1, -1]]], np.int32),
+            np.asarray([[[0]]], np.int32),
+            context_size=s, block_size_M=64, block_size_N=64, causal=True)
+        for r in range(bc.shape[2]):
+            n = int(cc[0, 0, r])
+            assert (ci[0, 0, r, :n] >= 0).all()
