@@ -215,9 +215,16 @@ def paged_attention_decode(
     qh = q.reshape(b, hkv, group, d).astype(jnp.float32)
     if k_scale is not None:
         qh = qh * jnp.asarray(k_scale, jnp.float32)
+        if fresh_k is not None:
+            # q now carries k_scale, which would wrongly scale the
+            # UNQUANTIZED fresh-token logit — compensate (see the DMA
+            # kernel's wrapper)
+            fresh_k = (fresh_k.astype(jnp.float32) / jnp.asarray(k_scale, jnp.float32)).astype(fresh_k.dtype)
+    if v_scale is not None and fresh_v is not None:
+        fresh_v = (fresh_v.astype(jnp.float32) / jnp.asarray(v_scale, jnp.float32)).astype(fresh_v.dtype)
     if gp != group:
         qh = jnp.pad(qh, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
-    qh = qh.astype(jnp.bfloat16 if q.dtype == jnp.bfloat16 else q.dtype)
+    qh = qh.astype(q.dtype)
 
     has_sink = sinks is not None
 

@@ -43,9 +43,14 @@ def _upcast(x, dtype):
     trick applied to fp8): Mosaic's native f8 convert is scalar-slow
     (measured 0.50 ms vs 0.08 ms bf16 at the headline decode shape), but
     shift+or on uint16 vectorizes. e4m3fn: place s|e|m in the bf16 field
-    positions, then one multiply by 2^(127-7) rebiases the exponent —
-    exact for normals AND denormals (bf16 denormal x 2^120 reproduces
-    2^-6 x 0.m). e5m2 is bit-upper-half of f16 by construction."""
+    positions, then one multiply by 2^(127-7) rebiases the exponent.
+    Exact for normals. Known fast-path deviations (deliberate — fixing
+    them costs VPU selects on the bandwidth-critical tile): e4m3
+    DENORMALS (|x| <= 0.875 * 2^-6 ~= 0.0137) flush to zero where the
+    intermediate bf16 is denormal-flushed, and the NaN encodings
+    0x7f/0xff decode to +-480 instead of NaN (a poisoned page contributes
+    a large finite logit rather than propagating NaN). e5m2 is
+    bit-upper-half of f16 by construction."""
     if x.dtype == jnp.float8_e4m3fn:
         # shifts on i32 (i16 vector shli does not legalize on Mosaic)
         u32 = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
@@ -113,7 +118,14 @@ def _kernel(
         i = seq_of(t)
         c = chunk_of(t)
         in_batch = (blk * bb + i) < batch
-        return jnp.logical_and(in_batch, (c0 + c) * span < pool_limit(i))
+        ok = jnp.logical_and(in_batch, (c0 + c) * span < pool_limit(i))
+        if window is not None:
+            # sliding window: chunks entirely below the window are fully
+            # masked — skip their DMA + compute (long-ctx windowed layers
+            # would otherwise stream ~ctx/window x the needed KV)
+            length = pool_limit(i) + (1 if has_fresh else 0)
+            ok = jnp.logical_and(ok, (c0 + c + 1) * span > length - 1 - window)
+        return ok
 
     def dmas(t, slot):
         """DMA descriptors for flattened chunk t into buffer `slot`."""
@@ -351,10 +363,18 @@ def paged_attention_decode_dma(
 
     qh = q.reshape(b, hkv, group, d).astype(jnp.float32)
     if k_scale is not None:
+        # per-tensor descale folds into q (free) — but q multiplies the
+        # UNQUANTIZED fresh_k too, so compensate fresh_k below (the same
+        # for v_scale / fresh_v): pool logits get k_scale, fresh logits
+        # get k_scale * (1/k_scale) = 1.
         qh = qh * jnp.asarray(k_scale, jnp.float32)
+        if fresh_k is not None:
+            fresh_k = (fresh_k.astype(jnp.float32) / jnp.asarray(k_scale, jnp.float32)).astype(fresh_k.dtype)
+    if v_scale is not None and fresh_v is not None:
+        fresh_v = (fresh_v.astype(jnp.float32) / jnp.asarray(v_scale, jnp.float32)).astype(fresh_v.dtype)
     if gp != group:
         qh = jnp.pad(qh, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
-    qh = qh.astype(jnp.bfloat16 if q.dtype == jnp.bfloat16 else q.dtype)
+    qh = qh.astype(q.dtype)
 
     has_fresh = fresh_k is not None
     has_sink = sinks is not None

@@ -83,7 +83,10 @@ def make_hybrid_mesh(
             ordered.extend(block)
     else:
         # single process (e.g. CPU-simulated hosts): consecutive blocks
-        # of n_ici devices act as pseudo-hosts
+        # of n_ici devices act as pseudo-hosts; `processes` (when given)
+        # must match the simulated host count
+        assert processes in (None, n_dcn), (
+            f"processes={processes} but dcn axes give {n_dcn} simulated hosts")
         ordered = sorted(devices, key=lambda d: d.id)
     arr = np.asarray(ordered).reshape(
         *(list(dcn_axes.values()) + list(ici_axes.values()))
@@ -92,7 +95,11 @@ def make_hybrid_mesh(
 
 
 def _collective_replica_groups(hlo_text: str):
-    """Yield (op_name, groups) for each collective in compiled HLO text."""
+    """Yield (op_name, groups) for each collective in compiled HLO text.
+    Handles the brace form ``replica_groups={{0,1},{2,3}}`` AND the iota
+    form ``replica_groups=[2,4]<=[8]`` XLA emits on larger meshes (an
+    IotaReplicaGroupList: reshape iota(prod) to the listed dims, last dim
+    = group members; an optional (dims)T(perm) transpose applies)."""
     pat = re.compile(
         r"(all-reduce|all-gather|all-to-all|reduce-scatter|collective-permute)"
         r"[^\n]*?replica_groups=\{(\{[^}]*\}(?:,\{[^}]*\})*)\}"
@@ -103,6 +110,20 @@ def _collective_replica_groups(hlo_text: str):
             for g in re.findall(r"\{([^}]*)\}", m.group(2))
         ]
         yield m.group(1), groups
+    pat_iota = re.compile(
+        r"(all-reduce|all-gather|all-to-all|reduce-scatter|collective-permute)"
+        r"[^\n]*?replica_groups=\[(\d+),(\d+)\]<=(?:\[([\d,]+)\]T\(([\d,]+)\)|\[(\d+)\])"
+    )
+    for m in pat_iota.finditer(hlo_text):
+        op, n_groups, per_group = m.group(1), int(m.group(2)), int(m.group(3))
+        total = n_groups * per_group
+        if m.group(6) is not None:  # plain <=[N]
+            ids = np.arange(total)
+        else:  # <=[dims]T(perm)
+            dims = [int(x) for x in m.group(4).split(",")]
+            perm = [int(x) for x in m.group(5).split(",")]
+            ids = np.arange(int(np.prod(dims))).reshape(dims).transpose(perm).reshape(-1)[:total]
+        yield op, ids.reshape(n_groups, per_group).tolist()
     # collective-permute uses source_target_pairs instead
     pat2 = re.compile(r"collective-permute[^\n]*?source_target_pairs=\{(\{[^}]*\}(?:,\{[^}]*\})*)\}")
     for m in pat2.finditer(hlo_text):
@@ -118,19 +139,33 @@ def assert_no_dcn_collectives(compiled, mesh: Mesh, n_ici: int):
     crosses an ICI block boundary (i.e. would ride DCN). Device ids are
     mesh-linearized; devices i and j share a host iff i//n_ici == j//n_ici."""
     hlo = compiled.as_text()
-    dev_ids = [d.id for d in mesh.devices.flat]
-    # map logical (participant) index -> host block
+    n_dev = mesh.devices.size
+    # participant indices in replica_groups are MESH-LINEARIZED positions,
+    # not physical device ids: host block = index // n_ici (physical-id
+    # arithmetic breaks for non-contiguous device subsets)
     offenders = []
+    n_seen = 0
     for op, groups in _collective_replica_groups(hlo):
+        n_seen += 1
         for g in groups:
-            hosts = {dev_ids[i] // n_ici if i < len(dev_ids) else i // n_ici for i in g}
+            hosts = {i // n_ici for i in g}
             if len(hosts) > 1:
                 offenders.append((op, g))
     assert not offenders, f"collectives crossing DCN: {offenders[:5]}"
+    # vacuity guard: a multi-device step with NO parsed collective means
+    # the HLO used a replica-group syntax we failed to parse — the check
+    # would silently pass while verifying nothing
+    if n_dev > 1 and n_seen == 0 and re.search(r"all-reduce|all-gather|all-to-all|reduce-scatter|collective-permute", hlo):
+        raise AssertionError(
+            "collectives present but none parsed — unknown replica_groups "
+            "syntax; update _collective_replica_groups")
     return True
 
 
 def process_local_slice(global_batch: int, axis_size: int, axis_index: int):
     """Rows of a [global_batch, ...] input owned by one dp shard."""
+    assert global_batch % axis_size == 0, (
+        f"global_batch {global_batch} not divisible by dp={axis_size}: the "
+        f"last {global_batch % axis_size} rows would be owned by no shard")
     per = global_batch // axis_size
     return slice(axis_index * per, (axis_index + 1) * per)

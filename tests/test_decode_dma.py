@@ -172,3 +172,59 @@ class TestSplitHeuristic:
     def test_split_small_batch_long_context_multicore(self):
         assert choose_num_splits(1, 16384, 64, 8, num_cores=2) > 1
         assert choose_num_splits(1, 16384, 64, 8, num_cores=4) >= 2
+
+
+class TestFp8FreshCombination:
+    @pytest.mark.parametrize("impl", ["dma", "blockspec"])
+    def test_fp8_scales_with_fresh_kv(self, rng, impl):
+        """fp8 pool descales must NOT scale the unquantized fresh-token
+        contribution (regression: k_scale folded into q understated the
+        current token's logit ~1/k_scale x)."""
+        from sgl_kernel_tpu.ops.attention import paged_attention_decode
+        from sgl_kernel_tpu.ops.attention.paged_decode_dma import paged_attention_decode_dma
+
+        b, hkv, group, d, page, nb = 2, 2, 2, 64, 8, 2
+        hq = hkv * group
+        n_pages = b * nb + 1
+        ctx = page * nb - 3
+        k_scale, v_scale = 0.06, 0.04
+        kf = rng.standard_normal((n_pages, hkv, page, d)).astype(np.float32) * 0.3
+        vf = rng.standard_normal((n_pages, hkv, page, d)).astype(np.float32) * 0.3
+        q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.float32)
+        fk = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.float32) * 0.3
+        fv = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.float32) * 0.3
+        lengths = jnp.full((b,), ctx + 1, jnp.int32)  # incl. the fresh token
+        table = jnp.asarray(np.arange(1, n_pages).reshape(b, nb), jnp.int32)
+
+        # oracle: bf16-equivalent dense attention over [dequantized pool | fresh]
+        kq = (jnp.asarray(kf, jnp.float32) / k_scale).astype(jnp.float8_e4m3fn)
+        vq = (jnp.asarray(vf, jnp.float32) / v_scale).astype(jnp.float8_e4m3fn)
+        k_deq = np.asarray(kq.astype(jnp.float32)) * k_scale
+        v_deq = np.asarray(vq.astype(jnp.float32)) * v_scale
+        out_ref = np.zeros((b, hq, d), np.float32)
+        for bi in range(b):
+            for h in range(hq):
+                kvh = h // group
+                rows = [k_deq[table[bi, j], kvh, o] for j in range(nb) for o in range(page)][:ctx]
+                vrows = [v_deq[table[bi, j], kvh, o] for j in range(nb) for o in range(page)][:ctx]
+                rows.append(np.asarray(fk[bi, kvh]))
+                vrows.append(np.asarray(fv[bi, kvh]))
+                kk = np.stack(rows); vv = np.stack(vrows)
+                sc = (np.asarray(q[bi, h]) @ kk.T) / np.sqrt(d)
+                w = np.exp(sc - sc.max()); w /= w.sum()
+                out_ref[bi, h] = w @ vv
+        if impl == "dma":
+            # pools are [P, Hkv, page, D] here == the DMA "page" layout
+            out = paged_attention_decode_dma(
+                q, kq, vq, lengths, table, fresh_k=fk, fresh_v=fv,
+                k_scale=jnp.float32(k_scale), v_scale=jnp.float32(v_scale),
+                layout="page",
+            )
+        else:
+            # BlockSpec kernel wants head-major [Hkv, P, page, D]
+            out = paged_attention_decode(
+                q, jnp.transpose(kq, (1, 0, 2, 3)), jnp.transpose(vq, (1, 0, 2, 3)),
+                lengths, table, fresh_k=fk, fresh_v=fv,
+                k_scale=jnp.float32(k_scale), v_scale=jnp.float32(v_scale),
+            )
+        np.testing.assert_allclose(np.asarray(out), out_ref, rtol=4e-2, atol=4e-2)
