@@ -125,6 +125,11 @@ def fp8_blockwise_scaled_grouped_mm(a, b, scales_a, scales_b, expert_ids, out_dt
     e, _, n = b.shape
     assert k % BLOCK == 0 and n % BLOCK == 0 and m % bm == 0, (m, k, n, bm)
     assert scales_b.shape == (e, k // BLOCK, n // BLOCK)
+    assert scales_a.shape == (m, k // BLOCK), (
+        f"scales_a must be [M, K/128]={m, k // BLOCK}, got {scales_a.shape}")
+    assert expert_ids.shape == (m // bm,), (
+        f"expert_ids is PER ROW BLOCK [M/bm]={m // bm,}, got "
+        f"{expert_ids.shape} (per-row ids silently misroute blocks)")
 
     n_k = k // BLOCK
     grid = (m // bm, n // BLOCK, n_k)

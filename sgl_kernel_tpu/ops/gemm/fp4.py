@@ -43,7 +43,9 @@ def _quant_groups(x, global_scale):
     assert k % FP4_GROUP == 0, f"K={k} not a multiple of {FP4_GROUP}"
     g = x.astype(jnp.float32).reshape(*orig[:-1], k // FP4_GROUP, FP4_GROUP)
     amax = jnp.max(jnp.abs(g), axis=-1)
-    scale = jnp.clip(amax / 6.0 * global_scale, 1e-12, _F8_MAX)
+    # clamp at fp8-e4m3's min subnormal: a smaller clip makes scale_f8 == 0
+    # and the stored codes saturate to garbage +-6 for near-zero groups
+    scale = jnp.clip(amax / 6.0 * global_scale, 2.0 ** -9, _F8_MAX)
     scale_f8 = scale.astype(jnp.float8_e4m3fn)
     inv = (global_scale / scale_f8.astype(jnp.float32))[..., None]
     codes = e2m1_encode(g * inv)  # signed e2m1 bit patterns 0..15

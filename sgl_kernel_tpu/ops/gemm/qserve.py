@@ -76,10 +76,20 @@ def qserve_w4a8_per_group_gemm(
     m, k = a_q.shape
     n = w_q.shape[0]
     bm = min(bm, round_up(m, 8))
-    bk = min(max(bk, 8 * group_size), k)
     bn = min(bn, n)
+    # prefer 8 groups per k-tile, but any K that is a multiple of
+    # group_size must WORK: fall back to the largest group-multiple tile
+    # that divides K (e.g. llama-7B down_proj K=11008, g=128 -> bk=1376)
+    bk = min(max(bk, 8 * group_size), k)
+    if k % bk != 0:
+        ngk = k // group_size
+        best = 1
+        for cand in range(ngk, 0, -1):
+            if ngk % cand == 0 and cand * group_size <= max(bk, 8 * group_size):
+                best = cand
+                break
+        bk = best * group_size
     assert k % bk == 0 and bk % group_size == 0 and n % bn == 0
-    assert (bk // group_size) % 8 == 0 or bk == k, (bk, group_size)
     mp = round_up(m, bm)
     if mp != m:
         a_q = jnp.pad(a_q, ((0, mp - m), (0, 0)))

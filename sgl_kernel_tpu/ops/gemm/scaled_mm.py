@@ -66,8 +66,11 @@ def bmm_fp8(a, b, scale_a, scale_b, out_dtype=jnp.bfloat16):
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
-def dsv3_router_gemm(hidden, router_weight, out_dtype=jnp.bfloat16):
-    """DeepSeek-V3 router GEMM: [T, 7168] x [E, 7168]^T -> [T, E]
+def dsv3_router_gemm(hidden, router_weight, out_dtype=jnp.float32):
+    """(out_dtype defaults to f32: router logits feed expert top-k, where a
+    bf16 ulp can flip ties vs the reference's f32 logits.)
+
+    DeepSeek-V3 router GEMM: [T, 7168] x [E, 7168]^T -> [T, E]
     (reference dsv3_router_gemm, tests/test_dsv3_router_gemm.py). A
     skinny matmul XLA already tiles optimally on the MXU."""
     out = jnp.dot(hidden, router_weight.T, preferred_element_type=jnp.float32)

@@ -317,3 +317,37 @@ class TestDsv3Gemms:
         bt = jnp.asarray(rng.standard_normal((128, 64)), jnp.float32)
         out = dsv3_fused_a_gemm(a, bt)
         np.testing.assert_allclose(np.asarray(out), np.asarray(a) @ np.asarray(bt), rtol=1e-4, atol=1e-4)
+
+
+class TestGemmRegressions:
+    def test_qserve_per_group_nonmultiple_bk(self, rng):
+        """K = 1376 (a group multiple but NOT a multiple of 8*G) must pick
+        a dividing k-tile instead of failing the divisibility assert."""
+        from sgl_kernel_tpu.ops.gemm.qserve import qserve_w4a8_per_group_gemm
+
+        m, n, k, g = 8, 128, 1376, 32
+        a = rng.integers(-100, 100, (m, k)).astype(np.int8)
+        wq = rng.integers(0, 16, (n, k)).astype(np.uint8)
+        s2 = rng.integers(1, 5, (n, k // g)).astype(np.int8)
+        zx = np.zeros((n, k // g), np.float32)  # zeros_x_s2 (zero point 0)
+        ws = (rng.random(n) * 0.01).astype(np.float32)
+        asx = (rng.random(m) * 0.01).astype(np.float32)
+        out = qserve_w4a8_per_group_gemm(
+            jnp.asarray(a), jnp.asarray(wq).astype(jnp.uint4),
+            jnp.asarray(zx), jnp.asarray(s2),
+            jnp.asarray(ws), jnp.asarray(asx), group_size=g,
+            out_dtype=jnp.float32)
+        wf = (wq.astype(np.float64)) * np.repeat(s2.astype(np.float64), g, axis=1)
+        ref = (a.astype(np.float64) @ wf.T) * asx.astype(np.float64)[:, None] * ws.astype(np.float64)[None, :]
+        rel = np.abs(np.asarray(out, np.float64) - ref).mean() / (np.abs(ref).mean() + 1e-9)
+        assert rel < 2e-2, rel
+
+    def test_nvfp4_tiny_values_zero_codes(self, rng):
+        """Near-zero groups must quantize to zero CODES (regression: the
+        1e-12 scale clip made scale_f8 == 0 with garbage +-6 codes)."""
+        from sgl_kernel_tpu.ops.gemm.fp4 import scaled_fp4_quant
+
+        x = jnp.full((8, 64), 1e-6, jnp.float32)
+        packed, scales = scaled_fp4_quant(x, jnp.float32(1.0))
+        codes = np.asarray(packed)
+        assert ((codes & 0x77) == 0).all(), "expected zero-magnitude codes"
