@@ -10,7 +10,9 @@ apply_shuffle_mul_sum). On TPU all shapes must be static, so the layout is:
     moe_align_block_size produces),
   - the per-block expert id array is scalar-prefetched by the grouped GEMM.
 
-The padded capacity is the static worst case T*K + E*(block-1), rounded.
+The padded capacity is the static worst case T*K + min(T*K, E)*(block-1),
+rounded (at most min(T*K, E) experts can have a nonzero, padded segment —
+using E here over-allocated 30x at decode batch sizes).
 """
 
 from __future__ import annotations
@@ -31,20 +33,21 @@ class MoeAlignment(NamedTuple):
     pair_weight: jax.Array  # [cap] routing weight for each slot (0 for pads)
     num_valid_blocks: jax.Array  # [] int32
     group_sizes: jax.Array  # [E] unpadded per-expert counts
+    padded_group_sizes: jax.Array  # [E] per-expert counts padded to block_size
 
 
 @functools.partial(jax.jit, static_argnames=("num_experts", "block_size"))
 def moe_align_block_size(topk_ids, topk_weights, num_experts: int, block_size: int) -> MoeAlignment:
     t, k = topk_ids.shape
     n = t * k
-    cap = round_up(n + num_experts * (block_size - 1), block_size)
+    cap = round_up(n + min(n, num_experts) * (block_size - 1), block_size)
     flat = topk_ids.reshape(-1).astype(jnp.int32)
     wflat = topk_weights.reshape(-1).astype(jnp.float32)
 
     order = jnp.argsort(flat, stable=True)  # pair ids sorted by expert
     sorted_experts = flat[order]
     counts = jnp.bincount(flat, length=num_experts)
-    padded = ((counts + block_size - 1) // block_size) * block_size
+    padded = cdiv(counts, block_size) * block_size
     starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)])
     # rank of each sorted element within its expert run
     pos = jnp.arange(n, dtype=jnp.int32)
@@ -65,7 +68,10 @@ def moe_align_block_size(topk_ids, topk_weights, num_experts: int, block_size: i
     # GEMM's weight fetch index stays constant there (no extra DMA)
     last_valid_expert = jnp.max(jnp.where(blk < num_valid, block_expert, 0))
     block_expert = jnp.where(blk < num_valid, block_expert, last_valid_expert)
-    return MoeAlignment(sorted_pair_ids, block_expert, token_ids, pair_weight, num_valid, counts.astype(jnp.int32))
+    return MoeAlignment(
+        sorted_pair_ids, block_expert, token_ids, pair_weight, num_valid,
+        counts.astype(jnp.int32), padded.astype(jnp.int32),
+    )
 
 
 @jax.jit

@@ -307,3 +307,53 @@ def test_embedding_lora_padded_vocab_routes_to_extra(rng):
     )
     np.testing.assert_allclose(np.asarray(out[0]), w[1, :, 3], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out[1]), extra[1, 1], rtol=1e-6)
+
+
+def test_compat_causal_conv1d_channel_first(rng):
+    """compat.causal_conv1d_fn_xpu takes the reference's CHANNEL-FIRST
+    layouts (mamba.py:6-60): batched [B, D, S], packed [D, total] +
+    query_start_loc, conv_states [N, D, W-1] — adapter parity vs the
+    native time-major op (regression: the old bare alias treated channels
+    as time)."""
+    import jax.numpy as jnp
+    from sgl_kernel_tpu import compat
+    from sgl_kernel_tpu.ops.linear_attn import causal_conv1d_fwd, causal_conv1d_update
+
+    b, d, s, w = 2, 6, 10, 4
+    x = rng.standard_normal((b, d, s)).astype(np.float32)
+    weight = rng.standard_normal((d, w)).astype(np.float32)
+    bias = rng.standard_normal(d).astype(np.float32)
+
+    y, fin = compat.causal_conv1d_fn_xpu(jnp.asarray(x), jnp.asarray(weight), jnp.asarray(bias))
+    ref_y, ref_fin = causal_conv1d_fwd(jnp.asarray(x.transpose(0, 2, 1)), jnp.asarray(weight), jnp.asarray(bias))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y).transpose(0, 2, 1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fin), np.asarray(ref_fin).transpose(0, 2, 1), rtol=1e-6)
+
+    # packed varlen: two sequences of lengths 3 and 7
+    starts = np.array([0, 3, 10], np.int32)
+    packed = rng.standard_normal((d, 10)).astype(np.float32)
+    conv_states = rng.standard_normal((2, d, w - 1)).astype(np.float32)
+    has_init = np.array([True, False])
+    y2, fin2 = compat.causal_conv1d_fn_xpu(
+        jnp.asarray(packed), jnp.asarray(weight), jnp.asarray(bias),
+        conv_states=jnp.asarray(conv_states), query_start_loc=starts,
+        has_initial_state=jnp.asarray(has_init),
+    )
+    assert y2.shape == (d, 10) and fin2.shape == (2, d, w - 1)
+    # second sequence starts from zero state: compare against native directly
+    ref2, reff2 = causal_conv1d_fwd(
+        jnp.asarray(packed[:, 3:].T)[None], jnp.asarray(weight), jnp.asarray(bias))
+    np.testing.assert_allclose(np.asarray(y2)[:, 3:], np.asarray(ref2)[0].T, rtol=1e-5, atol=1e-6)
+    # first sequence consumed its initial state
+    ref1, _ = causal_conv1d_fwd(
+        jnp.asarray(packed[:, :3].T)[None], jnp.asarray(weight), jnp.asarray(bias),
+        initial_states=jnp.asarray(conv_states[0].T)[None])
+    np.testing.assert_allclose(np.asarray(y2)[:, :3], np.asarray(ref1)[0].T, rtol=1e-5, atol=1e-6)
+
+    # decode update: [B, D] and [B, D, 1] forms, channel-first state
+    xd = rng.standard_normal((b, d)).astype(np.float32)
+    st = rng.standard_normal((b, d, w - 1)).astype(np.float32)
+    yd, std = compat.causal_conv1d_update_xpu(jnp.asarray(xd), jnp.asarray(st), jnp.asarray(weight), jnp.asarray(bias), activation="silu")
+    ry, rst = causal_conv1d_update(jnp.asarray(xd), jnp.asarray(st.transpose(0, 2, 1)), jnp.asarray(weight), jnp.asarray(bias), activation="silu")
+    np.testing.assert_allclose(np.asarray(yd), np.asarray(ry), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(std), np.asarray(rst).transpose(0, 2, 1), rtol=1e-6)

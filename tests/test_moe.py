@@ -60,12 +60,18 @@ class TestRouting:
         np.testing.assert_allclose(np.asarray(w).sum(-1), np.ones(t), rtol=1e-5)
 
     def test_shared_experts_append(self, rng):
-        t, e, k = 4, 16, 2
+        # topk is INCLUSIVE of fused shared experts (TopKSigMoid.cpp:105):
+        # topk=3 with one shared expert selects 2 routed + 1 shared slot.
+        t, e, k = 4, 16, 3
         g = rng.standard_normal((t, e)).astype(np.float32)
         w, ids = moe.topk_sigmoid(jnp.asarray(g), k, routed_scaling_factor=2.0, num_fused_shared_experts=1)
-        assert ids.shape == (t, k + 1)
+        assert ids.shape == (t, k)
         assert np.all(np.asarray(ids)[:, -1] == e)
         np.testing.assert_allclose(np.asarray(w)[:, -1], 1.0)  # renormalize=True -> shared weight 1.0 (TopKSigMoid.cpp:167)
+        s = np_sigmoid(g)
+        ref_routed = np.sort(s, -1)[:, -(k - 1):]  # 2 routed experts
+        scale = 2.0 / (ref_routed.sum(-1, keepdims=True) + 1e-20)
+        np.testing.assert_allclose(np.sort(np.asarray(w)[:, :-1], -1), ref_routed * scale, rtol=1e-5)
 
     def test_hash_topk(self, rng):
         t, e, k, vocab = 6, 16, 2, 100
@@ -74,6 +80,110 @@ class TestRouting:
         tid2eid = rng.integers(0, e, (vocab, k)).astype(np.int32)
         w, ids = moe.hash_topk(jnp.asarray(logits), jnp.asarray(input_ids), jnp.asarray(tid2eid), k)
         np.testing.assert_array_equal(np.asarray(ids), tid2eid[input_ids])
+        # HashTopK.cpp:79-92: routed weights are sqrtsoftplus scores
+        # renormalized by their row sum; rsf never scales routed weights
+        scores = np.sqrt(np.log1p(np.exp(logits)))
+        raw = np.take_along_axis(scores, tid2eid[input_ids], axis=-1)
+        ref = raw / raw.sum(-1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(w), ref, rtol=1e-5)
+        w2, _ = moe.hash_topk(
+            jnp.asarray(logits), jnp.asarray(input_ids), jnp.asarray(tid2eid), k,
+            routed_scaling_factor=2.0,
+        )
+        np.testing.assert_allclose(np.asarray(w2), ref, rtol=1e-5)
+
+    def test_hash_topk_invalid_ids_zero_weight(self, rng):
+        """HashTopK.cpp:64-76: negative input_ids, out-of-table input_ids,
+        and out-of-range mapped experts produce expert 0 with weight 0."""
+        t, e, k, vocab = 5, 8, 2, 20
+        logits = jnp.asarray(rng.standard_normal((t, e)).astype(np.float32))
+        tid2eid = rng.integers(0, e, (vocab, k)).astype(np.int32)
+        tid2eid[3, 1] = -1  # unmapped slot
+        tid2eid[4, 0] = e + 5  # out-of-range expert
+        input_ids = np.array([-1, vocab + 7, 3, 4, 1], np.int64)
+        w, ids = moe.hash_topk(logits, jnp.asarray(input_ids), jnp.asarray(tid2eid), k)
+        w, ids = np.asarray(w), np.asarray(ids)
+        assert np.all(w[0] == 0.0) and np.all(ids[0] == 0)  # negative token id
+        assert np.all(w[1] == 0.0) and np.all(ids[1] == 0)  # beyond the table
+        assert w[2, 1] == 0.0 and ids[2, 1] == 0  # unmapped expert slot
+        assert w[3, 0] == 0.0 and ids[3, 0] == 0  # out-of-range expert
+        np.testing.assert_allclose(w[4].sum(), 1.0, rtol=1e-6)  # valid row renormalized
+
+    def test_hash_topk_shared_expert(self, rng):
+        t, e, k, vocab = 4, 8, 2, 20
+        logits = jnp.asarray(rng.standard_normal((t, e)).astype(np.float32))
+        tid2eid = jnp.asarray(rng.integers(0, e, (vocab, k)).astype(np.int32))
+        input_ids = jnp.asarray(rng.integers(0, vocab, t))
+        w, ids = moe.hash_topk(logits, input_ids, tid2eid, k + 1, routed_scaling_factor=2.5, num_fused_shared_experts=1)
+        assert ids.shape == (t, k + 1)
+        assert np.all(np.asarray(ids)[:, -1] == e)
+        np.testing.assert_allclose(np.asarray(w)[:, -1], 1 / 2.5)  # HashTopK.cpp:87
+        np.testing.assert_allclose(np.asarray(w)[:, :-1].sum(-1), 1.0, rtol=1e-6)
+
+    def test_biased_topk_shared_expert_epilogue(self, rng):
+        """BiasedTopK.cpp:158-172: the (weight/norm)*scale epilogue covers
+        the shared lane too — renorm+apply_on_output makes shared exactly
+        rsf/rsf... i.e. (row_sum/rsf)/row_sum*rsf = 1.0; renorm-only makes
+        it 1/rsf."""
+        t, e, k, rsf = 4, 16, 9, 2.5
+        g = rng.standard_normal((t, e)).astype(np.float32)
+        bias = rng.standard_normal(e).astype(np.float32)
+        w, ids = moe.biased_topk(
+            jnp.asarray(g), jnp.asarray(bias), k, renormalize=True,
+            routed_scaling_factor=rsf, apply_routed_scaling_factor_on_output=True,
+            num_fused_shared_experts=1,
+        )
+        assert ids.shape == (t, k)  # topk inclusive: 8 routed + 1 shared
+        assert np.all(np.asarray(ids)[:, -1] == e)
+        np.testing.assert_allclose(np.asarray(w)[:, -1], 1.0, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(w)[:, :-1].sum(-1), rsf, rtol=1e-5)
+        # renorm only: shared = 1/rsf
+        w2, _ = moe.biased_topk(
+            jnp.asarray(g), jnp.asarray(bias), k, renormalize=True,
+            routed_scaling_factor=rsf, num_fused_shared_experts=1,
+        )
+        np.testing.assert_allclose(np.asarray(w2)[:, -1], 1 / rsf, rtol=1e-6)
+        # no renorm, apply-on-output: scale = rsf is NOT nested under
+        # renormalize in BiasedTopK (unlike MoE_fused_gate) -> shared = row_sum
+        w3, ids3 = moe.biased_topk(
+            jnp.asarray(g), jnp.asarray(bias), k, renormalize=False,
+            routed_scaling_factor=rsf, apply_routed_scaling_factor_on_output=True,
+            num_fused_shared_experts=1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(w3)[:, -1], np.asarray(w3)[:, :-1].sum(-1) / rsf, rtol=1e-5
+        )
+
+    def test_moe_fused_gate_shared_expert_epilogue(self, rng):
+        """MoE_fused_gate.cpp:290-326: shared weight = routed_sum/rsf, then
+        the renormalize loop rescales ALL topk slots (shared included) by
+        1/routed_sum and (nested inside renormalize) by rsf."""
+        t, e, groups, topk_group, k, rsf = 4, 64, 8, 3, 9, 2.5
+        g = rng.standard_normal((t, e)).astype(np.float32)
+        bias = rng.standard_normal(e).astype(np.float32)
+        w, ids = moe.moe_fused_gate(
+            jnp.asarray(g), jnp.asarray(bias), groups, topk_group, k,
+            renormalize=True, num_fused_shared_experts=1,
+            routed_scaling_factor=rsf, apply_routed_scaling_factor_on_output=True,
+        )
+        assert ids.shape == (t, k)
+        assert np.all(np.asarray(ids)[:, -1] == e)
+        np.testing.assert_allclose(np.asarray(w)[:, -1], 1.0, rtol=1e-5)  # (sum/rsf)/sum*rsf
+        # without apply-on-output: shared = (sum/rsf)/sum = 1/rsf
+        w2, _ = moe.moe_fused_gate(
+            jnp.asarray(g), jnp.asarray(bias), groups, topk_group, k,
+            renormalize=True, num_fused_shared_experts=1, routed_scaling_factor=rsf,
+        )
+        np.testing.assert_allclose(np.asarray(w2)[:, -1], 1 / rsf, rtol=1e-5)
+        # renormalize=False: apply-on-output is a no-op (nested under renorm)
+        w3, _ = moe.moe_fused_gate(
+            jnp.asarray(g), jnp.asarray(bias), groups, topk_group, k,
+            renormalize=False, num_fused_shared_experts=1,
+            routed_scaling_factor=rsf, apply_routed_scaling_factor_on_output=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(w3)[:, -1] * rsf, np.asarray(w3)[:, :-1].sum(-1), rtol=1e-5
+        )
 
 
 class TestAlign:

@@ -58,13 +58,15 @@ class TestRoutingSweep:
 
     def test_topk_sigmoid_shared_expert(self, rng):
         """Shared expert weight: 1.0 when renormalizing, row_sum/rsf when
-        not (TopKSigMoid.cpp:167)."""
-        e, k = 16, 2
+        not (TopKSigMoid.cpp:167). topk is INCLUSIVE of the shared expert
+        (TopKSigMoid.cpp:105): topk=3 selects 2 routed experts."""
+        e, k = 16, 3
         g = rng.standard_normal((4, e)).astype(np.float32)
         w_r, ids_r = moe.topk_sigmoid(
             jnp.asarray(g), k, renormalize=True, routed_scaling_factor=2.0,
             num_fused_shared_experts=1,
         )
+        assert ids_r.shape == (4, k)
         assert np.all(np.asarray(ids_r)[:, -1] == e)
         np.testing.assert_allclose(np.asarray(w_r)[:, -1], 1.0)
         w_n, _ = moe.topk_sigmoid(
@@ -72,7 +74,7 @@ class TestRoutingSweep:
             num_fused_shared_experts=1,
         )
         s = 1 / (1 + np.exp(-g))
-        row_sum = np.sort(s, -1)[:, -k:].sum(-1)
+        row_sum = np.sort(s, -1)[:, -(k - 1):].sum(-1)  # 2 routed experts
         np.testing.assert_allclose(np.asarray(w_n)[:, -1], row_sum / 2.0, rtol=1e-5)
 
     @pytest.mark.parametrize("block", [8, 16, 64])
@@ -120,6 +122,61 @@ class TestRoutingSweep:
                 np.asarray(out, np.float32)[blk * bm:(blk + 1) * bm], ref,
                 rtol=3e-2, atol=3e-2,
             )
+
+    @pytest.mark.parametrize("n,k", [(128, 256), (160, 72)])  # 160/72: gpt-oss-style non-128/8 tiles
+    def test_bf16_grouped_mm_vs_dense(self, rng, n, k):
+        from sgl_kernel_tpu.ops.moe.grouped_gemm import bf16_grouped_mm
+
+        e, bm = 3, 8
+        cap = 4 * bm
+        xs = rng.standard_normal((cap, k)).astype(np.float32)
+        w = (rng.standard_normal((e, k, n)) * 0.05).astype(np.float32)
+        beids = np.asarray([0, 2, 2, 1], np.int32)
+        out = bf16_grouped_mm(
+            jnp.asarray(xs, jnp.bfloat16), jnp.asarray(w, jnp.bfloat16),
+            jnp.asarray(beids), bm=bm,
+        )
+        for blk in range(4):
+            ref = xs[blk * bm:(blk + 1) * bm] @ w[beids[blk]]
+            np.testing.assert_allclose(
+                np.asarray(out, np.float32)[blk * bm:(blk + 1) * bm], ref,
+                rtol=3e-2, atol=3e-2,
+            )
+
+    def test_bf16_grouped_mm_stacked_layer_select(self, rng):
+        """Layer-stacked [L, E, K, N] bf16 banks with a traced layer_id must
+        match per-layer slicing (the scalar-prefetch path models use inside
+        lax.scan instead of copying the bank per step)."""
+        from sgl_kernel_tpu.ops.moe.grouped_gemm import bf16_grouped_mm
+
+        l, e, n, k, bm = 3, 4, 128, 64, 8
+        cap = 4 * bm
+        xs = jnp.asarray(rng.standard_normal((cap, k)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((l, e, k, n)) * 0.05, jnp.bfloat16)
+        beids = jnp.asarray([1, 3, 0, 3], jnp.int32)
+        for lid in range(l):
+            out = bf16_grouped_mm(xs, w, beids, jnp.int32(lid), bm=bm)
+            ref = bf16_grouped_mm(xs, w[lid], beids, bm=bm)
+            np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=1e-5)
+
+    def test_fused_experts_bf16_stacked_matches_unstacked(self, rng):
+        from sgl_kernel_tpu.ops import moe
+
+        l, t, e, k, h, inter = 2, 6, 4, 2, 64, 96
+        x = jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16)
+        g = jnp.asarray(rng.standard_normal((t, e)), jnp.float32)
+        tw, tids = moe.topk_softmax(g, k, renormalize=True)
+        w1 = jnp.asarray(rng.standard_normal((l, e, h, 2 * inter)) * 0.05, jnp.bfloat16)
+        w2 = jnp.asarray(rng.standard_normal((l, e, inter, h)) * 0.05, jnp.bfloat16)
+        for lid in range(l):
+            stacked = moe.fused_experts(
+                x, moe.MoeWeights(w1=w1, w2=w2, fmt="bf16"), tw, tids,
+                layer_id=jnp.int32(lid), block_size=8)
+            plain = moe.fused_experts(
+                x, moe.MoeWeights(w1=w1[lid], w2=w2[lid], fmt="bf16"), tw, tids, block_size=8)
+            np.testing.assert_allclose(
+                np.asarray(stacked, np.float32), np.asarray(plain, np.float32),
+                rtol=3e-2, atol=3e-2)
 
 
 class TestRopeSweep:
