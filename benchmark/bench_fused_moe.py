@@ -21,6 +21,13 @@ CONFIGS = [
     (128, 64, 8, 3584, 1280, "bf16"),
     (128, 8, 2, 4096, 7168, "bf16"),
     (128, 64, 8, 3584, 1280, "int4"),
+    # Mixtral-8x7B decode/prefill shapes (reference fused_moe grid rows)
+    (1, 8, 2, 4096, 14336, "bf16"),
+    (16, 8, 2, 4096, 14336, "int4"),
+    # DSv3 routed-expert shape (256 experts, moe_inter 2048)
+    (16, 256, 8, 7168, 2048, "int4"),
+    # quantized prefill bucket
+    (1024, 64, 8, 3584, 1280, "int4"),
 ]
 
 

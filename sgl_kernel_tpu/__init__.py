@@ -101,6 +101,7 @@ from .ops.misc import moe_sum, moe_sum_reduce, timestep_embedding, weak_ref_tens
 from .ops.moe import (  # noqa: F401
     MoeWeights,
     apply_shuffle_mul_sum,
+    bf16_grouped_mm,
     biased_topk,
     fused_experts,
     hash_topk,

@@ -207,8 +207,8 @@ def _moe_block(x, weights, lidx, cfg, tp_axis=None):
                         fmt="int4", group_size=cfg.group_size)
         routed = fused_experts(x, mw, tw, tids, layer_id=lidx, block_size=16)
     else:
-        mw = MoeWeights(w1=w1[lidx], w2=w2[lidx], fmt="bf16")
-        routed = fused_experts(x, mw, tw, tids, block_size=16)
+        mw = MoeWeights(w1=w1, w2=w2, fmt="bf16")
+        routed = fused_experts(x, mw, tw, tids, layer_id=lidx, block_size=16)
     shared = _silu_mlp(x, weights["shared_gate"], weights["shared_up"], weights["shared_down"], cfg, lidx)
     # one combined psum covers the routed partials AND the tp-sharded
     # shared-expert/dense intermediates

@@ -106,8 +106,10 @@ def _moe_mlp(h2, lw, lidx, cfg: MixtralConfig):
             fmt="int4", group_size=cfg.group_size,
         )
         return fused_experts(h2, w, tw, tids, layer_id=lidx).astype(cfg.dtype)
-    w = MoeWeights(w1=w1[lidx], w2=w2[lidx], fmt="bf16")
-    return fused_experts(h2, w, tw, tids).astype(cfg.dtype)
+    # bf16 stacked banks also ride scalar-prefetched layer_id (Pallas
+    # bf16 grouped kernel) — w1[lidx] would copy ~GB per scan step
+    w = MoeWeights(w1=w1, w2=w2, fmt="bf16")
+    return fused_experts(h2, w, tw, tids, layer_id=lidx).astype(cfg.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))

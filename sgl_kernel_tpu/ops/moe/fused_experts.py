@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ...utils import round_up
 from ..activation import ACTIVATIONS
 from .align import MoeAlignment, apply_shuffle_mul_sum, moe_align_block_size, scatter_tokens_to_experts
-from .grouped_gemm import ragged_grouped_mm, w4a16_grouped_mm
+from .grouped_gemm import bf16_grouped_mm, ragged_grouped_mm, w4a16_grouped_mm
 
 
 class MoeWeights(NamedTuple):
@@ -74,18 +74,28 @@ def _fused_experts_impl(
     align = moe_align_block_size(topk_ids, topk_weights, e, block_size)
     x = scatter_tokens_to_experts(hidden, align)  # [cap, H]
 
-    if fmt == "bf16":
-        # ragged_dot wants true group sizes over *sorted* rows; our rows are
-        # block-aligned with zero pads inside each expert segment, so use the
-        # padded per-expert sizes (pads multiply real weights, produce rows
-        # that the combine drops via zero pair_weight).
-        padded_sizes = jnp.bincount(align.block_expert_ids, length=e) * block_size
-        inter = ragged_grouped_mm(x, w1, padded_sizes)  # [cap, 2I]
+    if fmt == "bf16" and layer_id is not None:
+        # layer-stacked bf16 banks: the Pallas grouped kernel fetches only
+        # the routed experts' tiles via scalar prefetch (ragged_dot would
+        # need w1[layer_id] materialized — a whole-bank HBM copy per step)
+        inter = bf16_grouped_mm(x, w1, align.block_expert_ids, layer_id, bm=block_size)
         if activation in ("silu_clamp", "swiglu_gpt_oss"):
             a = act_fn(inter, gemm1_limit) if activation == "silu_clamp" else act_fn(inter, gemm1_alpha, gemm1_limit)
         else:
             a = act_fn(inter)
-        out_sorted = ragged_grouped_mm(a, w2, padded_sizes)  # [cap, H]
+        out_sorted = bf16_grouped_mm(a.astype(hidden.dtype), w2, align.block_expert_ids, layer_id, bm=block_size)
+    elif fmt == "bf16":
+        # ragged_dot wants true group sizes over *sorted* rows; our rows are
+        # block-aligned with zero pads inside each expert segment, so use the
+        # padded per-expert sizes (pads multiply real weights, produce rows
+        # that the combine drops via zero pair_weight; rows past the padded
+        # total belong to no group and come out zero).
+        inter = ragged_grouped_mm(x, w1, align.padded_group_sizes)  # [cap, 2I]
+        if activation in ("silu_clamp", "swiglu_gpt_oss"):
+            a = act_fn(inter, gemm1_limit) if activation == "silu_clamp" else act_fn(inter, gemm1_alpha, gemm1_limit)
+        else:
+            a = act_fn(inter)
+        out_sorted = ragged_grouped_mm(a, w2, align.padded_group_sizes)  # [cap, H]
     else:
         # layer_id (layer-stacked expert banks) rides scalar prefetch
         # through the grouped kernel — slicing w1[layer_id] here would
@@ -122,11 +132,8 @@ def fused_experts(
 
     layer_id: quantized path only — weights carry a leading layer dim
     ([L, E, ...]) and the grouped kernel selects the layer via scalar
-    prefetch (no per-scan-step expert-bank slice)."""
-    if layer_id is not None:
-        assert weights.fmt != "bf16", (
-            "layer-stacked fused_experts needs the quantized grouped kernel "
-            "(bf16 ragged_dot has no scalar-prefetch path)")
+    prefetch (no per-scan-step expert-bank slice); bf16 stacked banks run
+    the Pallas bf16 grouped kernel, quantized banks the W4A16 one."""
     return _fused_experts_impl(
         hidden,
         weights.w1,

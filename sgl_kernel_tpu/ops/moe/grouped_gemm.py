@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...utils import pallas_interpret
+from ...utils import dividing_tile, pallas_interpret
 from ..gemm.w4a16 import GROUPS_PER_KTILE, _decode_tile
 
 
@@ -31,6 +31,111 @@ def ragged_grouped_mm(x_sorted, weights, group_sizes):
     """BF16 grouped GEMM: x_sorted [M, K] (rows sorted by expert),
     weights [E, K, N], group_sizes [E] -> [M, N]."""
     return jax.lax.ragged_dot(x_sorted, weights, group_sizes.astype(jnp.int32))
+
+
+def _bf16_kernel(expert_ids_ref, a_ref, w_ref, o_ref, acc_ref, *, n_k):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        a_ref[...], w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kk == n_k - 1)
+    def _done():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _bf16_kernel_stacked(expert_ids_ref, lid_ref, a_ref, w_ref, o_ref, acc_ref, *, n_k):
+    # the layer-id scalar ref is consumed by the BlockSpec index maps
+    _bf16_kernel(expert_ids_ref, a_ref, w_ref, o_ref, acc_ref, n_k=n_k)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype"))
+def bf16_grouped_mm(
+    x_sorted,
+    w,
+    block_expert_ids,
+    layer_id=None,
+    *,
+    bm: int = 128,
+    bn: int = 1024,
+    bk: int = 1024,
+    out_dtype=None,
+):
+    """Block-aligned grouped BF16 GEMM with scalar-prefetched expert (and
+    optionally layer) indexing.
+
+    The XLA path (``ragged_dot``) needs the per-layer weight bank as a
+    materialized operand, so a scan-over-layers model must dynamic-slice
+    the whole [E, K, N] bank out of the stacked [L, E, K, N] array every
+    step — ~GB-scale HBM copies at Mixtral size (the docs/PERF.md weight-
+    slice trap, measured ~5 ms/step on Llama-8B decode). This kernel
+    fetches only the routed experts' (bk, bn) tiles, indexed by the
+    scalar-prefetched block_expert_ids and traced layer_id, matching the
+    quantized grouped path (reference analog: GroupGemmXe20.cpp grouped
+    mainloop over per-expert row blocks).
+
+    x_sorted: [cap, K] expert-sorted block-aligned rows (cap % bm == 0).
+    w: [E, K, N], or layer-stacked [L, E, K, N] with a traced layer_id.
+    block_expert_ids: [cap // bm] expert id per row-block.
+    """
+    cap, k = x_sorted.shape
+    stacked = layer_id is not None
+    assert w.ndim == (4 if stacked else 3), (w.shape, stacked)
+    n = w.shape[-1]
+    assert w.shape[-2] == k, (w.shape, k)
+    assert cap % bm == 0
+    # non-power-of-two model dims (gpt-oss 2880/5760) need dividing tiles
+    bn = dividing_tile(n, bn, 128)
+    bk = dividing_tile(k, bk, 8)
+    assert n % bn == 0 and k % bk == 0, (n, k, bn, bk)
+    out_dtype = out_dtype or x_sorted.dtype
+    n_k = k // bk
+
+    if stacked:
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda i, j, kk, eids, lid: (i, kk)),
+            pl.BlockSpec((None, 1, bk, bn), lambda i, j, kk, eids, lid: (lid[0], eids[i], kk, j)),
+        ]
+        out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk, eids, lid: (i, j))
+        scalar_args = (block_expert_ids, jnp.asarray(layer_id, jnp.int32).reshape(1))
+        kernel = functools.partial(_bf16_kernel_stacked, n_k=n_k)
+        nsp = 2
+    else:
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda i, j, kk, eids: (i, kk)),
+            pl.BlockSpec((1, bk, bn), lambda i, j, kk, eids: (eids[i], kk, j)),
+        ]
+        out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk, eids: (i, j))
+        scalar_args = (block_expert_ids,)
+        kernel = functools.partial(_bf16_kernel, n_k=n_k)
+        nsp = 1
+    e = w.shape[1] if stacked else w.shape[0]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=nsp,
+            grid=(cap // bm, n // bn, n_k),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((cap, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * cap * n * k,
+            bytes_accessed=cap * k * 2 + min(e, cap // bm) * n * k * 2 + cap * n * 2,
+            transcendentals=0,
+        ),
+        interpret=pallas_interpret(),
+    )(*scalar_args, x_sorted, w)
 
 
 def _w4_kernel(

@@ -28,6 +28,17 @@ def next_power_of_2(x: int) -> int:
     return 1 if x <= 1 else 1 << (x - 1).bit_length()
 
 
+def dividing_tile(dim: int, pref: int, mult: int) -> int:
+    """Largest tile <= ``pref`` that divides ``dim`` and is a multiple of
+    ``mult`` (Mosaic block-shape rule: the last two dims of a BlockSpec
+    block must be multiples of (8, 128) or equal the full array dims).
+    Falls back to the full dim when no such tile exists (always legal)."""
+    for cand in range(min(pref, dim) // mult * mult, 0, -mult):
+        if dim % cand == 0:
+            return cand
+    return dim
+
+
 @functools.cache
 def on_tpu() -> bool:
     """True when the default JAX backend is a real TPU."""
