@@ -8,6 +8,7 @@ decode is bandwidth-bound, so roofline tokens/s = B / (bytes_touched / BW).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -77,7 +78,12 @@ def build_weights(cfg):
 
 
 def main():
-    cfg = llama.LlamaConfig.llama3_8b(quant="w4a16", group_size=128, fused=True)
+    # BENCH_KV_DTYPE=fp8 measures the fp8-e4m3 KV-cache variant (the
+    # reference treats fp8 KV as a first-class decode win,
+    # flash_attention.cpp:46-74; target: >= 1.2x the bf16 tok/s)
+    kv_env = os.environ.get("BENCH_KV_DTYPE", "")
+    kv_kw = {"kv_dtype": jnp.float8_e4m3fn} if kv_env == "fp8" else {}
+    cfg = llama.LlamaConfig.llama3_8b(quant="w4a16", group_size=128, fused=True, **kv_kw)
     params = build_weights(cfg)
 
     num_pages = BATCH * (CTX // PAGE) + 1
@@ -143,7 +149,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "decode_tokens_per_s_w4a16_llama3_8b_b16_ctx1024",
+                "metric": "decode_tokens_per_s_w4a16_llama3_8b_b16_ctx1024"
+                + ("_fp8kv" if kv_env == "fp8" else ""),
                 "value": round(toks_per_s, 1),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(toks_per_s / roofline_tps, 4),

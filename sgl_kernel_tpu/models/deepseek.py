@@ -64,6 +64,15 @@ class DeepseekConfig:
     # latent KV-cache dtype (BASELINE flagship: fp8 latent pool; the MLA
     # decode kernel upcasts via the integer-bitcast fast path)
     kv_dtype: Any = None
+    # DSv4 KV compression ("flash compress", ops/compression.py; reference
+    # CompressPlan.cpp + FlashCompress{4,128}.cpp): decode attends over
+    # [ring of compressed tokens] + [recent uncompressed window] and
+    # merges via merge_state; prefill is exact (full attention) and
+    # builds the ring. "c4" = ratio 4 overlapping windows of 8;
+    # "c128" = ratio 128 plain windows.
+    compress: Optional[str] = None  # None | "c4" | "c128"
+    compress_ring: int = 64  # compressed tokens kept per sequence (ring eviction)
+    compress_local: int = 64  # recent tokens attended uncompressed
 
     @staticmethod
     def tiny(**kw):
@@ -118,6 +127,15 @@ def init_weights(cfg: DeepseekConfig, key):
             "idx_norm": jnp.ones((l, cfg.idx_dim), cfg.dtype),
             "w_idx_gate": w((l, cfg.idx_heads, h), 0.02),
         })
+    if cfg.compress:
+        wlen = _comp_window(cfg)
+        layers.update({
+            # per-token score row (same width as the latent row; the
+            # reference compress kernels take kv+scores side by side)
+            "comp_score": w((l, D_CKV, h), 0.02),
+            # additive positional embedding over the pooled window
+            "comp_ape": w((l, wlen, D_CKV), 0.02).astype(jnp.float32),
+        })
     lm_head = w((cfg.vocab_size, h))
     if cfg.quant == "w4a16":
         from ..ops.gemm.w4a16 import quantize_w4
@@ -131,8 +149,11 @@ def init_weights(cfg: DeepseekConfig, key):
             pk, sc = q(w_le)
             return {"packed": pk, "scales": sc}
 
-        for name in ("wq", "wkv_a", "wo", "gate", "up", "down",
-                     "shared_gate", "shared_up", "shared_down"):
+        qnames = ["wq", "wkv_a", "wo", "gate", "up", "down",
+                  "shared_gate", "shared_up", "shared_down"]
+        if cfg.compress:
+            qnames.append("comp_score")
+        for name in qnames:
             layers[name] = qz(layers[name])
         layers["moe_w1"] = qexp(layers["moe_w1"])
         layers["moe_w2"] = qexp(layers["moe_w2"])
@@ -717,3 +738,228 @@ def prefill_extend_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
     x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
     logits = _lin(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
     return logits, kv_cache, idx_k, idx_s
+
+
+# ---------------------------------------------------------------------------
+# DSv4 KV compression consumption ("flash compress" serving integration).
+#
+# Reference surface: CompressPlan.cpp (plans), FlashCompress{4,128}.cpp
+# (ring-buffer cache rewrite) — the reference ships only the data plane;
+# the consuming attention lives SGLang-side. Here the full loop is native:
+# prefill runs EXACT attention, stores latent + score rows, and builds the
+# per-layer compressed ring (plan_compress_prefill + compress_window);
+# decode attends over [live ring tokens] + [last compress_local
+# uncompressed tokens] and combines the two partial states via
+# merge_state — KV reads per step are bounded by ring + local instead of
+# the context length.
+# ---------------------------------------------------------------------------
+
+
+def _comp_ratio(cfg):
+    return 4 if cfg.compress == "c4" else 128
+
+
+def _comp_window(cfg):
+    r = _comp_ratio(cfg)
+    return 2 * r if r == 4 else r
+
+
+def make_compress_caches(cfg: DeepseekConfig, num_pages: int, page_size: int, max_slots: int = 16):
+    """(latent pool, score pool, comp ring pool [L, S, ring, 576])."""
+    kv = make_cache(cfg, num_pages, page_size)
+    sc = jnp.zeros((cfg.num_layers, num_pages, page_size, D_CKV), cfg.dtype)
+    comp = jnp.zeros((cfg.num_layers, max_slots, cfg.compress_ring, D_CKV), cfg.dtype)
+    return kv, sc, comp
+
+
+_LOG2E = 1.4426950408889634
+
+
+def _dense_mla_attend(q_lat, q_pe, rows, mask, scale):
+    """Dense masked MLA attention over gathered latent rows.
+
+    q_lat [B, H, 512]; q_pe [B, H, 64]; rows [B, K, 576]; mask [B, K].
+    Returns (o [B, H, 512] f32, lse [B, H] base-2, matching merge_state).
+    An all-masked row yields (0, -inf) — merge_state treats that branch
+    as weightless when the other side is finite.
+    """
+    q = jnp.concatenate([q_lat, q_pe], axis=-1).astype(jnp.float32)
+    r = rows.astype(jnp.float32)
+    s2 = jnp.einsum("bhd,bkd->bhk", q, r) * (scale * _LOG2E)
+    s2 = jnp.where(mask[:, None, :], s2, -jnp.inf)
+    m = jnp.max(s2, axis=-1)  # [B, H]
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    p = jnp.where(mask[:, None, :], jnp.exp2(s2 - m_safe[..., None]), 0.0)
+    l = jnp.sum(p, axis=-1)
+    o = jnp.einsum("bhk,bkd->bhd", p, r[..., :D_LATENT]) / jnp.maximum(l, 1e-30)[..., None]
+    lse = jnp.where(l > 0, m_safe + jnp.log2(jnp.maximum(l, 1e-30)), -jnp.inf)
+    return o, lse
+
+
+def _comp_flat_rows(comp_cache):
+    l, s, ring, d = comp_cache.shape
+    return comp_cache.reshape(l * s * ring, d)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tp_axis"), donate_argnums=(2, 3, 4))
+def decode_step_c(params, cfg: DeepseekConfig, kv_cache, score_cache, comp_cache,
+                  tokens, positions, page_tables, lengths, slot_loc, state_slots,
+                  rope_cache, *, tp_axis=None):
+    """Compressed-KV decode step.
+
+    kv_cache/score_cache [L, P, page, 576]; comp_cache [L, S, ring, 576]
+    with per-request ring rows selected by ``state_slots`` [B] (the
+    engine's recurrent-state slot machinery). ``lengths`` includes the
+    fresh token. Per layer: store latent+score rows, fire the compress
+    event when the length crosses a ratio multiple (plan_compress_decode
+    semantics), then attend [ring ∪ last compress_local tokens] and merge.
+    """
+    from ..ops.attention.merge_state import merge_state
+    from ..ops.compression import compress_window, plan_compress_decode
+
+    b = tokens.shape[0]
+    ratio = _comp_ratio(cfg)
+    ring, local = cfg.compress_ring, cfg.compress_local
+    x = params["embed"][tokens].astype(cfg.dtype)
+    lw = params["layers"]
+    l, np_, pg, dd = kv_cache.shape
+    s_slots = comp_cache.shape[1]
+    slots_r = jnp.asarray(state_slots, jnp.int32)
+
+    src, dst, _ = plan_compress_decode(lengths, compress_ratio=ratio, ring_size=ring)
+    n_comp = jnp.minimum(lengths // ratio, ring)
+    # local-window token positions + their flat pool rows (layer-offset added per layer)
+    loc_pos = lengths[:, None] - local + jnp.arange(local)[None, :]  # [B, local]
+    loc_valid = loc_pos >= 0
+    safe_pos = jnp.where(loc_valid, loc_pos, 0)
+    loc_flat0 = jnp.take_along_axis(page_tables, safe_pos // pg, axis=1) * pg + safe_pos % pg
+    src_valid = src >= 0
+    src_safe = jnp.where(src_valid, src, 0)
+    src_flat0 = jnp.take_along_axis(page_tables, src_safe // pg, axis=1) * pg + src_safe % pg
+
+    def layer_fn(carry, lidx):
+        x, kvc, scc, comp = carry
+        h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
+        q_lat, q_pe, kv_row = _mla_qkv(h, lw, lidx, cfg, b, positions, rope_cache)
+        score_row = _lin(h, lw["comp_score"], cfg, lidx)
+        off_slots = jnp.where(slot_loc >= 0, lidx * np_ * pg + slot_loc, -1)
+        kvc = store_cache_mla(kv_row, kvc.reshape(l * np_, pg, dd), off_slots).reshape(kvc.shape)
+        scc = store_cache_mla(score_row.astype(scc.dtype), scc.reshape(l * np_, pg, dd), off_slots).reshape(scc.shape)
+        kv_flat = kvc.reshape(l * np_ * pg, dd)
+        sc_flat = scc.reshape(l * np_ * pg, dd)
+
+        # compress event: pool the window through the FLAT layer-offset view
+        # (slicing kvc[lidx] inside the scan would copy the pool per step)
+        win_kv = kv_flat[lidx * np_ * pg + src_flat0]  # [B, W, D]
+        win_sc = sc_flat[lidx * np_ * pg + src_flat0].astype(jnp.float32)
+        win_sc = jnp.where(src_valid[..., None], win_sc, -jnp.inf)
+        pooled = compress_window(win_kv, win_sc, lw["comp_ape"][lidx]).astype(comp.dtype)
+        comp_flat = _comp_flat_rows(comp)
+        rid = jnp.where(dst >= 0, lidx * s_slots * ring + slots_r * ring + dst, l * s_slots * ring)
+        comp = comp_flat.at[rid].set(pooled, mode="drop").reshape(comp.shape)
+
+        # branch 1: recent uncompressed window
+        loc_rows = kv_flat[lidx * np_ * pg + loc_flat0]
+        o_loc, lse_loc = _dense_mla_attend(q_lat, q_pe, loc_rows, loc_valid, _sm_scale(cfg))
+        # branch 2: live compressed ring tokens
+        crid = lidx * s_slots * ring + slots_r[:, None] * ring + jnp.arange(ring)[None, :]
+        comp_rows = _comp_flat_rows(comp)[crid]  # [B, ring, D]
+        cmask = jnp.arange(ring)[None, :] < n_comp[:, None]
+        o_c, lse_c = _dense_mla_attend(q_lat, q_pe, comp_rows, cmask, _sm_scale(cfg))
+        attn, _ = merge_state(o_loc, lse_loc, o_c, lse_c)
+
+        x = x + _maybe_psum(_mla_out(attn.astype(cfg.dtype), lw, lidx, cfg, b), tp_axis)
+        h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
+        is_dense = lidx < cfg.num_dense_layers
+        mlp = jax.lax.cond(
+            is_dense,
+            lambda h2: _maybe_psum(_silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx), tp_axis),
+            lambda h2: _moe_block(h2, lw, lidx, cfg, tp_axis),
+            h2,
+        )
+        return (x + mlp, kvc, scc, comp), None
+
+    (x, kv_cache, score_cache, comp_cache), _ = jax.lax.scan(
+        layer_fn, (x, kv_cache, score_cache, comp_cache), jnp.arange(cfg.num_layers))
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    logits = _lin(x, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
+    return logits, kv_cache, score_cache, comp_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tp_axis"), donate_argnums=(2, 3, 4))
+def prefill_c(params, cfg: DeepseekConfig, kv_cache, score_cache, comp_cache,
+              tokens, positions, q_lens, slot_loc, state_slots, rope_cache, *,
+              tp_axis=None):
+    """Compressed-family prefill: EXACT causal attention over the prompt
+    (compression only bounds decode reads), stores latent + score rows,
+    then builds each layer's compressed ring for the prompt
+    (plan_compress_prefill + compress_window over the stored windows)."""
+    from ..ops.compression import compress_window, plan_compress_prefill
+
+    b, s = tokens.shape
+    ratio = _comp_ratio(cfg)
+    ring = cfg.compress_ring
+    x = params["embed"][tokens.reshape(-1)].astype(cfg.dtype)
+    lw = params["layers"]
+    l, np_, pg, dd = kv_cache.shape
+    s_slots = comp_cache.shape[1]
+    slots_r = jnp.asarray(state_slots, jnp.int32)
+
+    def layer_fn(carry, lidx):
+        x, kvc, scc = carry
+        h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
+        q_lat, q_pe, kv_row = _mla_qkv(h, lw, lidx, cfg, b * s, positions.reshape(-1), rope_cache)
+        score_row = _lin(h, lw["comp_score"], cfg, lidx)
+        sl = slot_loc.reshape(-1)
+        off_slots = jnp.where(sl >= 0, lidx * np_ * pg + sl, -1)
+        kvc = store_cache_mla(kv_row, kvc.reshape(l * np_, pg, dd), off_slots).reshape(kvc.shape)
+        scc = store_cache_mla(score_row.astype(scc.dtype), scc.reshape(l * np_, pg, dd), off_slots).reshape(scc.shape)
+        attn = mla_prefill(
+            q_lat.reshape(b, s, cfg.num_heads, D_LATENT),
+            q_pe.reshape(b, s, cfg.num_heads, D_ROPE),
+            kv_row.reshape(b, s, D_CKV),
+            q_lens, q_lens, sm_scale=_sm_scale(cfg),
+        ).reshape(b * s, cfg.num_heads, D_LATENT)
+        x = x + _maybe_psum(_mla_out(attn, lw, lidx, cfg, b * s), tp_axis)
+        h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
+        is_dense = lidx < cfg.num_dense_layers
+        mlp = jax.lax.cond(
+            is_dense,
+            lambda h2: _maybe_psum(_silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx), tp_axis),
+            lambda h2: _moe_block(h2, lw, lidx, cfg, tp_axis),
+            h2,
+        )
+        return (x + mlp, kvc, scc), None
+
+    (x, kv_cache, score_cache), _ = jax.lax.scan(
+        layer_fn, (x, kv_cache, score_cache), jnp.arange(cfg.num_layers))
+
+    # ---- build the compressed rings (all layers, vectorized) ----
+    src, dst, _ = plan_compress_prefill(q_lens, compress_ratio=ratio, ring_size=ring)
+    # src [B, n_max, W] prompt positions -> stored slots via slot_loc [B, S]
+    valid = src >= 0
+    src_safe = jnp.where(valid, src, 0)
+    slot_of = jnp.take_along_axis(
+        slot_loc, src_safe.reshape(b, -1), axis=1).reshape(src.shape)  # [B, n, W]
+    kv_flat = kv_cache.reshape(l, np_ * pg, dd)
+    sc_flat = score_cache.reshape(l, np_ * pg, dd)
+    win_kv = kv_flat[:, jnp.where(valid, slot_of, 0)]  # [L, B, n, W, D]
+    win_sc = sc_flat[:, jnp.where(valid, slot_of, 0)].astype(jnp.float32)
+    win_sc = jnp.where(valid[None, ..., None], win_sc, -jnp.inf)
+    ape = params["layers"]["comp_ape"][:, None, None]  # [L, 1, 1, W, D]
+    pooled = compress_window(win_kv, win_sc, ape).astype(comp_cache.dtype)  # [L, B, n, D]
+    lids = jnp.arange(l)[:, None, None]
+    rid = jnp.where(
+        (dst >= 0)[None],
+        lids * s_slots * ring + slots_r[None, :, None] * ring + jnp.maximum(dst, 0)[None],
+        l * s_slots * ring,
+    )
+    comp_cache = _comp_flat_rows(comp_cache).at[rid.reshape(-1)].set(
+        pooled.reshape(-1, dd), mode="drop").reshape(comp_cache.shape)
+
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    x = x.reshape(b, s, -1)
+    last = jnp.clip(q_lens - 1, 0, s - 1)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    logits = _lin(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
+    return logits, kv_cache, score_cache, comp_cache

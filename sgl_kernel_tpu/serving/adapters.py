@@ -245,26 +245,47 @@ class DeepseekAdapter:
     supports_spec = False
     supports_extend = True
 
-    def __init__(self, cfg, *, use_nsa: bool = False):
+    def __init__(self, cfg, *, use_nsa: bool = False, use_compress: bool = False):
         from ..models import deepseek
 
         self.cfg = cfg
         self._m = deepseek
         self.use_nsa = use_nsa
+        self.use_compress = use_compress
+        if use_compress:
+            assert not use_nsa, "compress and NSA decode are exclusive modes"
+            assert cfg.compress in ("c4", "c128"), cfg.compress
+            # compressed rings are per-request recurrent state (the GDN
+            # slot machinery); no extend program (ring is not
+            # prefix-shareable), no packed/mesh paths yet
+            self.needs_state_slots = True
+            self.supports_extend = False
+            self.prefill_packed = None
+            self.make_mesh_steps = None
         self.rope_cache = deepseek.build_rope_cache(cfg)
         self.idx_rope_cache = deepseek.build_idx_rope_cache(cfg) if use_nsa else None
 
     def init_weights(self, key):
         return self._m.init_weights(self.cfg, key)
 
-    def make_caches(self, num_pages: int, page_size: int):
+    def make_caches(self, num_pages: int, page_size: int, max_slots: int = 16):
+        if self.use_compress:
+            return self._m.make_compress_caches(self.cfg, num_pages, page_size, max_slots)
         kv = self._m.make_cache(self.cfg, num_pages, page_size)
         if not self.use_nsa:
             return (kv,)
         idx_k, idx_s = self._m.make_indexer_cache(self.cfg, num_pages, page_size)
         return (kv, idx_k, idx_s)
 
-    def prefill(self, params, caches, tokens, positions, q_lens, slot_loc):
+    def prefill(self, params, caches, tokens, positions, q_lens, slot_loc,
+                state_slots=None):
+        if self.use_compress:
+            kv, sc, comp = caches
+            logits, kv, sc, comp = self._m.prefill_c(
+                params, self.cfg, kv, sc, comp, tokens, positions, q_lens,
+                slot_loc, jnp.asarray(state_slots, jnp.int32), self.rope_cache,
+            )
+            return logits, (kv, sc, comp)
         if self.use_nsa:
             kv, idx_k, idx_s = caches
             logits, kv, idx_k, idx_s = self._m.prefill_nsa(
@@ -297,7 +318,15 @@ class DeepseekAdapter:
         return logits, (kv,)
 
     def decode(self, params, caches, tokens, positions, page_tables,
-               lengths, slot_loc):
+               lengths, slot_loc, state_slots=None):
+        if self.use_compress:
+            kv, sc, comp = caches
+            logits, kv, sc, comp = self._m.decode_step_c(
+                params, self.cfg, kv, sc, comp, tokens, positions,
+                page_tables, lengths, slot_loc,
+                jnp.asarray(state_slots, jnp.int32), self.rope_cache,
+            )
+            return logits, (kv, sc, comp)
         if self.use_nsa:
             kv, idx_k, idx_s = caches
             logits, kv, idx_k, idx_s = self._m.decode_step_nsa(
@@ -371,10 +400,23 @@ class DeepseekAdapter:
 
         return decode, prefill
 
-    # -- PD disaggregation: whole-page latent (+ indexer) movement --
+    # -- compressed rings are per-request recurrent state (PD movement) --
+    def extract_state(self, caches, state_slot: int):
+        assert self.use_compress
+        return (caches[2][:, state_slot],)  # [L, ring, 576]
+
+    def inject_state(self, caches, payload, state_slot: int):
+        assert self.use_compress
+        kv, sc, comp = caches
+        (rows,) = payload
+        return (kv, sc, comp.at[:, state_slot].set(jnp.asarray(rows, comp.dtype)))
+
+    # -- PD disaggregation: whole-page latent (+ score / indexer) movement --
     def extract_pages(self, caches, page_ids):
         ids = jnp.asarray(page_ids, jnp.int32)
         kv = caches[0]
+        if self.use_compress:
+            return (kv[:, ids], caches[1][:, ids])
         out = (kv[:, ids],)  # [L, n, page, 576]
         if self.use_nsa:
             _, p, pg, _ = kv.shape
@@ -387,6 +429,9 @@ class DeepseekAdapter:
     def inject_pages(self, caches, payload, page_ids):
         ids = jnp.asarray(page_ids, jnp.int32)
         kv = caches[0].at[:, ids].set(jnp.asarray(payload[0], caches[0].dtype))
+        if self.use_compress:
+            sc = caches[1].at[:, ids].set(jnp.asarray(payload[1], caches[1].dtype))
+            return (kv, sc, caches[2])
         if not self.use_nsa:
             return (kv,)
         _, p, pg, _ = kv.shape
@@ -404,7 +449,7 @@ def adapter_for(cfg):
     from ..models import deepseek, gptoss, llama, mixtral
 
     if isinstance(cfg, deepseek.DeepseekConfig):
-        return DeepseekAdapter(cfg)
+        return DeepseekAdapter(cfg, use_compress=bool(getattr(cfg, "compress", None)))
     if isinstance(cfg, gptoss.GptOssConfig):
         return GptOssAdapter(cfg)
     from ..models import hybrid_gdn
