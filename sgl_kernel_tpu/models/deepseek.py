@@ -72,7 +72,10 @@ class DeepseekConfig:
     # "c128" = ratio 128 plain windows.
     compress: Optional[str] = None  # None | "c4" | "c128"
     compress_ring: int = 64  # compressed tokens kept per sequence (ring eviction)
-    compress_local: int = 64  # recent tokens attended uncompressed
+    # recent tokens attended uncompressed; must be >= the compress ratio,
+    # or tokens older than the window but not yet pooled would be invisible
+    # to decode (None = max(64, ratio))
+    compress_local: Optional[int] = None
 
     @staticmethod
     def tiny(**kw):
@@ -764,6 +767,15 @@ def _comp_window(cfg):
     return 2 * r if r == 4 else r
 
 
+def _comp_local(cfg):
+    r = _comp_ratio(cfg)
+    local = cfg.compress_local if cfg.compress_local is not None else max(64, r)
+    assert local >= r, (
+        f"compress_local={local} < ratio {r}: tokens older than the local "
+        "window but not yet pooled would be attended by NEITHER branch")
+    return local
+
+
 def make_compress_caches(cfg: DeepseekConfig, num_pages: int, page_size: int, max_slots: int = 16):
     """(latent pool, score pool, comp ring pool [L, S, ring, 576])."""
     kv = make_cache(cfg, num_pages, page_size)
@@ -819,7 +831,7 @@ def decode_step_c(params, cfg: DeepseekConfig, kv_cache, score_cache, comp_cache
 
     b = tokens.shape[0]
     ratio = _comp_ratio(cfg)
-    ring, local = cfg.compress_ring, cfg.compress_local
+    ring, local = cfg.compress_ring, _comp_local(cfg)
     x = params["embed"][tokens].astype(cfg.dtype)
     lw = params["layers"]
     l, np_, pg, dd = kv_cache.shape
@@ -827,6 +839,7 @@ def decode_step_c(params, cfg: DeepseekConfig, kv_cache, score_cache, comp_cache
     slots_r = jnp.asarray(state_slots, jnp.int32)
 
     src, dst, _ = plan_compress_decode(lengths, compress_ratio=ratio, ring_size=ring)
+    any_event = jnp.any(dst >= 0)  # 1 step in `ratio` fires; skip the rest
     n_comp = jnp.minimum(lengths // ratio, ring)
     # local-window token positions + their flat pool rows (layer-offset added per layer)
     loc_pos = lengths[:, None] - local + jnp.arange(local)[None, :]  # [B, local]
@@ -849,14 +862,18 @@ def decode_step_c(params, cfg: DeepseekConfig, kv_cache, score_cache, comp_cache
         sc_flat = scc.reshape(l * np_ * pg, dd)
 
         # compress event: pool the window through the FLAT layer-offset view
-        # (slicing kvc[lidx] inside the scan would copy the pool per step)
-        win_kv = kv_flat[lidx * np_ * pg + src_flat0]  # [B, W, D]
-        win_sc = sc_flat[lidx * np_ * pg + src_flat0].astype(jnp.float32)
-        win_sc = jnp.where(src_valid[..., None], win_sc, -jnp.inf)
-        pooled = compress_window(win_kv, win_sc, lw["comp_ape"][lidx]).astype(comp.dtype)
-        comp_flat = _comp_flat_rows(comp)
-        rid = jnp.where(dst >= 0, lidx * s_slots * ring + slots_r * ring + dst, l * s_slots * ring)
-        comp = comp_flat.at[rid].set(pooled, mode="drop").reshape(comp.shape)
+        # (slicing kvc[lidx] inside the scan would copy the pool per step);
+        # the whole block is cond-skipped on the ~(ratio-1)/ratio of steps
+        # where no sequence crosses a ratio boundary
+        def _fire(comp):
+            win_kv = kv_flat[lidx * np_ * pg + src_flat0]  # [B, W, D]
+            win_sc = sc_flat[lidx * np_ * pg + src_flat0].astype(jnp.float32)
+            win_sc = jnp.where(src_valid[..., None], win_sc, -jnp.inf)
+            pooled = compress_window(win_kv, win_sc, lw["comp_ape"][lidx]).astype(comp.dtype)
+            rid = jnp.where(dst >= 0, lidx * s_slots * ring + slots_r * ring + dst, l * s_slots * ring)
+            return _comp_flat_rows(comp).at[rid].set(pooled, mode="drop").reshape(comp.shape)
+
+        comp = jax.lax.cond(any_event, _fire, lambda c: c, comp)
 
         # branch 1: recent uncompressed window
         loc_rows = kv_flat[lidx * np_ * pg + loc_flat0]
@@ -934,28 +951,33 @@ def prefill_c(params, cfg: DeepseekConfig, kv_cache, score_cache, comp_cache,
     (x, kv_cache, score_cache), _ = jax.lax.scan(
         layer_fn, (x, kv_cache, score_cache), jnp.arange(cfg.num_layers))
 
-    # ---- build the compressed rings (all layers, vectorized) ----
+    # ---- build the compressed rings: scan over ring events so the peak
+    # gather is [L, B, W, D] per step, not an [L, B, ring, W, D] transient
+    # (multi-GB at c128 real scale) ----
     src, dst, _ = plan_compress_prefill(q_lens, compress_ratio=ratio, ring_size=ring)
-    # src [B, n_max, W] prompt positions -> stored slots via slot_loc [B, S]
-    valid = src >= 0
-    src_safe = jnp.where(valid, src, 0)
+    valid = src >= 0  # [B, n_max, W]
     slot_of = jnp.take_along_axis(
-        slot_loc, src_safe.reshape(b, -1), axis=1).reshape(src.shape)  # [B, n, W]
+        slot_loc, jnp.where(valid, src, 0).reshape(b, -1), axis=1).reshape(src.shape)
     kv_flat = kv_cache.reshape(l, np_ * pg, dd)
     sc_flat = score_cache.reshape(l, np_ * pg, dd)
-    win_kv = kv_flat[:, jnp.where(valid, slot_of, 0)]  # [L, B, n, W, D]
-    win_sc = sc_flat[:, jnp.where(valid, slot_of, 0)].astype(jnp.float32)
-    win_sc = jnp.where(valid[None, ..., None], win_sc, -jnp.inf)
-    ape = params["layers"]["comp_ape"][:, None, None]  # [L, 1, 1, W, D]
-    pooled = compress_window(win_kv, win_sc, ape).astype(comp_cache.dtype)  # [L, B, n, D]
-    lids = jnp.arange(l)[:, None, None]
-    rid = jnp.where(
-        (dst >= 0)[None],
-        lids * s_slots * ring + slots_r[None, :, None] * ring + jnp.maximum(dst, 0)[None],
-        l * s_slots * ring,
-    )
-    comp_cache = _comp_flat_rows(comp_cache).at[rid.reshape(-1)].set(
-        pooled.reshape(-1, dd), mode="drop").reshape(comp_cache.shape)
+    ape = params["layers"]["comp_ape"][:, None]  # [L, 1, W, D]
+    lids = jnp.arange(l)[:, None]
+
+    def ring_step(comp_flat, i):
+        v_i = valid[:, i]  # [B, W]
+        win_kv = kv_flat[:, slot_of[:, i]]  # [L, B, W, D]
+        win_sc = sc_flat[:, slot_of[:, i]].astype(jnp.float32)
+        win_sc = jnp.where(v_i[None, ..., None], win_sc, -jnp.inf)
+        pooled = compress_window(win_kv, win_sc, ape).astype(comp_cache.dtype)  # [L, B, D]
+        rid = jnp.where(
+            (dst[:, i] >= 0)[None],
+            lids * s_slots * ring + slots_r[None, :] * ring + jnp.maximum(dst[:, i], 0)[None],
+            l * s_slots * ring,
+        )
+        return comp_flat.at[rid.reshape(-1)].set(pooled.reshape(-1, dd), mode="drop"), None
+
+    comp_flat, _ = jax.lax.scan(ring_step, _comp_flat_rows(comp_cache), jnp.arange(dst.shape[1]))
+    comp_cache = comp_flat.reshape(comp_cache.shape)
 
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
     x = x.reshape(b, s, -1)

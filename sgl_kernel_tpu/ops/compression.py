@@ -159,6 +159,52 @@ def flash_compress4_prefill(kv, scores, ape):
     return compress_sequence(kv, scores, ape, compress_ratio=4)
 
 
+@jax.jit
+def c4_window_dual(rows, ape):
+    """Reference-exact c4 window pooling over DUAL-channel token rows.
+
+    The reference c4 stores ``elem = 4*head_dim`` per token —
+    ``[kv_overlap | kv_fresh | sc_overlap | sc_fresh]`` — and a window's
+    OLDER half (positions 0-3, the overlap with the previous window) reads
+    the overlap channels while the FRESH half (positions 4-7) reads the
+    fresh channels (flash_compress_4.py:90-147 c4_forward_torch: rows
+    P-7..P-3 take ``kv[:hd]`` + ``sc[2hd:3hd]``, rows P-3..P take
+    ``kv[hd:2hd]`` + ``sc[3hd:4hd]``). A token therefore contributes a
+    DIFFERENT projection to each of the two overlapping windows it belongs
+    to. ``compress_window`` is the single-channel reduction; this op is
+    the dual-channel c4 form.
+
+    rows: [..., 8, 4*hd]; ape: [8, hd]. Masked (padding) rows are signaled
+    by -inf in their score channel, as in the single-channel op.
+    Returns [..., hd] f32.
+    """
+    hd = ape.shape[-1]
+    assert rows.shape[-2] == 8 and rows.shape[-1] == 4 * hd, (rows.shape, hd)
+    kv_ov = rows[..., :4, :hd]
+    sc_ov = rows[..., :4, 2 * hd : 3 * hd]
+    kv_fr = rows[..., 4:, hd : 2 * hd]
+    sc_fr = rows[..., 4:, 3 * hd : 4 * hd]
+    kv = jnp.concatenate([kv_ov, kv_fr], axis=-2)
+    sc = jnp.concatenate([sc_ov, sc_fr], axis=-2)
+    return compress_window(kv, sc, ape)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def compress_sequence_c4_dual(rows, ape):
+    """Full-sequence c4 over dual-channel rows [T, 4*hd] -> [T//4, hd]
+    (overlapping windows of 8, stride 4; the first window's missing
+    overlap half is -inf-masked zeros, matching c4_forward_torch's
+    should_overlap=False branch)."""
+    t, elem = rows.shape
+    hd = elem // 4
+    n = t // 4
+    # poison the pad rows' score channels so softmax ignores them
+    neg = jnp.zeros((4, elem), jnp.float32).at[:, 2 * hd :].set(-jnp.inf)
+    pad = jnp.concatenate([neg, rows[: n * 4].astype(jnp.float32)], axis=0)
+    idx = jnp.arange(n)[:, None] * 4 + jnp.arange(8)[None, :]
+    return c4_window_dual(pad[idx], ape).astype(rows.dtype)
+
+
 def flash_compress128_prefill(kv, scores, ape):
     """c128 full-sequence compress (FlashCompress128.cpp prefill path)."""
     return compress_sequence(kv, scores, ape, compress_ratio=128)

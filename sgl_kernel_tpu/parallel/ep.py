@@ -12,7 +12,6 @@ decode-sized batches the serving loop produces and is numerically exact.)
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

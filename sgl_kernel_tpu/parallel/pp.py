@@ -17,7 +17,6 @@ stages execute identical SPMD code, so the whole step is one jit.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -60,7 +59,7 @@ def make_pp_decode_step(cfg: llama.LlamaConfig, mesh: Mesh, params, n_micro: int
         ticks = n_micro + pp - 1
 
         def tick(t, carry):
-            x_buf, kc, vc, outputs = carry
+            x_buf, kc, vc, houts = carry
             mb = t - s
             valid = (mb >= 0) & (mb < n_micro)
             mb_c = jnp.clip(mb, 0, n_micro - 1)
@@ -73,19 +72,23 @@ def make_pp_decode_step(cfg: llama.LlamaConfig, mesh: Mesh, params, n_micro: int
                 lw, cfg_s, kc, vc, h_in, positions[mb_c], page_tables[mb_c],
                 lengths[mb_c], loc, rope_cache,
             )
-            # last stage: head + store logits (OOB-dropped during drain)
-            hn = rmsnorm(h_out, params["final_norm"], cfg.rms_eps)
-            logits = llama._linear(hn, params["lm_head"], cfg).astype(jnp.float32)[:, :vocab]
+            # last stage: bank the final hidden state (OOB-dropped during
+            # drain); the full-vocab head runs ONCE after the loop instead
+            # of ticks x stages times (it dominates per-tick cost at real
+            # vocab sizes)
             out_idx = jnp.where(valid & (s == pp - 1), mb_c, n_micro)
-            outputs = outputs.at[out_idx].set(logits, mode="drop")
+            houts = houts.at[out_idx].set(h_out, mode="drop")
             x_buf = jax.lax.ppermute(h_out, "pp", [(i, (i + 1) % pp) for i in range(pp)])
-            return (x_buf, kc, vc, outputs)
+            return (x_buf, kc, vc, houts)
 
         x0 = jnp.zeros((bm, cfg.hidden_size), cfg.dtype)
-        outs0 = jnp.zeros((n_micro, bm, vocab), jnp.float32)
-        _, k_cache, v_cache, outputs = jax.lax.fori_loop(
-            0, ticks, tick, (x0, k_cache, v_cache, outs0)
+        h0 = jnp.zeros((n_micro, bm, cfg.hidden_size), cfg.dtype)
+        _, k_cache, v_cache, houts = jax.lax.fori_loop(
+            0, ticks, tick, (x0, k_cache, v_cache, h0)
         )
+        hn = rmsnorm(houts.reshape(n_micro * bm, -1), params["final_norm"], cfg.rms_eps)
+        logits = llama._linear(hn, params["lm_head"], cfg).astype(jnp.float32)[:, :vocab]
+        outputs = logits.reshape(n_micro, bm, vocab)
         # only the last stage holds real logits; psum broadcasts them
         outputs = jax.lax.psum(jnp.where(s == pp - 1, outputs, 0.0), "pp")
         return outputs, k_cache, v_cache

@@ -13,7 +13,6 @@ blocks skipped inside the kernel.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -39,7 +38,6 @@ def ring_attention(
     idx = jax.lax.axis_index(axis_name)
     b, s, hq, d = q.shape
 
-    perm = None  # built per step below
 
     def step_fn(carry, step):
         k_blk, v_blk, o_acc, lse_acc = carry
@@ -69,7 +67,10 @@ def ring_attention(
         v_blk = jax.lax.ppermute(v_blk, axis_name, perm=pairs)
         return (k_blk, v_blk, o_new.reshape(b, s, hq, d), lse_new.reshape(b, s, hq)), None
 
-    o0 = jnp.zeros_like(q)
+    # f32 accumulator: merge_state returns v_a.dtype, so a q-dtype carry
+    # would re-round the normalized partial at every ring step (error
+    # growing with ring size); cast once at the end instead
+    o0 = jnp.zeros(q.shape, jnp.float32)
     lse0 = jnp.full((b, s, hq), -jnp.inf, jnp.float32)
     (k, v, o, lse), _ = jax.lax.scan(step_fn, (k, v, o0, lse0), jnp.arange(n))
-    return o
+    return o.astype(q.dtype)

@@ -183,9 +183,14 @@ def _ds_param_specs(params):
         "moe_w1": expert_bank(lw["moe_w1"]),
         "moe_w2": expert_bank(lw["moe_w2"]),
     }
-    for extra in ("wq_idx", "wk_idx", "idx_norm", "w_idx_gate"):
+    for extra in ("wq_idx", "wk_idx", "idx_norm", "w_idx_gate", "comp_ape"):
         if extra in lw:
             specs[extra] = P(*([None] * jnp.ndim(lw[extra])))
+    if "comp_score" in lw:  # replicated (dict when quantized)
+        cs = lw["comp_score"]
+        specs["comp_score"] = (
+            {k: P(*([None] * jnp.ndim(v))) for k, v in cs.items()}
+            if isinstance(cs, dict) else P(*([None] * jnp.ndim(cs))))
     lm = params["lm_head"]
     return {
         "embed": P(None, None),

@@ -12,7 +12,6 @@ the sequence is long.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -449,7 +449,14 @@ def adapter_for(cfg):
     from ..models import deepseek, gptoss, llama, mixtral
 
     if isinstance(cfg, deepseek.DeepseekConfig):
-        return DeepseekAdapter(cfg, use_compress=bool(getattr(cfg, "compress", None)))
+        # auto-select the decode mode the config promises (an explicit
+        # adapter= can still override); compress+nsa trips the
+        # exclusivity assert instead of silently picking one
+        return DeepseekAdapter(
+            cfg,
+            use_nsa=bool(getattr(cfg, "nsa", False)),
+            use_compress=bool(getattr(cfg, "compress", None)),
+        )
     if isinstance(cfg, gptoss.GptOssConfig):
         return GptOssAdapter(cfg)
     from ..models import hybrid_gdn

@@ -49,7 +49,7 @@ class TestCompressedDecode:
         is empty and the local branch is full attention -> logits match the
         plain MLA decode path."""
         cfg = deepseek.DeepseekConfig.tiny(
-            compress="c128", compress_ring=4, compress_local=32)
+            compress="c128", compress_ring=4, compress_local=128)
         params = deepseek.init_weights(cfg, jax.random.PRNGKey(0))
         page = 16
         kv, sc, comp = deepseek.make_compress_caches(cfg, 8, page, max_slots=4)
@@ -221,3 +221,72 @@ class TestCompressedEngine:
             for rid in rids:
                 assert len(eng.finished[rid].output) == 4
         assert len(eng._free_state_slots) == 2
+
+
+class TestReviewFixes:
+    def test_local_window_must_cover_ratio(self):
+        """compress_local < ratio would leave tokens older than the window
+        but not yet pooled invisible to BOTH decode branches (review
+        finding) — the model asserts instead."""
+        cfg = deepseek.DeepseekConfig.tiny(
+            compress="c128", compress_ring=4, compress_local=32)
+        with pytest.raises(AssertionError, match="compress_local"):
+            deepseek._comp_local(cfg)
+        # default (None) self-sizes to >= ratio
+        cfg2 = deepseek.DeepseekConfig.tiny(compress="c128", compress_ring=4)
+        assert deepseek._comp_local(cfg2) >= 128
+
+    def test_adapter_for_auto_selects_nsa_and_compress(self):
+        from sgl_kernel_tpu.serving.adapters import adapter_for
+
+        a = adapter_for(deepseek.DeepseekConfig.tiny(nsa=True))
+        assert a.use_nsa and not a.use_compress
+        b = adapter_for(deepseek.DeepseekConfig.tiny(compress="c4"))
+        assert b.use_compress and not b.use_nsa
+        with pytest.raises(AssertionError, match="exclusive"):
+            adapter_for(deepseek.DeepseekConfig.tiny(nsa=True, compress="c4"))
+
+    def test_c4_window_dual_reference_semantics(self, rng):
+        """Reference c4 dual-channel contract (flash_compress_4.py:90-147):
+        rows store [kv_ov | kv_fr | sc_ov | sc_fr]; the window's older half
+        contributes its OVERLAP channels, the fresh half its FRESH channels."""
+        hd = 16
+        rows = rng.standard_normal((8, 4 * hd)).astype(np.float32)
+        ape = rng.standard_normal((8, hd)).astype(np.float32)
+        got = compression.c4_window_dual(jnp.asarray(rows), jnp.asarray(ape))
+        kv = np.concatenate([rows[:4, :hd], rows[4:, hd:2*hd]], axis=0)
+        sc = np.concatenate([rows[:4, 2*hd:3*hd], rows[4:, 3*hd:]], axis=0) + ape
+        w = np.exp(sc - sc.max(0)) / np.exp(sc - sc.max(0)).sum(0)
+        ref = (kv * w).sum(0)
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-6)
+
+    def test_c4_dual_sequence_first_window_masked(self, rng):
+        """compress_sequence_c4_dual: the first window's missing overlap
+        half is score-masked (should_overlap=False branch), later windows
+        pool [4k-4, 4k+4) with the dual channel split."""
+        hd, t = 8, 12
+        rows = rng.standard_normal((t, 4 * hd)).astype(np.float32)
+        ape = rng.standard_normal((8, hd)).astype(np.float32)
+        out = np.asarray(compression.compress_sequence_c4_dual(jnp.asarray(rows), jnp.asarray(ape)))
+        assert out.shape == (3, hd)
+        # window 0: only the fresh half (rows 0-3) is live
+        sc = rows[:4, 3*hd:] + ape[4:]
+        w = np.exp(sc - sc.max(0)) / np.exp(sc - sc.max(0)).sum(0)
+        ref0 = (rows[:4, hd:2*hd] * w).sum(0)
+        np.testing.assert_allclose(out[0], ref0, rtol=1e-5, atol=1e-6)
+        # window 2 pools rows [4, 12): overlap rows 4-7, fresh rows 8-11
+        win = np.arange(4, 12)
+        got2 = np.asarray(compression.c4_window_dual(
+            jnp.asarray(rows[win])[None], jnp.asarray(ape)))[0]
+        np.testing.assert_allclose(out[2], got2, rtol=1e-5, atol=1e-6)
+
+    def test_tp_param_specs_cover_compress_keys(self):
+        from sgl_kernel_tpu.parallel import tp as tp_lib
+        from sgl_kernel_tpu.parallel.mesh import make_mesh
+
+        cfg = deepseek.DeepseekConfig.tiny(compress="c4")
+        params = deepseek.init_weights(cfg, jax.random.PRNGKey(0))
+        specs = tp_lib._ds_param_specs(params)
+        assert "comp_score" in specs["layers"] and "comp_ape" in specs["layers"]
+        # spec tree must match the params tree structure
+        jax.tree.map(lambda a, b: None, params["layers"], specs["layers"])
