@@ -291,3 +291,51 @@ def make_parallel_deepseek_nsa_steps(cfg, mesh: Mesh, params, idx_rope_cache):
         check_vma=False,
     )
     return decode_sm, prefill_sm
+
+
+def make_parallel_deepseek_compress_steps(cfg, mesh: Mesh, params):
+    """TP builders for the compressed-KV DeepSeek family (decode_step_c /
+    prefill_c): heads/experts/intermediates shard over tp, the latent,
+    score, and compressed-ring pools are replicated per shard (the MLA-TP
+    tradeoff — one shared latent head), batch shards over dp. The compress
+    event math is replicated and bit-identical across shards."""
+    from ..models import deepseek
+
+    tpn = mesh.shape["tp"]
+    cfg_local = deepseek_local_config(cfg, tpn)
+    pspecs = _ds_param_specs(params)
+    cache_spec = P(None, "dp", None, None)  # [L, P, page, 576] pools
+    comp_spec = P(None, None, None, None)  # [L, S, ring, 576] ring pool
+
+    def dstep(params, kv, sc, comp, tokens, positions, page_tables, lengths,
+              slot_loc, state_slots, rope_cache):
+        return deepseek.decode_step_c(
+            params, cfg_local, kv, sc, comp, tokens, positions, page_tables,
+            lengths, slot_loc, state_slots, rope_cache, tp_axis="tp",
+        )
+
+    decode = shard_map(
+        dstep,
+        mesh=mesh,
+        in_specs=(pspecs, cache_spec, cache_spec, comp_spec, P("dp"), P("dp"),
+                  P("dp", None), P("dp"), P("dp"), P("dp"), P(None, None)),
+        out_specs=(P("dp", None), cache_spec, cache_spec, comp_spec),
+        check_vma=False,
+    )
+
+    def pstep(params, kv, sc, comp, tokens, positions, q_lens, slot_loc,
+              state_slots, rope_cache):
+        return deepseek.prefill_c(
+            params, cfg_local, kv, sc, comp, tokens, positions, q_lens,
+            slot_loc, state_slots, rope_cache, tp_axis="tp",
+        )
+
+    prefill = shard_map(
+        pstep,
+        mesh=mesh,
+        in_specs=(pspecs, cache_spec, cache_spec, comp_spec, P("dp", None),
+                  P("dp", None), P("dp"), P("dp", None), P("dp"), P(None, None)),
+        out_specs=(P("dp", None), cache_spec, cache_spec, comp_spec),
+        check_vma=False,
+    )
+    return decode, prefill

@@ -257,11 +257,10 @@ class DeepseekAdapter:
             assert cfg.compress in ("c4", "c128"), cfg.compress
             # compressed rings are per-request recurrent state (the GDN
             # slot machinery); no extend program (ring is not
-            # prefix-shareable), no packed/mesh paths yet
+            # prefix-shareable), no packed path yet
             self.needs_state_slots = True
             self.supports_extend = False
             self.prefill_packed = None
-            self.make_mesh_steps = None
         self.rope_cache = deepseek.build_rope_cache(cfg)
         self.idx_rope_cache = deepseek.build_idx_rope_cache(cfg) if use_nsa else None
 
@@ -365,6 +364,27 @@ class DeepseekAdapter:
 
     def make_mesh_steps(self, mesh, params):
         from ..parallel import tp as tp_lib
+
+        if self.use_compress:
+            dstep, pfill = tp_lib.make_parallel_deepseek_compress_steps(
+                self.cfg, mesh, params)
+            dstep, pfill = jax.jit(dstep), jax.jit(pfill)
+
+            def decode(params, caches, *a, state_slots=None):
+                kv, sc, comp = caches
+                logits, kv, sc, comp = dstep(
+                    params, kv, sc, comp, *a,
+                    jnp.asarray(state_slots, jnp.int32), self.rope_cache)
+                return logits, (kv, sc, comp)
+
+            def prefill(params, caches, *a, state_slots=None):
+                kv, sc, comp = caches
+                logits, kv, sc, comp = pfill(
+                    params, kv, sc, comp, *a,
+                    jnp.asarray(state_slots, jnp.int32), self.rope_cache)
+                return logits, (kv, sc, comp)
+
+            return decode, prefill
 
         if self.use_nsa:
             dstep, pfill = tp_lib.make_parallel_deepseek_nsa_steps(

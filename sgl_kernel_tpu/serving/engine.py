@@ -430,10 +430,12 @@ class Engine:
         slot_loc[0, :s] = [self._slot(req, p) for p in range(pre, end)]
         if pre == 0:
             if self._pprefill is not None:
+                kw = ({"state_slots": jnp.asarray([req.state_slot], jnp.int32)}
+                      if self._stateful else {})
                 logits, self.caches = self._pprefill(
                     self.params, self.caches,
                     jnp.asarray(tokens), jnp.asarray(positions),
-                    jnp.asarray([s], jnp.int32), jnp.asarray(slot_loc),
+                    jnp.asarray([s], jnp.int32), jnp.asarray(slot_loc), **kw,
                 )
             else:
                 kw = ({"state_slots": jnp.asarray([req.state_slot], jnp.int32)}
@@ -520,10 +522,16 @@ class Engine:
             lengths[i] = r.seq_len
             slot_loc[i] = self._slot(r, pos)
         if self._pstep is not None:
+            kw = {}
+            if self._stateful:
+                ss = np.full(bp, self.max_batch, np.int32)  # scratch slot
+                for i, r in enumerate(reqs):
+                    ss[i] = r.state_slot
+                kw["state_slots"] = jnp.asarray(ss)
             logits, self.caches = self._pstep(
                 self.params, self.caches,
                 jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
-                jnp.asarray(lengths), jnp.asarray(slot_loc),
+                jnp.asarray(lengths), jnp.asarray(slot_loc), **kw,
             )
         else:
             kw = {}

@@ -290,3 +290,23 @@ class TestReviewFixes:
         assert "comp_score" in specs["layers"] and "comp_ape" in specs["layers"]
         # spec tree must match the params tree structure
         jax.tree.map(lambda a, b: None, params["layers"], specs["layers"])
+
+    def test_compress_mesh_engine_matches_single(self, rng):
+        """Compressed-KV DeepSeek over a tp=2 mesh (sharded heads/experts,
+        replicated latent/score/ring pools) == single-device engine."""
+        from sgl_kernel_tpu.parallel import mesh as mesh_lib
+        from sgl_kernel_tpu.serving import Engine
+
+        cfg = deepseek.DeepseekConfig.tiny(compress="c4", compress_ring=8,
+                                           compress_local=16)
+        params = deepseek.init_weights(cfg, jax.random.PRNGKey(6))
+        prompt = rng.integers(0, cfg.vocab_size, 9).astype(np.int32).tolist()
+        e0 = Engine(cfg, params, num_pages=16, page_size=16, prefill_bucket=16)
+        r0 = e0.add_request(prompt, max_new_tokens=6)
+        e0.run_until_done()
+        mesh = mesh_lib.make_mesh({"dp": 1, "tp": 2})
+        e1 = Engine(cfg, params, num_pages=16, page_size=16, prefill_bucket=16,
+                    mesh=mesh)
+        r1 = e1.add_request(prompt, max_new_tokens=6)
+        e1.run_until_done()
+        assert e1.finished[r1].output == e0.finished[r0].output
