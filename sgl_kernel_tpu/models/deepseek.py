@@ -429,10 +429,10 @@ def prefill_packed(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
     return logits, kv_cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "prefix_max", "tp_axis"), donate_argnums=(2,))
+@functools.partial(jax.jit, static_argnames=("cfg", "prefix_max", "tp_axis", "num_logits"), donate_argnums=(2,))
 def prefill_extend(params, cfg: DeepseekConfig, kv_cache, tokens, positions,
                    q_lens, kv_lens, page_tables, slot_loc, rope_cache, *,
-                   prefix_max: int, tp_axis=None):
+                   prefix_max: int, tp_axis=None, num_logits: int = 1):
     """Chunked/extend MLA prefill: the q tokens are the suffix of sequences
     whose prefix LATENTS already live in the paged cache (radix prefix
     reuse / chunked prompt ingestion). Two-pass design as the GQA analog
@@ -502,10 +502,17 @@ def prefill_extend(params, cfg: DeepseekConfig, kv_cache, tokens, positions,
     (x, kv_cache), _ = jax.lax.scan(layer_fn, (x, kv_cache), jnp.arange(cfg.num_layers))
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
     x = x.reshape(b, s, -1)
-    last = jnp.clip(q_lens - 1, 0, s - 1)
-    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
-    logits = _lin(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
-    return logits, kv_cache
+    if num_logits == 1:
+        last = jnp.clip(q_lens - 1, 0, s - 1)
+        x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+        logits = _lin(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
+        return logits, kv_cache
+    # last num_logits positions per sequence (speculative chain verify)
+    n = num_logits
+    idx = jnp.clip(q_lens[:, None] - n + jnp.arange(n)[None, :], 0, s - 1)
+    x_sel = jnp.take_along_axis(x, idx[:, :, None], axis=1)
+    logits = _lin(x_sel.reshape(b * n, -1), params["lm_head"], cfg).astype(jnp.float32)
+    return logits[:, : cfg.vocab_size].reshape(b, n, -1), kv_cache
 
 
 # ---------------------------------------------------------------------------

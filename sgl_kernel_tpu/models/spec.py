@@ -33,12 +33,12 @@ def _slots(page_tables, positions, page_size):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg_t", "cfg_d", "gamma", "prefix_max", "target"),
-    donate_argnums=(2, 3, 4, 5),
+    donate_argnums=(2, 3, 4),
 )
 def spec_decode_round(
     params_t,
     params_d,
-    kct, vct, kcd, vcd,
+    caches_t, kcd, vcd,
     last_tok,
     lengths,
     page_tables,
@@ -57,12 +57,16 @@ def spec_decode_round(
     last_tok [B]: the newest token of each sequence (not yet processed);
     lengths [B]: L = total tokens incl. last_tok; page_tables [B, maxp];
     valid [B] bool: padded batch rows get their KV writes dropped.
-    Returns (new_tokens [B, gamma+1], n_new [B], kct, vct, kcd, vcd):
+    caches_t: the TARGET family's caches tuple — (k, v) for llama-style
+    families, (latent,) for DeepSeek MLA — splatted into
+    ``target.prefill_extend(params, cfg, *caches_t, ...)`` which must
+    return ``(logits, *caches)``.
+    Returns (new_tokens [B, gamma+1], n_new [B], caches_t, kcd, vcd):
     sequence i appends new_tokens[i, :n_new[i]] (draft-accepted prefix
     then the bonus token).
     """
     b = last_tok.shape[0]
-    page = kct.shape[-2]
+    page = kcd.shape[-2]
     if valid is None:
         valid = jnp.ones((b,), bool)
 
@@ -85,13 +89,14 @@ def spec_decode_round(
     positions = lengths[:, None] - 1 + jnp.arange(gamma + 1)[None, :]
     slot_loc = jnp.where(valid[:, None], _slots(page_tables, positions, page), -1)
     tmod = target if target is not None else llama
-    logits_all, kct, vct = tmod.prefill_extend(
-        params_t, cfg_t, kct, vct, q_tokens, positions,
+    out = tmod.prefill_extend(
+        params_t, cfg_t, *caches_t, q_tokens, positions,
         q_lens=jnp.full((b,), gamma + 1, jnp.int32),
         kv_lens=lengths + gamma,
         page_tables=page_tables, slot_loc=slot_loc, rope_cache=rope_t,
         prefix_max=prefix_max, num_logits=gamma + 1,
     )
+    logits_all, caches_t = out[0], tuple(out[1:])
     greedy = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)  # [B, g+1]
 
     # --- greedy chain acceptance ---
@@ -103,4 +108,4 @@ def spec_decode_round(
         jnp.pad(drafts, ((0, 0), (0, 1))),
         bonus[:, None],
     )
-    return new_tokens, n_acc + 1, kct, vct, kcd, vcd
+    return new_tokens, n_acc + 1, caches_t, kcd, vcd

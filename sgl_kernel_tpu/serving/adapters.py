@@ -242,7 +242,9 @@ class DeepseekAdapter:
     indexer caches + fast_topk + sparse MLA gather) via ``use_nsa``."""
 
     name = "deepseek"
-    supports_spec = False
+    supports_spec = True  # chain spec via prefill_extend(num_logits) —
+    # latent-pool target caches splat through spec_decode_round; a
+    # llama-family draft proposes (models/spec.py)
     supports_extend = True
 
     def __init__(self, cfg, *, use_nsa: bool = False, use_compress: bool = False):
@@ -252,6 +254,10 @@ class DeepseekAdapter:
         self._m = deepseek
         self.use_nsa = use_nsa
         self.use_compress = use_compress
+        if use_nsa or use_compress:
+            # NSA / compressed caches have extra pools with different
+            # extend signatures — no spec program for those modes
+            self.supports_spec = False
         if use_compress:
             assert not use_nsa, "compress and NSA decode are exclusive modes"
             assert cfg.compress in ("c4", "c128"), cfg.compress

@@ -635,16 +635,15 @@ class Engine:
             lengths[i] = r.seq_len
             valid[i] = True
         prefix_max = max(self.page_size, cdiv(int(lengths.max()) + self.spec_gamma, self.page_size) * self.page_size)
-        k, v = self.caches
-        new, n_new, k, v, self.dk_cache, self.dv_cache = spec.spec_decode_round(
+        new, n_new, caches_t, self.dk_cache, self.dv_cache = spec.spec_decode_round(
             self.params, self.draft_params,
-            k, v, self.dk_cache, self.dv_cache,
+            tuple(self.caches), self.dk_cache, self.dv_cache,
             jnp.asarray(tokens), jnp.asarray(lengths), jnp.asarray(tables),
             self.rope_cache, self.draft_rope, jnp.asarray(valid),
             cfg_t=self.cfg, cfg_d=self.draft_cfg, gamma=self.spec_gamma,
             prefix_max=prefix_max, target=self.adapter._m,
         )
-        self.caches = (k, v)
+        self.caches = tuple(caches_t)
         new = np.asarray(new)
         n_new = np.asarray(n_new)
         # n_new per request = accepted drafts + 1 bonus token (models/spec.py)

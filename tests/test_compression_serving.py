@@ -310,3 +310,23 @@ class TestReviewFixes:
         r1 = e1.add_request(prompt, max_new_tokens=6)
         e1.run_until_done()
         assert e1.finished[r1].output == e0.finished[r0].output
+
+    def test_compress_engine_tight_pool_slot_churn(self, rng):
+        """Waves of compressed-family requests on a page-tight pool with
+        max_batch-bounded ring slots: outputs must equal a page-rich run
+        (slot recycling + page reuse never leak state between requests)."""
+        from sgl_kernel_tpu.serving import Engine
+
+        cfg = deepseek.DeepseekConfig.tiny(compress="c4", compress_ring=8,
+                                           compress_local=16)
+        params = deepseek.init_weights(cfg, jax.random.PRNGKey(7))
+        prompts = [rng.integers(0, cfg.vocab_size, 5 + i % 7).tolist() for i in range(10)]
+        outs = {}
+        for pages in (16, 256):
+            eng = Engine(cfg, params, num_pages=pages, page_size=16,
+                         prefill_bucket=16, max_batch=2)
+            rids = [eng.add_request(list(p), max_new_tokens=5 + i % 3)
+                    for i, p in enumerate(prompts)]
+            eng.run_until_done()
+            outs[pages] = [eng.finished[r].output for r in rids]
+        assert outs[16] == outs[256]

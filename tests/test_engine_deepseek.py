@@ -185,3 +185,41 @@ class TestDeepseekMeshEngine:
         r1 = e1.add_request(prompt, max_new_tokens=5)
         e1.run_until_done()
         assert e1.finished[r1].output == e0.finished[r0].output
+
+
+class TestDeepseekSpec:
+    def test_spec_lossless_vs_plain_greedy(self, rng):
+        """DeepSeek MLA target + tiny llama draft: chain speculative
+        decoding through the latent-pool caches tuple must emit exactly
+        plain greedy's tokens (losslessness; deepseek.prefill_extend
+        num_logits chain verify)."""
+        from sgl_kernel_tpu.models import llama
+
+        cfg = deepseek.DeepseekConfig.tiny()
+        params = deepseek.init_weights(cfg, jax.random.PRNGKey(0))
+        dcfg = llama.LlamaConfig.tiny()
+        prompt = rng.integers(0, cfg.vocab_size, 9).astype(np.int32).tolist()
+        plain = Engine(cfg, params, num_pages=64, page_size=16,
+                       prefill_bucket=16, enable_prefix_cache=False)
+        r0 = plain.add_request(prompt, max_new_tokens=8)
+        plain.run_until_done()
+        ref = plain.finished[r0].output
+        spec = Engine(cfg, params, num_pages=64, page_size=16,
+                      prefill_bucket=16, enable_prefix_cache=False,
+                      draft_cfg=dcfg, spec_gamma=3)
+        r1 = spec.add_request(prompt, max_new_tokens=8)
+        spec.run_until_done()
+        assert spec.finished[r1].output == ref
+
+    def test_spec_rejected_for_nsa_and_compress_modes(self, rng):
+        from sgl_kernel_tpu.models import llama
+        from sgl_kernel_tpu.serving.adapters import DeepseekAdapter
+
+        dcfg = llama.LlamaConfig.tiny()
+        for kw in ({"nsa": True, "idx_dim": 32, "idx_heads": 2, "index_topk": 128},
+                   {"compress": "c4", "compress_ring": 8, "compress_local": 16}):
+            cfg = deepseek.DeepseekConfig.tiny(**kw)
+            params = deepseek.init_weights(cfg, jax.random.PRNGKey(0))
+            with pytest.raises(AssertionError, match="spec"):
+                Engine(cfg, params, num_pages=32, page_size=16,
+                       prefill_bucket=16, draft_cfg=dcfg)

@@ -62,8 +62,8 @@ def _spec_decode(cfg_t, params_t, cfg_d, params_d, prompts, n_new, gamma=3, **kw
     while any(len(t) < d for t, d in zip(toks, done)):
         last = jnp.asarray([t[-1] for t in toks], jnp.int32)
         lens = jnp.asarray([len(t) for t in toks], jnp.int32)
-        new, n_new_b, kct, vct, kcd, vcd = spec.spec_decode_round(
-            params_t, params_d, kct, vct, kcd, vcd, last, lens, tables, ropet, roped,
+        new, n_new_b, (kct, vct), kcd, vcd = spec.spec_decode_round(
+            params_t, params_d, (kct, vct), kcd, vcd, last, lens, tables, ropet, roped,
             cfg_t=cfg_t, cfg_d=cfg_d, gamma=gamma, prefix_max=64,
         )
         new = np.asarray(new)
