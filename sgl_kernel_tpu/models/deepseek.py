@@ -992,3 +992,82 @@ def prefill_c(params, cfg: DeepseekConfig, kv_cache, score_cache, comp_cache,
     x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
     logits = _lin(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
     return logits, kv_cache, score_cache, comp_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_kvb"), donate_argnums=(2, 3, 4))
+def prefill_packed_c(params, cfg: DeepseekConfig, kv_cache, score_cache,
+                     comp_cache, tokens, positions, blk_seq, blk_q0, seq_meta,
+                     last_idx, slot_loc, state_slots, rope_cache, *, max_kvb: int):
+    """Token-packed multi-prompt prefill for the compressed-KV family:
+    the packed MLA prefill (exact attention) + per-token score-row stores,
+    then each sequence's compressed ring built from the packed layout
+    (sequence i's tokens start at packed index seq_kvblk0 * block — the
+    engine lays blocks out contiguously, engine._prefill_packed_batch)."""
+    from ..ops.compression import compress_window, plan_compress_prefill
+
+    tp = tokens.shape[0]
+    ratio = _comp_ratio(cfg)
+    ring = cfg.compress_ring
+    x = params["embed"][tokens].astype(cfg.dtype)
+    lw = params["layers"]
+    l, np_, pg, dd = kv_cache.shape
+    pool_tokens = np_ * pg
+    s_slots = comp_cache.shape[1]
+    slots_r = jnp.asarray(state_slots, jnp.int32)
+
+    def layer_fn(carry, lidx):
+        x, cache, scc = carry
+        h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
+        q_lat, q_pe, kv_row = _mla_qkv(h, lw, lidx, cfg, tp, positions, rope_cache)
+        score_row = _lin(h, lw["comp_score"], cfg, lidx)
+        off_slots = jnp.where(slot_loc >= 0, lidx * pool_tokens + slot_loc, -1)
+        cache = store_cache_mla(kv_row, cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
+        scc = store_cache_mla(score_row.astype(scc.dtype), scc.reshape(l * np_, pg, dd), off_slots).reshape(scc.shape)
+        attn = _mla_attend_packed(q_lat, q_pe, kv_row, blk_seq, blk_q0,
+                                  seq_meta, cfg, tp, max_kvb)
+        x = x + _mla_out(attn.reshape(tp, cfg.num_heads, D_LATENT), lw, lidx, cfg, tp)
+        h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
+        is_dense = lidx < cfg.num_dense_layers
+        mlp = jax.lax.cond(
+            is_dense,
+            lambda h2: _silu_mlp(h2, lw["gate"], lw["up"], lw["down"], cfg, lidx),
+            lambda h2: _moe_block(h2, lw, lidx, cfg),
+            h2,
+        )
+        return (x + mlp, cache, scc), None
+
+    (x, kv_cache, score_cache), _ = jax.lax.scan(
+        layer_fn, (x, kv_cache, score_cache), jnp.arange(cfg.num_layers))
+
+    # ---- ring build from the packed layout (per-event scan, prefill_c) ----
+    q_lens = seq_meta[:, 0]
+    block = tp // blk_seq.shape[0]
+    seq_q0 = seq_meta[:, 4] * block  # packed index of each sequence's first token
+    src, dst, _ = plan_compress_prefill(q_lens, compress_ratio=ratio, ring_size=ring)
+    valid = src >= 0  # [B, n_max, W]
+    slot_of = slot_loc[seq_q0[:, None, None] + jnp.where(valid, src, 0)]
+    kv_flat = kv_cache.reshape(l, pool_tokens, dd)
+    sc_flat = score_cache.reshape(l, pool_tokens, dd)
+    ape = params["layers"]["comp_ape"][:, None]  # [L, 1, W, D]
+    lids = jnp.arange(l)[:, None]
+
+    def ring_step(comp_flat, i):
+        v_i = valid[:, i]
+        win_kv = kv_flat[:, slot_of[:, i]]  # [L, B, W, D]
+        win_sc = sc_flat[:, slot_of[:, i]].astype(jnp.float32)
+        win_sc = jnp.where(v_i[None, ..., None], win_sc, -jnp.inf)
+        pooled = compress_window(win_kv, win_sc, ape).astype(comp_cache.dtype)
+        rid = jnp.where(
+            (dst[:, i] >= 0)[None],
+            lids * s_slots * ring + slots_r[None, :] * ring + jnp.maximum(dst[:, i], 0)[None],
+            l * s_slots * ring,
+        )
+        return comp_flat.at[rid.reshape(-1)].set(pooled.reshape(-1, dd), mode="drop"), None
+
+    comp_flat, _ = jax.lax.scan(ring_step, _comp_flat_rows(comp_cache), jnp.arange(dst.shape[1]))
+    comp_cache = comp_flat.reshape(comp_cache.shape)
+
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    x_last = x[last_idx]
+    logits = _lin(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
+    return logits, kv_cache, score_cache, comp_cache

@@ -263,10 +263,9 @@ class DeepseekAdapter:
             assert cfg.compress in ("c4", "c128"), cfg.compress
             # compressed rings are per-request recurrent state (the GDN
             # slot machinery); no extend program (ring is not
-            # prefix-shareable), no packed path yet
+            # prefix-shareable)
             self.needs_state_slots = True
             self.supports_extend = False
-            self.prefill_packed = None
         self.rope_cache = deepseek.build_rope_cache(cfg)
         self.idx_rope_cache = deepseek.build_idx_rope_cache(cfg) if use_nsa else None
 
@@ -348,9 +347,19 @@ class DeepseekAdapter:
         return logits, (kv,)
 
     def prefill_packed(self, params, caches, tokens, positions, blk_seq,
-                       blk_q0, seq_meta, last_idx, slot_loc, *, max_kvb: int):
+                       blk_q0, seq_meta, last_idx, slot_loc, *, max_kvb: int,
+                       state_slots=None):
         """Multi-prompt block-aligned packed MLA prefill (with NSA indexer
-        ingest when use_nsa)."""
+        ingest when use_nsa; score stores + ring build when use_compress)."""
+        if self.use_compress:
+            kv, sc, comp = caches
+            logits, kv, sc, comp = self._m.prefill_packed_c(
+                params, self.cfg, kv, sc, comp, tokens, positions, blk_seq,
+                blk_q0, seq_meta, last_idx, slot_loc,
+                jnp.asarray(state_slots, jnp.int32), self.rope_cache,
+                max_kvb=max_kvb,
+            )
+            return logits, (kv, sc, comp)
         if self.use_nsa:
             kv, idx_k, idx_s = caches
             logits, kv, idx_k, idx_s = self._m.prefill_packed(

@@ -382,11 +382,17 @@ class Engine:
             t0 += nqb[i] * block
             b0 += nqb[i]
         max_kvb = 1 << (max(nqb) - 1).bit_length()
+        kw = {}
+        if self._stateful:
+            ss = np.full(bp, self.max_batch, np.int32)  # scratch slot
+            for i, r in enumerate(reqs):
+                ss[i] = r.state_slot
+            kw["state_slots"] = jnp.asarray(ss)
         logits, self.caches = self.adapter.prefill_packed(
             self.params, self.caches,
             jnp.asarray(tokens), jnp.asarray(positions),
             jnp.asarray(blk_seq), jnp.asarray(blk_q0), jnp.asarray(seq_meta),
-            jnp.asarray(last_idx), jnp.asarray(slot_loc), max_kvb=max_kvb,
+            jnp.asarray(last_idx), jnp.asarray(slot_loc), max_kvb=max_kvb, **kw,
         )
         for i, r in enumerate(reqs):
             self._finish_prefill(r, logits[i : i + 1])

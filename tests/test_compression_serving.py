@@ -330,3 +330,29 @@ class TestReviewFixes:
             eng.run_until_done()
             outs[pages] = [eng.finished[r].output for r in rids]
         assert outs[16] == outs[256]
+
+    def test_compress_packed_prefill_matches_sequential(self, rng):
+        """Concurrent admissions take the packed multi-prompt prefill
+        (prefill_packed_c: score stores + ring build from the packed
+        layout); outputs must equal sequentially-admitted runs."""
+        from sgl_kernel_tpu.serving import Engine
+
+        cfg = deepseek.DeepseekConfig.tiny(compress="c4", compress_ring=8,
+                                           compress_local=16)
+        params = deepseek.init_weights(cfg, jax.random.PRNGKey(8))
+        prompts = [rng.integers(0, cfg.vocab_size, 4 + 3 * i).tolist() for i in range(3)]
+
+        packed = Engine(cfg, params, num_pages=64, page_size=16,
+                        prefill_bucket=16, max_batch=4)
+        rids = [packed.add_request(list(p), max_new_tokens=6) for p in prompts]
+        packed.run_until_done()
+        got = [packed.finished[r].output for r in rids]
+
+        seq_out = []
+        for p in prompts:
+            eng = Engine(cfg, params, num_pages=64, page_size=16,
+                         prefill_bucket=16, max_batch=4)
+            r = eng.add_request(list(p), max_new_tokens=6)
+            eng.run_until_done()
+            seq_out.append(eng.finished[r].output)
+        assert got == seq_out
