@@ -46,8 +46,9 @@ def main():
         )
         print(proc.stdout)
         if proc.returncode != 0:
+            # keep any records the script emitted before failing — a
+            # partial grid is still a measurement
             print(proc.stderr[-2000:], file=sys.stderr)
-            continue
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
                 try:

@@ -127,6 +127,11 @@ def init_weights(cfg: LlamaConfig, key) -> Dict[str, Any]:
     if cfg.quant == "w4a16":
         params["layers"] = _quantize_layers(params["layers"], cfg)
         params["lm_head"] = _quantize_matrix(params["lm_head"], cfg)
+    elif cfg.fused:
+        # bf16 fused layouts (convert.py:64-66 builds the same keys)
+        ly = params["layers"]
+        ly["qkv"] = jnp.concatenate([ly.pop("q"), ly.pop("k"), ly.pop("v")], axis=1)
+        ly["gate_up"] = jnp.concatenate([ly.pop("gate"), ly.pop("up")], axis=1)
     return params
 
 

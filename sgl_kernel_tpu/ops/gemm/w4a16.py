@@ -108,6 +108,20 @@ def register_tiles(table):
     _TILE_TABLE.update(table)
 
 
+def pick_ktile(k: int, group_size: int, budget_groups: int = GROUPS_PER_KTILE) -> int:
+    """Largest k-tile that (a) divides K, (b) is a group multiple, and
+    (c) Mosaic accepts for the per-tile scale block: the scale BlockSpec
+    puts groups-per-tile in the SUBLANE dim, which must be divisible by 8
+    or equal to the full K/G (found in the on-chip baseline regen —
+    interpret mode doesn't enforce it). Falls back to one full-K tile
+    (scale block == array dim, always legal)."""
+    ngk = k // group_size
+    for c in range(min(ngk, budget_groups), 0, -1):
+        if ngk % c == 0 and c % 8 == 0:
+            return c * group_size
+    return k
+
+
 def _decode_tile(w_ref, fmt: str):
     """Packed uint8 tile [bk/2, bn] -> bf16 codes [bk, bn] (unscaled).
 
@@ -218,6 +232,16 @@ def w4a16_gemm(
     stacked = layer_id is not None
     n = w.shape[-1]
     out_dtype = out_dtype or a.dtype
+    k_pad = w.shape[-2] * 2  # packed layout [.., K/2, N]
+    if k_pad != k:
+        # quantize_w4 zero-padded a non-group-multiple K; pad the
+        # activations to match (the padded tail multiplies zero codes)
+        assert k < k_pad <= round_up(k, GROUPS_PER_KTILE * group_size), (
+            k, k_pad, group_size)
+        a = jnp.pad(a, ((0, 0), (0, k_pad - k)))
+        if a2 is not None:
+            a2 = jnp.pad(a2, ((0, 0), (0, k_pad - k)))
+        k = k_pad
     if stacked:
         l = w.shape[0]
         assert w.shape == (l, k // 2, n) and w.dtype == jnp.uint8, (w.shape, w.dtype)
@@ -237,7 +261,13 @@ def w4a16_gemm(
     while n % bn != 0:  # largest power-of-two-ish divisor <= requested bn
         bn //= 2
     assert bn >= 2, (n, bn)  # tiny N (tests) still works, just less efficient
+    auto_bk = bk is None
     bk = bk or min(tbk, k)
+    if k % bk or (auto_bk and (bk // group_size) % 8 and bk != k):
+        # K a group multiple but not a legal-tile multiple (e.g. DeepSeek-
+        # V2-Lite K=1408 vs the 1024 default, or gate_up K=3584 = 28
+        # groups): largest Mosaic-legal dividing tile, else full-K
+        bk = pick_ktile(k, group_size, max(GROUPS_PER_KTILE, tbk // group_size))
     assert n % bn == 0 and k % bk == 0 and bk % group_size == 0, (n, bn, k, bk)
     ngb = bk // group_size
 
@@ -398,8 +428,19 @@ def quantize_w4(w, *, group_size: int = 128, symmetric: bool = True):
     FIRST and the codes fitted against the rounded scale, so the stored
     pair is self-consistent; scale precision is second-order next to the
     4-bit code quantization error (docs/PERF.md round 2).
+
+    K that is not a group multiple is zero-padded up to one (DeepSeek-V2-
+    Lite's dense intermediate 10944 is 85.5 groups of 128); w4a16_gemm
+    zero-pads the activation K to match, so the padded tail contributes
+    exactly zero.
     """
     n, k = w.shape
+    if k % group_size:
+        # pad to a full default k-tile (8 groups) so the kernel's tile
+        # divisibility holds for any padded K
+        kp = round_up(k, GROUPS_PER_KTILE * group_size)
+        w = jnp.pad(w.astype(jnp.float32), ((0, 0), (0, kp - k)))
+        k = kp
     wf = w.astype(jnp.float32).reshape(n, k // group_size, group_size)
     if symmetric:
         amax = jnp.maximum(jnp.max(jnp.abs(wf), axis=-1, keepdims=True), 1e-10)

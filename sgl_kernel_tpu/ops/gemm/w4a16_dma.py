@@ -66,13 +66,17 @@ def _kernel(
 
     dma(0, 0).start()
 
-    if prologue == "silu_mul":
-        g = a_ref[...].astype(jnp.float32)
-        a = (g * jax.nn.sigmoid(g) * a2_ref[...].astype(jnp.float32)).astype(a_ref.dtype)
-    else:
-        a = a_ref[...]
-
     acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    def load_a(col0):
+        # slice activations straight off the VMEM ref: a dynamic_slice on a
+        # loaded VALUE does not lower on Mosaic TC (found in the on-chip
+        # A/B); ref loads with pl.ds do. The silu prologue recomputes per
+        # group slice — VPU work that overlaps the weight DMA.
+        if prologue == "silu_mul":
+            g = a_ref[:, pl.ds(col0, g0)].astype(jnp.float32)
+            return (g * jax.nn.sigmoid(g) * a2_ref[:, pl.ds(col0, g0)].astype(jnp.float32)).astype(a_ref.dtype)
+        return a_ref[:, pl.ds(col0, g0)]
 
     def body(kk, _):
         slot = jax.lax.rem(kk, 2)
@@ -85,7 +89,7 @@ def _kernel(
         wf = _decode_tile(w_buf.at[slot], fmt)  # [bk, bn] bf16 codes
         acc = acc_scr[...]
         for gg in range(ngb):
-            a_g = jax.lax.dynamic_slice_in_dim(a, kk * bk + gg * g0, g0, axis=1)
+            a_g = load_a(kk * bk + gg * g0)
             part = jax.lax.dot_general(
                 a_g, wf[gg * g0 : (gg + 1) * g0, :], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

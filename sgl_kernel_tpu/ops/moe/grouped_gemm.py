@@ -220,7 +220,23 @@ def w4a16_grouped_mm(
     assert cap % bm == 0
     assert w.shape[-2] == k // 2 and w.dtype == jnp.uint8, (w.shape, w.dtype)
     bn = min(bn, n)
+    if n % bn:
+        # N not a default-tile multiple (V2-Lite gate_up N = 2*1408):
+        # largest lane-aligned divisor of n within the requested budget
+        bn = next(
+            (c for c in range(bn - bn % 128, 0, -128) if n % c == 0),
+            next(c for c in range(min(bn, 128), 0, -1) if n % c == 0),
+        )
+    auto_bk = bk is None
     bk = bk or min(GROUPS_PER_KTILE * group_size, k)
+    if k % bk or (auto_bk and (bk // group_size) % 8 and bk != k):
+        # K a group multiple but not a Mosaic-legal-tile multiple (DeepSeek-
+        # V2-Lite moe_intermediate 1408 = 11 groups; gpt-oss-ish 3584 = 28
+        # groups): the per-tile scale block's sublane dim must be divisible
+        # by 8 or equal to the full K/G — pick_ktile falls back to full-K
+        from ..gemm.w4a16 import pick_ktile
+
+        bk = pick_ktile(k, group_size)
     assert n % bn == 0 and k % bk == 0 and bk % group_size == 0
     out_dtype = out_dtype or x_sorted.dtype
     ngb = bk // group_size

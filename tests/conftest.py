@@ -19,6 +19,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# persistent compile cache: the suite is compile-dominated (hundreds of
+# distinct jit programs); cached reruns cut wall time several-fold
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 assert jax.devices()[0].platform == "cpu", "tests must run on the virtual CPU mesh"
 
 import numpy as np  # noqa: E402
