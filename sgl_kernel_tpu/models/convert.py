@@ -204,26 +204,58 @@ def convert_hf_mixtral(state: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
     }
 
 
+def dequantize_fp8_blockwise_state(state: Mapping[str, np.ndarray], block: int = 128) -> Dict[str, np.ndarray]:
+    """Dequantize DeepSeek-V3 fp8 shards: every ``X.weight`` (fp8 e4m3)
+    with a sibling ``X.weight_scale_inv`` [ceil(N/128), ceil(K/128)] f32
+    becomes f32 (blockwise 128x128 dequant — the fp8_blockwise scale
+    contract, reference python/sgl_kernel/gemm.py fp8_blockwise path).
+    Tensors without a scale pass through unchanged."""
+    out: Dict[str, np.ndarray] = {}
+    for name, arr in state.items():
+        if name.endswith(".weight_scale_inv"):
+            continue
+        sname = name + "_scale_inv"
+        if sname in state:
+            w = np.asarray(arr).astype(np.float32)
+            s = np.asarray(state[sname], np.float32)
+            n, k = w.shape
+            se = np.repeat(np.repeat(s, block, axis=0)[:n], block, axis=1)[:, :k]
+            out[name] = w * se
+        else:
+            out[name] = arr
+    return out
+
+
 def convert_hf_deepseek(state: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
     """Convert an HF DeepSeek-V2/V3-style MLA state dict into the
     framework's ABSORBED params (models/deepseek.py): kv_b_proj is split
     per head into W_UK (q_nope -> latent) and W_UV (latent -> value).
 
-    Supports the direct q_proj layout (DeepSeek-V2-Lite). Checkpoints
-    with q_a_proj/q_b_proj (q LoRA + q_a_layernorm, V3) can't be folded
-    offline through the intervening RMSNorm — raise with guidance.
+    Supports both q layouts: direct q_proj (DeepSeek-V2-Lite) and the
+    q-LoRA path real V3/R1 checkpoints use (q_a_proj -> q_a_layernorm ->
+    q_b_proj; requires cfg.q_lora_rank). NSA indexer tensors
+    (self_attn.indexer.{wq_b,wk,k_norm,weights_proj}) are ingested when
+    cfg.nsa. fp8 shards (weight + weight_scale_inv) are dequantized
+    automatically; cfg.quant == "w4a16" re-quantizes into the framework's
+    K-paired int4 layout (matching init_weights). Reference contracts:
+    MLA shapes python/sgl_kernel/attention.py:54-132, indexer ingest
+    fused_norm_rope_v2_torch.py:474-557.
     """
     from ..ops.attention.mla import D_LATENT, D_ROPE
 
-    if "model.layers.0.self_attn.q_a_proj.weight" in state:
-        raise NotImplementedError(
-            "q-LoRA DeepSeek checkpoints (q_a_proj/q_b_proj + q_a_layernorm) "
-            "need the low-rank q path in the model; export a merged q_proj "
-            "or use the direct-q layout (DeepSeek-V2-Lite style)")
-    if getattr(cfg, "nsa", False):
-        raise NotImplementedError(
-            "NSA indexer weights (self_attn.indexer.*) are not ingested yet; "
-            "convert with nsa=False or add the indexer tensors")
+    if any(k.endswith(".weight_scale_inv") for k in state):
+        state = dequantize_fp8_blockwise_state(state)
+
+    q_lora_ckpt = "model.layers.0.self_attn.q_a_proj.weight" in state
+    if q_lora_ckpt != bool(getattr(cfg, "q_lora_rank", None)):
+        if q_lora_ckpt:
+            rank = state["model.layers.0.self_attn.q_a_proj.weight"].shape[0]
+            raise ValueError(
+                f"checkpoint uses the q-LoRA layout (q_a_proj/q_b_proj) but "
+                f"cfg.q_lora_rank is None — set q_lora_rank={rank}")
+        raise ValueError(
+            f"cfg.q_lora_rank={cfg.q_lora_rank} but the checkpoint has a "
+            "direct q_proj (V2-Lite layout) — set q_lora_rank=None")
 
     l, e = cfg.num_layers, cfg.num_experts
     nh, dn, dv = cfg.num_heads, cfg.qk_nope_dim, cfg.v_head_dim
@@ -254,8 +286,6 @@ def convert_hf_deepseek(state: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
         "input_norm": jnp.asarray(stack("input_layernorm.weight"), cfg.dtype),
         "post_norm": jnp.asarray(stack("post_attention_layernorm.weight"), cfg.dtype),
         "kv_norm": jnp.asarray(stack("self_attn.kv_a_layernorm.weight"), cfg.dtype),
-        "wq": None,  # filled below (rope rows de-interleaved)
-        "wkv_a": None,
         "w_uk": jnp.asarray(w_uk, cfg.dtype),
         "w_uv": jnp.asarray(w_uv, cfg.dtype),
         "wo": jnp.asarray(stack("self_attn.o_proj.weight"), cfg.dtype),
@@ -265,12 +295,40 @@ def convert_hf_deepseek(state: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
                       else np.zeros((e, cfg.hidden_size), np.float32)
                       for i in range(l)]), cfg.dtype),
     }
-    wq = stack("self_attn.q_proj.weight").reshape(l, nh, dn + D_ROPE, -1)
-    wq[:, :, dn:, :] = deinterleave_rope_rows(wq[:, :, dn:, :])
-    layers["wq"] = jnp.asarray(wq.reshape(l, nh * (dn + D_ROPE), -1), cfg.dtype)
-    wkv_a = stack("self_attn.kv_a_proj_with_mqa.weight")
+    if q_lora_ckpt:
+        # low-rank q: wq_a [L, r, h]; q_b rope rows de-interleaved like wq
+        wq_b = stack("self_attn.q_b_proj.weight").astype(np.float32)
+        r = wq_b.shape[-1]
+        if r != cfg.q_lora_rank:
+            raise ValueError(f"q_b_proj rank {r} != cfg.q_lora_rank {cfg.q_lora_rank}")
+        wq_b = wq_b.reshape(l, nh, dn + D_ROPE, r)
+        wq_b[:, :, dn:, :] = deinterleave_rope_rows(wq_b[:, :, dn:, :])
+        layers["wq_a"] = jnp.asarray(stack("self_attn.q_a_proj.weight"), cfg.dtype)
+        layers["q_a_norm"] = jnp.asarray(stack("self_attn.q_a_layernorm.weight"), cfg.dtype)
+        layers["wq_b"] = jnp.asarray(wq_b.reshape(l, nh * (dn + D_ROPE), r), cfg.dtype)
+    else:
+        wq = stack("self_attn.q_proj.weight").astype(np.float32)
+        wq = wq.reshape(l, nh, dn + D_ROPE, -1)
+        wq[:, :, dn:, :] = deinterleave_rope_rows(wq[:, :, dn:, :])
+        layers["wq"] = jnp.asarray(wq.reshape(l, nh * (dn + D_ROPE), -1), cfg.dtype)
+    wkv_a = stack("self_attn.kv_a_proj_with_mqa.weight").astype(np.float32)
     wkv_a[:, D_LATENT:, :] = deinterleave_rope_rows(wkv_a[:, D_LATENT:, :])
     layers["wkv_a"] = jnp.asarray(wkv_a, cfg.dtype)
+
+    if getattr(cfg, "nsa", False):
+        # DSv3.2 indexer tensors (HF naming: self_attn.indexer.*); wq_b
+        # projects from c_q under q-LoRA, from the hidden state otherwise
+        hi, di = cfg.idx_heads, cfg.idx_dim
+        wq_idx = stack("self_attn.indexer.wq_b.weight")
+        want_in = cfg.q_lora_rank or cfg.hidden_size
+        if wq_idx.shape[1:] != (hi * di, want_in):
+            raise ValueError(
+                f"indexer.wq_b shape {wq_idx.shape[1:]} != ({hi * di}, {want_in}) "
+                f"(idx_heads={hi}, idx_dim={di}, q_lora_rank={cfg.q_lora_rank})")
+        layers["wq_idx"] = jnp.asarray(wq_idx, cfg.dtype)
+        layers["wk_idx"] = jnp.asarray(stack("self_attn.indexer.wk.weight"), cfg.dtype)
+        layers["idx_norm"] = jnp.asarray(stack("self_attn.indexer.k_norm.weight"), cfg.dtype)
+        layers["w_idx_gate"] = jnp.asarray(stack("self_attn.indexer.weights_proj.weight"), cfg.dtype)
 
     layers["router_bias"] = jnp.asarray(
         np.stack([get(f"model.layers.{i}.mlp.gate.e_score_correction_bias")
@@ -321,9 +379,32 @@ def convert_hf_deepseek(state: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
              for i in range(l)]), cfg.dtype)
 
     lm = np.asarray(state.get("lm_head.weight", state["model.embed_tokens.weight"]))
+    if cfg.quant == "w4a16":
+        # re-quantize into the K-paired int4 layout, matching init_weights
+        def qz(wm):  # [L, N, K] stacked linear
+            pk, sc = jax.vmap(lambda m: quantize_w4(m.astype(jnp.float32), group_size=cfg.group_size)[:2])(wm)
+            return {"packed": pk, "scales": sc}
+
+        def qexp(w_le):  # [L, E, K, N] expert banks (x @ W convention)
+            q = jax.vmap(jax.vmap(lambda m: quantize_w4(m.T.astype(jnp.float32), group_size=cfg.group_size)[:2]))
+            pk, sc = q(w_le)
+            return {"packed": pk, "scales": sc}
+
+        qnames = ["wkv_a", "wo", "gate", "up", "down",
+                  "shared_gate", "shared_up", "shared_down"]
+        qnames += ["wq_a", "wq_b"] if q_lora_ckpt else ["wq"]
+        for name in qnames:
+            layers[name] = qz(layers[name])
+        layers["moe_w1"] = qexp(layers["moe_w1"])
+        layers["moe_w2"] = qexp(layers["moe_w2"])
+        from .llama import _quantize_matrix
+
+        lm_head = _quantize_matrix(jnp.asarray(lm, jnp.float32), cfg)
+    else:
+        lm_head = jnp.asarray(lm, cfg.dtype)
     return {
         "embed": jnp.asarray(get("model.embed_tokens.weight"), cfg.dtype),
         "final_norm": jnp.asarray(get("model.norm.weight"), cfg.dtype),
-        "lm_head": jnp.asarray(lm, cfg.dtype),
+        "lm_head": lm_head,
         "layers": layers,
     }

@@ -37,6 +37,11 @@ class DeepseekConfig:
     num_heads: int = 16
     qk_nope_dim: int = 128  # per-head nope dim (projected to latent via W_UK)
     v_head_dim: int = 128
+    # q low-rank path (real DeepSeek-V3/R1 checkpoints: q_a_proj [rank, h]
+    # -> q_a_layernorm -> q_b_proj [nh*(dn+rope), rank]; V2-Lite uses the
+    # direct q_proj layout = None). Reference MLA shape contract:
+    # /root/reference/python/sgl_kernel/attention.py:54-132.
+    q_lora_rank: Optional[int] = None
     # MoE
     num_experts: int = 16
     num_experts_per_tok: int = 4
@@ -101,8 +106,6 @@ def init_weights(cfg: DeepseekConfig, key):
         "input_norm": jnp.ones((l, h), cfg.dtype),
         "post_norm": jnp.ones((l, h), cfg.dtype),
         "kv_norm": jnp.ones((l, D_LATENT), cfg.dtype),
-        # q projection: per head nope + rope parts
-        "wq": w((l, nh * (dn + D_ROPE), h)),
         # kv down-projection to latent + shared rope key
         "wkv_a": w((l, D_LATENT + D_ROPE, h)),
         # absorption matrices
@@ -123,9 +126,22 @@ def init_weights(cfg: DeepseekConfig, key):
         "shared_up": w((l, cfg.moe_intermediate, h)),
         "shared_down": w((l, h, cfg.moe_intermediate)),
     }
-    if cfg.nsa:
+    if cfg.q_lora_rank:
+        r = cfg.q_lora_rank
         layers.update({
-            "wq_idx": w((l, cfg.idx_heads * cfg.idx_dim, h)),
+            "wq_a": w((l, r, h)),
+            "q_a_norm": jnp.ones((l, r), cfg.dtype),
+            "wq_b": w((l, nh * (dn + D_ROPE), r)),
+        })
+    else:
+        # q projection: per head nope + rope parts (V2-Lite direct layout)
+        layers["wq"] = w((l, nh * (dn + D_ROPE), h))
+    if cfg.nsa:
+        # with q-LoRA the indexer q projects from the shared q latent c_q
+        # (real DSv3.2 indexer.wq_b input), else from the hidden state
+        idx_in = cfg.q_lora_rank or h
+        layers.update({
+            "wq_idx": w((l, cfg.idx_heads * cfg.idx_dim, idx_in)),
             "wk_idx": w((l, cfg.idx_dim, h)),
             "idx_norm": jnp.ones((l, cfg.idx_dim), cfg.dtype),
             "w_idx_gate": w((l, cfg.idx_heads, h), 0.02),
@@ -152,8 +168,9 @@ def init_weights(cfg: DeepseekConfig, key):
             pk, sc = q(w_le)
             return {"packed": pk, "scales": sc}
 
-        qnames = ["wq", "wkv_a", "wo", "gate", "up", "down",
+        qnames = ["wkv_a", "wo", "gate", "up", "down",
                   "shared_gate", "shared_up", "shared_down"]
+        qnames += ["wq_a", "wq_b"] if cfg.q_lora_rank else ["wq"]
         if cfg.compress:
             qnames.append("comp_score")
         for name in qnames:
@@ -239,10 +256,22 @@ def _moe_block(x, weights, lidx, cfg, tp_axis=None):
     return _maybe_psum(routed + shared, tp_axis)
 
 
-def _mla_qkv(x, weights, lidx, cfg, n_tokens, positions, rope_cache):
-    """Project to (q_nope_latent [T, H, 512], q_pe [T, H, 64], kv_row [T, 576])."""
+def _q_proj(x, weights, lidx, cfg):
+    """q projection: direct (wq) or low-rank (wq_a -> q_a_norm -> wq_b,
+    real V3/R1 layout). Returns (q [T, nh*(dn+64)], c_q or None) — c_q is
+    the shared q latent the DSv3.2 NSA indexer also projects from."""
+    if cfg.q_lora_rank:
+        c_q = rmsnorm(_lin(x, weights["wq_a"], cfg, lidx),
+                      weights["q_a_norm"][lidx], cfg.rms_eps)
+        return _lin(c_q, weights["wq_b"], cfg, lidx), c_q
+    return _lin(x, weights["wq"], cfg, lidx), None
+
+
+def _mla_qkv_full(x, weights, lidx, cfg, n_tokens, positions, rope_cache):
+    """Project to (q_nope_latent [T, H, 512], q_pe [T, H, 64], kv_row
+    [T, 576], c_q [T, rank] or None)."""
     nh, dn = cfg.num_heads, cfg.qk_nope_dim
-    q = _lin(x, weights["wq"], cfg, lidx)
+    q, c_q = _q_proj(x, weights, lidx, cfg)
     q = q.reshape(n_tokens, nh, dn + D_ROPE)
     q_nope, q_pe = q[..., :dn], q[..., dn:]
     q_pe, _ = rotary_embedding(positions, q_pe, None, D_ROPE, rope_cache)
@@ -255,7 +284,11 @@ def _mla_qkv(x, weights, lidx, cfg, n_tokens, positions, rope_cache):
     k_pe = kv[:, D_LATENT:]
     k_pe, _ = rotary_embedding(positions, k_pe[:, None, :], None, D_ROPE, rope_cache)
     kv_row = jnp.concatenate([kv_c, k_pe[:, 0]], axis=-1)  # [T, 576]
-    return q_lat, q_pe, kv_row
+    return q_lat, q_pe, kv_row, c_q
+
+
+def _mla_qkv(x, weights, lidx, cfg, n_tokens, positions, rope_cache):
+    return _mla_qkv_full(x, weights, lidx, cfg, n_tokens, positions, rope_cache)[:3]
 
 
 def _mla_out(attn_lat, weights, lidx, cfg, n_tokens):
@@ -549,10 +582,13 @@ def _indexer_ingest(h, lw, lidx, cfg, positions, slot_loc, idx_k, idx_s,
     )
 
 
-def _indexer_select(h, lw, lidx, cfg, positions, lengths, page_tables,
+def _indexer_select(h, h_q, lw, lidx, cfg, positions, lengths, page_tables,
                     idx_k, idx_s, idx_rope, num_pages, page_size):
     """Score the cached tokens with the fp8 indexer and return the
-    top-`index_topk` flat LATENT-pool slots (layer-local)."""
+    top-`index_topk` flat LATENT-pool slots (layer-local). ``h_q`` is the
+    indexer-q projection input: the shared q latent c_q under q-LoRA
+    (real DSv3.2 indexer.wq_b), else the hidden state; the head-gate
+    projection always reads the hidden state (indexer.weights_proj)."""
     from ..ops.attention.nsa import (
         fast_topk_transform_fused,
         fp8_paged_mqa_logits,
@@ -560,7 +596,7 @@ def _indexer_select(h, lw, lidx, cfg, positions, lengths, page_tables,
     )
 
     b = h.shape[0]
-    q_i = jnp.dot(h, lw["wq_idx"][lidx].T, preferred_element_type=jnp.float32)
+    q_i = jnp.dot(h_q, lw["wq_idx"][lidx].T, preferred_element_type=jnp.float32)
     q_i = q_i.reshape(b, cfg.idx_heads, cfg.idx_dim).astype(cfg.dtype)
     q8, qs = fused_q_indexer_rope_hadamard_quant(q_i, positions, idx_rope)
     q_deq = q8.astype(jnp.bfloat16) * qs.astype(jnp.bfloat16)  # MXU-native
@@ -599,12 +635,13 @@ def decode_step_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
     def layer_fn(carry, lidx):
         x, cache, ik, isc = carry
         h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
-        q_lat, q_pe, kv_row = _mla_qkv(h, lw, lidx, cfg, b, positions, rope_cache)
+        q_lat, q_pe, kv_row, c_q = _mla_qkv_full(h, lw, lidx, cfg, b, positions, rope_cache)
         off_slots = jnp.where(slot_loc >= 0, lidx * pool_tokens + slot_loc, -1)
         cache = store_cache_mla(kv_row, cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
         ik, isc = _indexer_ingest(h, lw, lidx, cfg, positions, slot_loc, ik, isc,
                                   idx_rope_cache, pool_tokens)
-        slots = _indexer_select(h, lw, lidx, cfg, positions, lengths, page_tables,
+        slots = _indexer_select(h, c_q if c_q is not None else h, lw, lidx, cfg,
+                                positions, lengths, page_tables,
                                 ik, isc, idx_rope_cache, np_, pg)
         slots_off = jnp.where(slots >= 0, lidx * pool_tokens + slots, -1)
         attn = sparse_mla_decode(

@@ -168,7 +168,6 @@ def _ds_param_specs(params):
     specs = {
         "input_norm": P(None, None), "post_norm": P(None, None),
         "kv_norm": P(None, None),
-        "wq": col(lw["wq"]),                       # heads (output rows)
         "wkv_a": P(None, None, None) if not isinstance(lw["wkv_a"], dict)
                  else {"packed": P(None, None, None), "scales": P(None, None, None)},
         "w_uk": P(None, "tp", None, None),         # [L, nh, dn, 512]
@@ -183,6 +182,15 @@ def _ds_param_specs(params):
         "moe_w1": expert_bank(lw["moe_w1"]),
         "moe_w2": expert_bank(lw["moe_w2"]),
     }
+    if "wq_b" in lw:
+        # q-LoRA: the shared down-projection + its norm replicate; the
+        # per-head up-projection rows shard like wq would
+        specs["wq_a"] = ({"packed": P(None, None, None), "scales": P(None, None, None)}
+                         if isinstance(lw["wq_a"], dict) else P(None, None, None))
+        specs["q_a_norm"] = P(None, None)
+        specs["wq_b"] = col(lw["wq_b"])            # heads (output rows)
+    else:
+        specs["wq"] = col(lw["wq"])                # heads (output rows)
     for extra in ("wq_idx", "wk_idx", "idx_norm", "w_idx_gate", "comp_ape"):
         if extra in lw:
             specs[extra] = P(*([None] * jnp.ndim(lw[extra])))

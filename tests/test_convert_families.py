@@ -80,7 +80,20 @@ def deepseek_state(cfg, rng):
         p = f"model.layers.{li}."
         s[p + "input_layernorm.weight"] = np.ones(h, np.float32)
         s[p + "post_attention_layernorm.weight"] = np.ones(h, np.float32)
-        s[p + "self_attn.q_proj.weight"] = rng.standard_normal((nh * (dn + D_ROPE), h)).astype(np.float32) * 0.05
+        if cfg.q_lora_rank:
+            r = cfg.q_lora_rank
+            s[p + "self_attn.q_a_proj.weight"] = rng.standard_normal((r, h)).astype(np.float32) * 0.05
+            s[p + "self_attn.q_a_layernorm.weight"] = 1.0 + 0.1 * rng.standard_normal(r).astype(np.float32)
+            s[p + "self_attn.q_b_proj.weight"] = rng.standard_normal((nh * (dn + D_ROPE), r)).astype(np.float32) * 0.05
+        else:
+            s[p + "self_attn.q_proj.weight"] = rng.standard_normal((nh * (dn + D_ROPE), h)).astype(np.float32) * 0.05
+        if cfg.nsa:
+            hi, di_ = cfg.idx_heads, cfg.idx_dim
+            s[p + "self_attn.indexer.wq_b.weight"] = rng.standard_normal(
+                (hi * di_, cfg.q_lora_rank or h)).astype(np.float32) * 0.05
+            s[p + "self_attn.indexer.wk.weight"] = rng.standard_normal((di_, h)).astype(np.float32) * 0.05
+            s[p + "self_attn.indexer.k_norm.weight"] = np.ones(di_, np.float32)
+            s[p + "self_attn.indexer.weights_proj.weight"] = rng.standard_normal((hi, h)).astype(np.float32) * 0.02
         s[p + "self_attn.kv_a_proj_with_mqa.weight"] = rng.standard_normal((D_LATENT + D_ROPE, h)).astype(np.float32) * 0.05
         s[p + "self_attn.kv_a_layernorm.weight"] = np.ones(D_LATENT, np.float32)
         s[p + "self_attn.kv_b_proj.weight"] = rng.standard_normal((nh * (dn + dv), D_LATENT)).astype(np.float32) * 0.05
@@ -124,9 +137,113 @@ class TestConvertDeepseek:
         eng.run_until_done()
         assert len(eng.finished[rid].output) == 4
 
-    def test_q_lora_rejected(self, rng):
+    def test_q_lora_layout_mismatch_rejected(self, rng):
         cfg = deepseek.DeepseekConfig.tiny()
         state = deepseek_state(cfg, rng)
         state["model.layers.0.self_attn.q_a_proj.weight"] = np.zeros((8, 8), np.float32)
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError, match="q_lora_rank"):
             convert.convert_hf_deepseek(state, cfg)
+        cfg2 = deepseek.DeepseekConfig.tiny(q_lora_rank=32)
+        with pytest.raises(ValueError, match="direct q_proj"):
+            convert.convert_hf_deepseek(deepseek_state(deepseek.DeepseekConfig.tiny(), rng), cfg2)
+
+    def test_q_lora_convert_math_and_engine(self, rng):
+        """Real-V3 layout: q-LoRA path converts, the model's _q_proj
+        matches a numpy fp64 oracle on the HF tensors, and the engine
+        serves greedily."""
+        cfg = deepseek.DeepseekConfig.tiny(q_lora_rank=32)
+        state = deepseek_state(cfg, rng)
+        params = convert.convert_hf_deepseek(state, cfg)
+        ref_tree = jax.tree.structure(deepseek.init_weights(cfg, jax.random.PRNGKey(0)))
+        assert jax.tree.structure(params) == ref_tree
+
+        # fp64 oracle for the low-rank q path (pre-rope: nope rows only,
+        # rope rows are de-interleaved at load so they differ from HF order)
+        x = rng.standard_normal((3, cfg.hidden_size)).astype(np.float64)
+        wa = state["model.layers.0.self_attn.q_a_proj.weight"].astype(np.float64)
+        g = state["model.layers.0.self_attn.q_a_layernorm.weight"].astype(np.float64)
+        wb = state["model.layers.0.self_attn.q_b_proj.weight"].astype(np.float64)
+        cq = x @ wa.T
+        cq = cq / np.sqrt((cq**2).mean(-1, keepdims=True) + cfg.rms_eps) * g
+        q_ref = (cq @ wb.T).reshape(3, cfg.num_heads, -1)[..., : cfg.qk_nope_dim]
+
+        from sgl_kernel_tpu.models.deepseek import _q_proj
+        q_got, cq_got = _q_proj(jnp.asarray(x, cfg.dtype), params["layers"], 0, cfg)
+        q_got = np.asarray(q_got).reshape(3, cfg.num_heads, -1)[..., : cfg.qk_nope_dim]
+        np.testing.assert_allclose(q_got, q_ref, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(cq_got), cq, rtol=2e-4, atol=2e-4)
+
+        eng = Engine(cfg, params, num_pages=32, page_size=16,
+                     enable_prefix_cache=False)
+        rid = eng.add_request(rng.integers(0, cfg.vocab_size, 9).tolist(), max_new_tokens=4)
+        eng.run_until_done()
+        assert len(eng.finished[rid].output) == 4
+
+    def test_q_lora_quantized_w4a16(self, rng):
+        cfg = deepseek.DeepseekConfig.tiny(q_lora_rank=32, quant="w4a16", group_size=32)
+        params = convert.convert_hf_deepseek(deepseek_state(cfg, rng), cfg)
+        ref_tree = jax.tree.structure(deepseek.init_weights(cfg, jax.random.PRNGKey(0)))
+        assert jax.tree.structure(params) == ref_tree
+        assert isinstance(params["layers"]["wq_b"], dict)
+        eng = Engine(cfg, params, num_pages=32, page_size=16,
+                     enable_prefix_cache=False)
+        rid = eng.add_request(rng.integers(0, cfg.vocab_size, 9).tolist(), max_new_tokens=3)
+        eng.run_until_done()
+        assert len(eng.finished[rid].output) == 3
+
+    def test_fp8_blockwise_shards(self, rng):
+        """fp8 shards (weight + weight_scale_inv) dequantize exactly to the
+        blockwise product during conversion."""
+        import ml_dtypes
+
+        cfg = deepseek.DeepseekConfig.tiny(q_lora_rank=32)
+        state = deepseek_state(cfg, rng)
+        # fp8-encode wq_a of layer 0 with 16x16 blocks scaled near 1
+        name = "model.layers.0.self_attn.q_a_proj.weight"
+        w = state[name]
+        w8 = w.astype(ml_dtypes.float8_e4m3fn)
+        n, k = w.shape
+        scale = 1.0 + 0.5 * rng.random((max(1, -(-n // 128)), max(1, -(-k // 128)))).astype(np.float32)
+        state[name] = w8
+        state[name + "_scale_inv"] = scale
+        manual = w8.astype(np.float32) * np.repeat(np.repeat(scale, 128, 0)[:n], 128, 1)[:, :k]
+        params = convert.convert_hf_deepseek(state, cfg)
+        np.testing.assert_allclose(
+            np.asarray(params["layers"]["wq_a"][0], np.float32), manual.astype(np.float32),
+            rtol=2e-2, atol=2e-2)
+
+    def test_nsa_indexer_ingest_and_decode(self, rng):
+        """V3.2-layout indexer tensors convert and drive decode_step_nsa."""
+        cfg = deepseek.DeepseekConfig.tiny(q_lora_rank=32, nsa=True, idx_heads=2, idx_dim=32,
+                                           index_topk=16)
+        state = deepseek_state(cfg, rng)
+        params = convert.convert_hf_deepseek(state, cfg)
+        ref_tree = jax.tree.structure(deepseek.init_weights(cfg, jax.random.PRNGKey(0)))
+        assert jax.tree.structure(params) == ref_tree
+        np.testing.assert_allclose(
+            np.asarray(params["layers"]["wq_idx"][1], np.float32),
+            state["model.layers.1.self_attn.indexer.wq_b.weight"], rtol=1e-2, atol=1e-2)
+
+        page = 16
+        kv = deepseek.make_cache(cfg, 8, page)
+        idx_k, idx_s = deepseek.make_indexer_cache(cfg, 8, page)
+        rope = deepseek.build_rope_cache(cfg)
+        idx_rope = deepseek.build_idx_rope_cache(cfg)
+        b = 2
+        tables = jnp.asarray([[0, 1], [2, 3]], jnp.int32)
+        prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, 4)), jnp.int32)
+        pos = jnp.broadcast_to(jnp.arange(4), (b, 4))
+        slot = tables[:, :1] * page + pos % page
+        q_lens = jnp.full((b,), 4, jnp.int32)
+        logits, kv, idx_k, idx_s = deepseek.prefill_nsa(
+            params, cfg, kv, idx_k, idx_s, prompt, pos, q_lens,
+            slot.astype(jnp.int32), rope, idx_rope)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        lengths = jnp.full((b,), 5, jnp.int32)
+        positions = jnp.full((b,), 4, jnp.int32)
+        slot_d = tables[:, 0] * page + 4
+        logits2, kv, idx_k, idx_s = deepseek.decode_step_nsa(
+            params, cfg, kv, idx_k, idx_s, tok, positions, tables, lengths,
+            slot_d, rope, idx_rope)
+        assert logits2.shape == (b, cfg.vocab_size)
+        assert bool(jnp.all(jnp.isfinite(logits2)))

@@ -78,6 +78,39 @@ def test_mixtral_8x7b_decode_shapes(quant):
     assert logits.shape == (b, cfg.vocab_size)
 
 
+def test_deepseek_v3_qlora_nsa_decode_shapes():
+    """REAL DeepSeek-V3/R1 geometry: 61 layers, h=7168, 128 heads, q-LoRA
+    rank 1536, 256 routed experts topk 8, NSA indexer (64 heads x 128).
+    Traces the q-LoRA decode path and the NSA decode pipeline at full
+    production dimensions."""
+    cfg = deepseek.DeepseekConfig(
+        vocab_size=129280, hidden_size=7168, num_layers=61, num_heads=128,
+        qk_nope_dim=128, v_head_dim=128, q_lora_rank=1536,
+        num_experts=256, num_experts_per_tok=8,
+        moe_intermediate=2048, dense_intermediate=18432, num_dense_layers=3,
+        routed_scaling_factor=2.5, max_position=4096, dtype=jnp.bfloat16,
+        quant="w4a16", group_size=128, kv_dtype=jnp.float8_e4m3fn,
+        nsa=True, idx_heads=64, idx_dim=128, index_topk=2048,
+    )
+    b = 8
+    params = jax.eval_shape(lambda k: deepseek.init_weights(cfg, k), jax.random.PRNGKey(0))
+    cache = jax.eval_shape(lambda: deepseek.make_cache(cfg, 32, 64))
+    idx_k, idx_s = jax.eval_shape(lambda: deepseek.make_indexer_cache(cfg, 32, 64))
+    rope = jax.eval_shape(lambda: deepseek.build_rope_cache(cfg))
+    idx_rope = jax.eval_shape(lambda: deepseek.build_idx_rope_cache(cfg))
+    i32 = lambda *s: jax.ShapeDtypeStruct(s, jnp.int32)
+    logits, cache2 = abstract(
+        deepseek.decode_step, params, cfg, cache, i32(b), i32(b), i32(b, 32), i32(b), i32(b), rope
+    )
+    assert logits.shape == (b, cfg.vocab_size)
+    logits_n, cache3, ik2, is2 = abstract(
+        deepseek.decode_step_nsa, params, cfg, cache, idx_k, idx_s,
+        i32(b), i32(b), i32(b, 32), i32(b), i32(b), rope, idx_rope,
+    )
+    assert logits_n.shape == (b, cfg.vocab_size)
+    assert ik2.shape == idx_k.shape and ik2.dtype == idx_k.dtype
+
+
 def test_deepseek_v2_lite_decode_prefill_shapes():
     cfg = deepseek.DeepseekConfig(
         vocab_size=102400, hidden_size=2048, num_layers=27, num_heads=16,
