@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import flash_attention
+from ..ops.attention.merge_state import merge_state
 from ..ops.attention.paged_decode_dma import paged_attention_decode_dma
 from ..ops.kvcache import store_cache_stacked
 from ..ops.linear_attn import gdn_attention_decode, gdn_attention_prefill
@@ -182,6 +183,95 @@ def prefill(params, cfg: HybridGdnConfig, k_cache, v_cache, conv_state, ssm_stat
                 v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
                 q_lens, q_lens, causal=True,
             ).reshape(b * s, -1)
+            x = llama._linear(attn, lw["o"], cfg, residual=x, layer_id=half)
+            h2 = rmsnorm(x, lw["post_norm"][half], cfg.rms_eps)
+            x = llama._mlp(h2, lw, cfg, residual=x, layer_id=half)
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    x = x.reshape(b, s, -1)
+    last = jnp.clip(q_lens - 1, 0, s - 1)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    logits = llama._linear(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
+    return logits, k_cache, v_cache, conv_state, ssm_state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "prefix_max"), donate_argnums=(2, 3, 4, 5))
+def prefill_extend(params, cfg: HybridGdnConfig, k_cache, v_cache, conv_state,
+                   ssm_state, tokens, positions, q_lens, kv_lens, page_tables,
+                   slot_loc, rope_cache, *, prefix_max: int):
+    """Chunked (extend) prefill for the hybrid family: the q tokens are the
+    suffix of sequences whose earlier chunks already ran through this model.
+
+    GDN layers continue the recurrence from the carried conv/SSM states —
+    both ops take initial states, so a chunk is just "one more call"
+    (reference: gdn_attention handles prefill/decode/spec sub-batches in
+    one entry, gdn_attn_interface_impl.hpp:382-475; chunking there is the
+    same state-carry). GQA layers run the two-pass extend of
+    llama.prefill_extend (fresh chunk causal at global offsets + cached
+    prefix fully visible, merge_state combine).
+
+    NOTE: unlike llama, extend here requires the STATES to be the ones
+    left by this sequence's previous chunk — radix prefix reuse across
+    requests is NOT valid for this family (state is not prefix-shareable);
+    the serving adapter advertises supports_prefix_reuse=False.
+    """
+    b, s = tokens.shape
+    x = params["embed"][tokens.reshape(-1)].astype(cfg.dtype)
+    lw = params["layers"]
+    prefix_lens = kv_lens - q_lens  # [B]
+    pos_idx = jnp.arange(prefix_max)
+    page_sz = k_cache.shape[-2]
+    pre_slots = (
+        page_tables[:, pos_idx // page_sz] * page_sz + (pos_idx % page_sz)[None, :]
+    )  # [B, prefix_max]
+
+    def gather_prefix(kc, lidx):
+        pid = pre_slots // page_sz
+        off = pre_slots % page_sz
+        return kc[lidx, pid, :, off]  # [B, pre, H, D]
+
+    for lidx in range(cfg.num_layers):
+        half = lidx // 2
+        if lidx % 2 == 0:  # GDN layer: continue recurrence from carried state
+            h = rmsnorm(x, lw["gdn_norm"][half], cfg.rms_eps)
+            qkvz = jnp.dot(h, lw["gdn_qkvz"][half].T).astype(cfg.dtype).reshape(b, s, -1)
+            ba = jnp.dot(h, lw["gdn_ba"][half].T).astype(cfg.dtype).reshape(b, s, -1)
+            o, z, cs, ss = gdn_attention_prefill(
+                qkvz, ba, lw["gdn_conv_w"][half], lw["gdn_conv_b"][half],
+                lw["gdn_a_log"][half], lw["gdn_dt_bias"][half],
+                conv_state[half], ssm_state[half], q_lens, **_gdn_kw(cfg),
+            )
+            conv_state = conv_state.at[half].set(cs)
+            ssm_state = ssm_state.at[half].set(ss)
+            zf = z.astype(jnp.float32)
+            gated = (o.astype(jnp.float32) * zf * jax.nn.sigmoid(zf)).reshape(b * s, -1)
+            x = x + jnp.dot(gated.astype(cfg.dtype), lw["gdn_out"][half].T).astype(cfg.dtype)
+        else:  # GQA layer: two-pass extend + merge
+            h = rmsnorm(x, lw["input_norm"][half], cfg.rms_eps)
+            q, k, v = llama._qkv(h, lw, cfg, b * s, layer_id=half)
+            q, k = rotary_embedding(positions.reshape(-1), q, k, cfg.head_dim, rope_cache)
+            k_cache, v_cache = store_cache_stacked(k, v, k_cache, v_cache, slot_loc.reshape(-1), half)
+            qb = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
+            kb = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+            vb = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+            o1, l1 = flash_attention(
+                qb, kb, vb, q_lens, q_lens,
+                q_start=prefix_lens, kv_start=prefix_lens,
+                causal=True, return_lse=True,
+            )
+            kpre = gather_prefix(k_cache, half).astype(qb.dtype)
+            vpre = gather_prefix(v_cache, half).astype(qb.dtype)
+            o2, l2 = flash_attention(
+                qb, kpre, vpre, q_lens, prefix_lens,
+                q_start=prefix_lens, kv_start=jnp.zeros_like(prefix_lens),
+                causal=True, return_lse=True,
+            )
+            om, _ = merge_state(
+                o1.reshape(b * s, cfg.num_heads, cfg.head_dim),
+                jnp.swapaxes(l1, 1, 2).reshape(b * s, cfg.num_heads),
+                o2.reshape(b * s, cfg.num_heads, cfg.head_dim),
+                jnp.swapaxes(l2, 1, 2).reshape(b * s, cfg.num_heads),
+            )
+            attn = om.reshape(b * s, -1).astype(cfg.dtype)
             x = llama._linear(attn, lw["o"], cfg, residual=x, layer_id=half)
             h2 = rmsnorm(x, lw["post_norm"][half], cfg.rms_eps)
             x = llama._mlp(h2, lw, cfg, residual=x, layer_id=half)

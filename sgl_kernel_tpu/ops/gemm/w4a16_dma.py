@@ -50,6 +50,7 @@ def _kernel(
     bn: int,
     n_k: int,
     prologue: Optional[str],
+    unroll: bool,
 ):
     j = pl.program_id(0)
     lid = lid_ref[0]
@@ -79,11 +80,18 @@ def _kernel(
         return a_ref[:, pl.ds(col0, g0)]
 
     def body(kk, _):
-        slot = jax.lax.rem(kk, 2)
+        slot = jax.lax.rem(kk, 2) if isinstance(kk, jax.core.Tracer) else kk % 2
 
-        @pl.when(kk + 1 < n_k)
-        def _ahead():
-            dma(kk + 1, jax.lax.rem(kk + 1, 2)).start()
+        if isinstance(kk, int):
+            # fully-unrolled form: every DMA offset, buffer slot and scale
+            # row is STATIC — the dynamic form (fori_loop) crashes Mosaic's
+            # remote compiler (HTTP 500 subprocess abort, rounds 2-3)
+            if kk + 1 < n_k:
+                dma(kk + 1, (kk + 1) % 2).start()
+        else:
+            @pl.when(kk + 1 < n_k)
+            def _ahead():
+                dma(kk + 1, jax.lax.rem(kk + 1, 2)).start()
 
         dma(kk, slot).wait()
         wf = _decode_tile(w_buf.at[slot], fmt)  # [bk, bn] bf16 codes
@@ -105,7 +113,11 @@ def _kernel(
         acc_scr[...] = acc
         return 0
 
-    jax.lax.fori_loop(0, n_k, body, 0)
+    if unroll:
+        for kk in range(n_k):
+            body(kk, 0)
+    else:
+        jax.lax.fori_loop(0, n_k, body, 0)
 
     out = acc_scr[...]
     if b_ref is not None:
@@ -136,7 +148,7 @@ def _entry(lid_ref, *refs, has_a2, has_zeros, has_bias, has_res, **kw):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group_size", "fmt", "out_dtype", "bn", "bk", "prologue"),
+    static_argnames=("group_size", "fmt", "out_dtype", "bn", "bk", "prologue", "unroll"),
 )
 def w4a16_gemm_dma(
     a,
@@ -154,6 +166,7 @@ def w4a16_gemm_dma(
     bn: int = 2048,
     bk: int = 1024,
     prologue: Optional[str] = None,
+    unroll: bool = True,
 ):
     """Decode-bucket W4A16 GEMM with manual weight DMA.
 
@@ -228,6 +241,7 @@ def w4a16_gemm_dma(
         _entry,
         has_a2=has_a2, has_zeros=has_zeros, has_bias=has_bias, has_res=has_res,
         fmt=fmt, group_size=group_size, bk=bk, bn=bn, n_k=n_k, prologue=prologue,
+        unroll=unroll,
     )
     out = pl.pallas_call(
         kernel,

@@ -164,7 +164,8 @@ class HybridGdnAdapter(LlamaAdapter):
 
     name = "hybrid_gdn"
     supports_spec = False
-    supports_extend = False
+    supports_extend = True   # chunked prompts: conv+SSM state carries across chunks
+    supports_prefix_reuse = False  # recurrent state is NOT prefix-shareable
     needs_state_slots = True
 
     def __init__(self, cfg):
@@ -194,9 +195,22 @@ class HybridGdnAdapter(LlamaAdapter):
         )
         return logits, (k, v, conv.at[:, rows].set(cs), ssm.at[:, rows].set(ss))
 
-    def prefill_extend(self, *a, **kw):
-        raise NotImplementedError("hybrid_gdn has no extend-prefill program "
-                                  "(recurrent state is not prefix-shareable)")
+    def prefill_extend(self, params, caches, tokens, positions, q_lens,
+                       kv_lens, page_tables, slot_loc, *, prefix_max: int,
+                       state_slots=None):
+        """Chunk continuation: the GDN recurrence resumes from the state
+        the previous chunk left in this request's slot (reference one-call
+        prefill/decode/spec batching, gdn_attn_interface_impl.hpp:382-475).
+        Only valid for SAME-REQUEST chunking — supports_prefix_reuse=False
+        keeps the radix cache away from this family."""
+        k, v, conv, ssm = caches
+        rows = jnp.asarray(state_slots, jnp.int32)
+        logits, k, v, cs, ss = self._m.prefill_extend(
+            params, self.cfg, k, v, conv[:, rows], ssm[:, rows],
+            tokens, positions, q_lens, kv_lens, page_tables, slot_loc,
+            self.rope_cache, prefix_max=prefix_max,
+        )
+        return logits, (k, v, conv.at[:, rows].set(cs), ssm.at[:, rows].set(ss))
 
     prefill_packed = None
     make_mesh_steps = None

@@ -139,6 +139,12 @@ class Engine:
             assert prefill_chunk is None, (
                 f"{self.adapter.name} has no extend program; prefill_chunk "
                 "requires chunked (extend) prefill")
+        # stateful-recurrent families (hybrid GDN) chunk their OWN prompts
+        # but can't adopt another request's prefix — the conv/SSM state
+        # behind a radix-cache hit doesn't exist
+        if not getattr(self.adapter, "supports_prefix_reuse",
+                       getattr(self.adapter, "supports_extend", True)):
+            enable_prefix_cache = False
         self.native = None
         if enable_prefix_cache:
             try:
@@ -453,12 +459,14 @@ class Engine:
                 )
         else:
             prefix_max = cdiv(pre, self.page_size) * self.page_size
+            kw = ({"state_slots": jnp.asarray([req.state_slot], jnp.int32)}
+                  if self._stateful else {})
             logits, self.caches = self.adapter.prefill_extend(
                 self.params, self.caches,
                 jnp.asarray(tokens), jnp.asarray(positions),
                 jnp.asarray([s], jnp.int32), jnp.asarray([pre + s], jnp.int32),
                 jnp.asarray(self._page_table(req)[None]), jnp.asarray(slot_loc),
-                prefix_max=prefix_max,
+                prefix_max=prefix_max, **kw,
             )
         return logits
 
