@@ -48,7 +48,11 @@ from .ops.attention.nsa import (  # noqa: F401
     sparse_mla_decode,
     sparse_mla_prefill,
 )
-from .ops.quant.marlin import gptq_marlin_to_tpu_layout, marlin_unpack  # noqa: F401
+from .ops.quant.marlin import (  # noqa: F401
+    gptq_marlin_to_tpu_layout,
+    marlin_unpack,
+    marlin_w8a16_gemm,
+)
 from .ops.gemm import (  # noqa: F401
     awq_to_tpu_layout,
     bmm_fp8,

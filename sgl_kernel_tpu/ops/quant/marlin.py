@@ -121,9 +121,27 @@ def gptq_marlin_to_tpu_layout(qweight, scales, g_idx=None, *, group_size: int = 
     activation channels (``a[:, perm]``), the gptq_to_tpu_layout
     contract. Omitting g_idx for an act-order checkpoint silently
     mis-orders K against the activations — returns a 4-tuple whenever
-    g_idx is given."""
-    if num_bits != 4:
-        raise NotImplementedError("TPU W4 kernels are 4-bit; repack 8-bit to int8 scaled_mm instead")
+    g_idx is given.
+
+    num_bits=8 (reference tests/test_marlin_gemm.py covers both widths):
+    the TPU W4 packing has no 8-bit form, so the weight lands as plain
+    int8 [K, N] (codes - 128, symmetric) with the same [K/G, N] scales —
+    run it through ``marlin_w8a16_gemm`` (channelwise scales also feed
+    ``int8_scaled_mm`` directly)."""
+    if num_bits == 8:
+        size_k = qweight.shape[0] * MARLIN_TILE
+        size_n = qweight.shape[1] * (32 // num_bits) // MARLIN_TILE
+        codes = marlin_unpack(qweight, size_k=size_k, size_n=size_n, num_bits=8)
+        w_i8 = (codes.astype(jnp.int32) - 128).astype(jnp.int8)  # [K, N]
+        g = size_k if group_size == -1 else group_size
+        s = marlin_unpermute_scales(
+            scales.astype(jnp.float32), size_k=size_k, size_n=size_n, group_size=group_size
+        )
+        assert s.shape == (size_k // g, size_n), s.shape
+        if g_idx is not None:
+            perm = jnp.argsort(g_idx.astype(jnp.int32), stable=True)
+            return w_i8, s, None, perm
+        return w_i8, s, None
     pack = 32 // num_bits
     size_k = qweight.shape[0] * MARLIN_TILE
     size_n = qweight.shape[1] * pack // MARLIN_TILE
@@ -139,3 +157,20 @@ def gptq_marlin_to_tpu_layout(qweight, scales, g_idx=None, *, group_size: int = 
         perm = jnp.argsort(g_idx.astype(jnp.int32), stable=True)
         return packed, s.astype(jnp.bfloat16), None, perm
     return packed, s.astype(jnp.bfloat16), None
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def marlin_w8a16_gemm(a, w_i8, scales, out_dtype=None):
+    """Weight-only int8 GEMM for 8-bit Marlin checkpoints: a [M, K] float,
+    w_i8 [K, N] int8 (symmetric codes), scales [K/G, N] f32. Per-group
+    partial dots with output-side scaling (the w4a16 kernel's scheme, in
+    XLA — ingestion parity path, not a tuned hot kernel)."""
+    m, k = a.shape
+    ng, n = scales.shape
+    g = k // ng
+    af = a.astype(jnp.float32).reshape(m, ng, g)
+    wf = w_i8.astype(jnp.float32).reshape(ng, g, n)
+    parts = jnp.einsum("mck,ckn->mcn", af, wf,
+                       preferred_element_type=jnp.float32)
+    out = jnp.sum(parts * scales.astype(jnp.float32)[None], axis=1)
+    return out.astype(out_dtype or a.dtype)

@@ -85,3 +85,74 @@ def test_gemm_on_marlin_checkpoint(rng):
     ref = a.astype(np.float64) @ wdq.astype(np.float64)
     rel = np.abs(np.asarray(out, np.float64) - ref).mean() / np.abs(ref).mean()
     assert rel < 0.02, rel
+
+
+class TestMarlin8Bit:
+    def test_unpack_roundtrip_8bit(self, rng):
+        size_k, size_n = 128, 128
+        codes = rng.integers(0, 256, (size_k, size_n)).astype(np.uint8)
+        packed = marlin_pack_ref(codes, num_bits=8)
+        got = np.asarray(marlin_unpack(jnp.asarray(packed), size_k=size_k,
+                                       size_n=size_n, num_bits=8))
+        np.testing.assert_array_equal(got, codes)
+
+    @pytest.mark.parametrize("group_size", [64, -1])
+    def test_gemm_8bit_matches_fp64_oracle(self, rng, group_size):
+        """8-bit Marlin checkpoint -> int8 [K, N] + scales, run through
+        marlin_w8a16_gemm vs the fp64 dequant oracle (reference
+        tests/test_marlin_gemm.py covers 8-bit)."""
+        from sgl_kernel_tpu.ops.quant.marlin import marlin_w8a16_gemm
+
+        size_k, size_n = 128, 128
+        g = size_k if group_size == -1 else group_size
+        w = rng.standard_normal((size_k, size_n)).astype(np.float32) * 0.05
+        wg = w.reshape(size_k // g, g, size_n)
+        scale = np.abs(wg).max(axis=1) / 127.0 + 1e-9
+        codes = np.clip(np.rint(wg / scale[:, None]), -128, 127)
+        codes_u = (codes + 128).astype(np.uint8).reshape(size_k, size_n)
+        wdq = (codes * scale[:, None]).reshape(size_k, size_n).astype(np.float64)
+
+        qw = marlin_pack_ref(codes_u, num_bits=8)
+        sm = marlin_permute_scales_ref(scale.astype(np.float32), size_k, group_size)
+        w_i8, s_out, zeros = gptq_marlin_to_tpu_layout(
+            jnp.asarray(qw), jnp.asarray(sm), group_size=group_size, num_bits=8)
+        assert zeros is None and w_i8.dtype == jnp.int8
+        np.testing.assert_array_equal(
+            np.asarray(w_i8, np.int32), codes.reshape(size_k, size_n).astype(np.int32))
+        np.testing.assert_allclose(np.asarray(s_out), scale, rtol=1e-6)
+
+        a = rng.standard_normal((8, size_k)).astype(np.float32) * 0.1
+        ref = a.astype(np.float64) @ wdq
+        got = np.asarray(marlin_w8a16_gemm(jnp.asarray(a, jnp.bfloat16), w_i8, s_out),
+                         np.float32)
+        np.testing.assert_allclose(got, ref, rtol=5e-2, atol=5e-3)
+
+    def test_gemm_8bit_act_order(self, rng):
+        """g_idx path: the returned activation perm restores numerics."""
+        from sgl_kernel_tpu.ops.quant.marlin import marlin_w8a16_gemm
+
+        size_k, size_n, g = 128, 64, 32
+        w = rng.standard_normal((size_k, size_n)).astype(np.float32) * 0.05
+        g_idx_sorted = np.repeat(np.arange(size_k // g), g).astype(np.int32)
+        # marlin rows are sorted by stable argsort(g_idx): within a group
+        # the original indices appear ascending — build kperm accordingly
+        kperm = np.sort(rng.permutation(size_k).reshape(size_k // g, g), axis=1).reshape(-1)
+        g_idx = np.empty(size_k, np.int32)
+        g_idx[kperm] = g_idx_sorted  # g_idx in ORIGINAL activation order
+        w_sorted = w[kperm]  # marlin stores rows pre-sorted by group
+        wg = w_sorted.reshape(size_k // g, g, size_n)
+        scale = np.abs(wg).max(axis=1) / 127.0 + 1e-9
+        codes = np.clip(np.rint(wg / scale[:, None]), -128, 127)
+        codes_u = (codes + 128).astype(np.uint8).reshape(size_k, size_n)
+        wdq_sorted = (codes * scale[:, None]).reshape(size_k, size_n).astype(np.float64)
+
+        qw = marlin_pack_ref(codes_u, num_bits=8)
+        sm = marlin_permute_scales_ref(scale.astype(np.float32), size_k, g)
+        w_i8, s_out, _, perm = gptq_marlin_to_tpu_layout(
+            jnp.asarray(qw), jnp.asarray(sm), jnp.asarray(g_idx),
+            group_size=g, num_bits=8)
+        a = rng.standard_normal((4, size_k)).astype(np.float32) * 0.1
+        ref = a.astype(np.float64)[:, kperm] @ wdq_sorted
+        got = np.asarray(marlin_w8a16_gemm(
+            jnp.asarray(a, jnp.bfloat16)[:, perm], w_i8, s_out), np.float32)
+        np.testing.assert_allclose(got, ref, rtol=5e-2, atol=5e-3)
