@@ -146,19 +146,21 @@ def bench_nsa():
     sec = bench_chain(lambda c: c + fast_topk(c, lengths, 2048).astype(jnp.float32) * 0, logits, reps=16)
     add(f"nsa_fast_topk:{b}-{ctx}-2048", sec)
 
+    # DSv3 decode scale (VERDICT r2 #5): topk=2048, H=128, B in {4, 64}
     nslots, kk = 64 * 1024, 2048
     pool = jnp.asarray(rng.standard_normal((nslots, 576)) * 0.1, jnp.bfloat16)
-    qn = jnp.asarray(rng.standard_normal((b, 16, 512)), jnp.bfloat16)
-    qp = jnp.asarray(rng.standard_normal((b, 16, 64)), jnp.bfloat16)
-    slots = jnp.asarray(rng.integers(0, nslots, (b, kk)), jnp.int32)
+    for bb, hh in [(4, 16), (4, 128), (64, 128)]:
+        qn = jnp.asarray(rng.standard_normal((bb, hh, 512)) * 0.1, jnp.bfloat16)
+        qp = jnp.asarray(rng.standard_normal((bb, hh, 64)) * 0.1, jnp.bfloat16)
+        slots = jnp.asarray(rng.integers(0, nslots, (bb, kk)), jnp.int32)
 
-    def step(c):
-        o = sparse_mla_decode(c, qp, pool, slots)
-        return feed(o, c)
+        def step(c, qp=qp, slots=slots):
+            o = sparse_mla_decode(c, qp, pool, slots)
+            return feed(o, c)
 
-    sec = bench_chain(step, qn, reps=16)
-    add(f"nsa_sparse_mla_decode:{b}-16-{kk}", sec,
-        gbs=round(b * kk * 576 * 2 / sec / 1e9, 1))
+        sec = bench_chain(step, qn, reps=16)
+        add(f"nsa_sparse_mla_decode:{bb}-{hh}-{kk}", sec,
+            gbs=round(bb * kk * 576 * 2 / sec / 1e9, 1))
 
 
 def bench_gdn():

@@ -312,28 +312,76 @@ def fast_topk_transform_ragged_fused(logits, ks, ke, src_page_table, page_size: 
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale",))
-def sparse_mla_decode(q_nope, q_pe, kv_pool_flat, slot_indices, *, sm_scale: Optional[float] = None):
-    """Sparse MLA decode over top-k selected latent rows.
+@functools.partial(jax.jit, static_argnames=("sm_scale", "return_lse", "page"))
+def sparse_mla_decode(q_nope, q_pe, kv_pool_flat, slot_indices, *,
+                      sm_scale: Optional[float] = None,
+                      topk_length=None,
+                      extra_pool_flat=None, extra_indices=None,
+                      extra_topk_length=None,
+                      attn_sink=None,
+                      return_lse: bool = False,
+                      page: int = 128):
+    """Sparse MLA decode over top-k selected latent rows — 2-stage
+    gather->dense (the reference's default scheme, mla_sparse_decode.cpp +
+    src/CMakeLists.txt:19-23), TPU-native:
 
-    q_nope [B, H, 512]; q_pe [B, H, 64]; kv_pool_flat [num_slots, 576]
-    (the paged latent pool viewed flat); slot_indices [B, K] flat slots
-    from fast_topk_transform_fused (-1 = invalid). Returns [B, H, 512].
-    Reference: flash_mla_sparse_decode (2-stage gather->dense default).
+    Stage 1 gathers the selected rows at HBM speed with XLA's native
+    gather, PRESERVING the pool dtype (fp8 latent pools stay fp8 — the
+    round-2 implementation upcast everything to f32, 4x the bytes).
+    Stage 2 views the gathered [B, K, 576] block as a contiguous
+    pseudo-paged pool and runs the tuned manual-DMA MLA decode kernel
+    (ops/attention/mla.py) over it — f32 online softmax, in-kernel fp8
+    upcast, same kernel the dense path trusts.
+
+    q_nope [B, H, 512]; q_pe [B, H, 64]; kv_pool_flat [num_slots, 576];
+    slot_indices [B, K] flat slots from fast_topk_transform_fused, valid
+    entries first, -1 padding suffix (the fast_topk contract). Optional
+    reference-parity surface (sgl_flash_kernel_ops.h:96-139):
+    ``topk_length`` [B] valid counts (default: counted from the -1s);
+    dual pools via ``extra_pool_flat``/``extra_indices``/
+    ``extra_topk_length`` (combined with merge_state — the split-KV
+    reduce the reference runs as a second kernel); per-head ``attn_sink``
+    (natural-log logits, applied once post-merge like the gpt-oss path).
+    Returns [B, H, 512] (+ base-2 lse [B, H] when return_lse).
     """
+    from .merge_state import apply_sinks, merge_state
+    from .mla import mla_decode
+
     b, h, _ = q_nope.shape
-    kk = slot_indices.shape[1]
     sm_scale = sm_scale if sm_scale is not None else 1.0 / (D_CKV**0.5)
-    kv = kv_pool_flat[jnp.maximum(slot_indices, 0)]  # [B, K, 576]
-    q = jnp.concatenate([q_nope, q_pe], axis=-1).astype(jnp.float32)  # [B, H, 576]
-    s = jnp.einsum("bhd,bkd->bhk", q, kv.astype(jnp.float32)) * sm_scale
-    s = jnp.where((slot_indices >= 0)[:, None, :], s, -jnp.inf)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    m = jnp.maximum(m, -1e30)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    out = jnp.einsum("bhk,bkd->bhd", p, kv[..., :D_LATENT].astype(jnp.float32))
-    return (out / jnp.maximum(l, 1e-38)).astype(q_nope.dtype)
+
+    def one_pool(pool, idx, tl):
+        kk = idx.shape[1]
+        pg = page
+        while kk % pg:
+            pg //= 2
+        if tl is None:
+            tl = jnp.sum(idx >= 0, axis=1)
+        tl = tl.astype(jnp.int32)
+        d = pool.shape[-1]
+        rows = pool[jnp.maximum(idx, 0).reshape(-1)].reshape(b, kk, d)
+        cache = rows.reshape(b * (kk // pg), pg, d)
+        pt = jnp.arange(b * (kk // pg), dtype=jnp.int32).reshape(b, kk // pg)
+        o, lse = mla_decode(q_nope, q_pe, cache, jnp.maximum(tl, 1), pt,
+                            sm_scale=sm_scale, return_lse=True)
+        # an empty selection contributes nothing to the merge
+        empty = tl == 0
+        o = jnp.where(empty[:, None, None], 0.0, o.astype(jnp.float32))
+        lse = jnp.where(empty[:, None], -jnp.inf, lse)
+        return o, lse
+
+    o, lse = one_pool(kv_pool_flat, slot_indices, topk_length)
+    if extra_pool_flat is not None:
+        o2, lse2 = one_pool(extra_pool_flat, extra_indices, extra_topk_length)
+        o, lse = merge_state(o, lse, o2, lse2)
+    if attn_sink is not None:
+        o = apply_sinks(o, lse, attn_sink)
+        if return_lse:
+            lse = lse + jnp.log1p(
+                jnp.exp2(attn_sink[None, :].astype(jnp.float32) * 1.4426950408889634 - lse)
+            ) * 1.4426950408889634
+    o = o.astype(q_nope.dtype)
+    return (o, lse) if return_lse else o
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale",))

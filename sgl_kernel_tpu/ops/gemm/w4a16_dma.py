@@ -51,6 +51,7 @@ def _kernel(
     n_k: int,
     prologue: Optional[str],
     unroll: bool,
+    nbuf: int,
 ):
     j = pl.program_id(0)
     lid = lid_ref[0]
@@ -65,7 +66,11 @@ def _kernel(
             sem.at[slot],
         )
 
-    dma(0, 0).start()
+    if unroll:
+        for kk in range(min(nbuf - 1, n_k)):
+            dma(kk, kk % nbuf).start()
+    else:
+        dma(0, 0).start()
 
     acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -80,15 +85,17 @@ def _kernel(
         return a_ref[:, pl.ds(col0, g0)]
 
     def body(kk, _):
-        slot = jax.lax.rem(kk, 2) if isinstance(kk, jax.core.Tracer) else kk % 2
-
         if isinstance(kk, int):
             # fully-unrolled form: every DMA offset, buffer slot and scale
             # row is STATIC — the dynamic form (fori_loop) crashes Mosaic's
             # remote compiler (HTTP 500 subprocess abort, rounds 2-3)
-            if kk + 1 < n_k:
-                dma(kk + 1, (kk + 1) % 2).start()
+            slot = kk % nbuf
+            ahead = kk + nbuf - 1
+            if ahead < n_k:
+                dma(ahead, ahead % nbuf).start()
         else:
+            slot = jax.lax.rem(kk, 2)
+
             @pl.when(kk + 1 < n_k)
             def _ahead():
                 dma(kk + 1, jax.lax.rem(kk + 1, 2)).start()
@@ -148,7 +155,7 @@ def _entry(lid_ref, *refs, has_a2, has_zeros, has_bias, has_res, **kw):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group_size", "fmt", "out_dtype", "bn", "bk", "prologue", "unroll"),
+    static_argnames=("group_size", "fmt", "out_dtype", "bn", "bk", "prologue", "unroll", "nbuf"),
 )
 def w4a16_gemm_dma(
     a,
@@ -167,6 +174,7 @@ def w4a16_gemm_dma(
     bk: int = 1024,
     prologue: Optional[str] = None,
     unroll: bool = True,
+    nbuf: int = 2,
 ):
     """Decode-bucket W4A16 GEMM with manual weight DMA.
 
@@ -241,7 +249,7 @@ def w4a16_gemm_dma(
         _entry,
         has_a2=has_a2, has_zeros=has_zeros, has_bias=has_bias, has_res=has_res,
         fmt=fmt, group_size=group_size, bk=bk, bn=bn, n_k=n_k, prologue=prologue,
-        unroll=unroll,
+        unroll=unroll, nbuf=(nbuf if unroll else 2),
     )
     out = pl.pallas_call(
         kernel,
@@ -251,8 +259,8 @@ def w4a16_gemm_dma(
             in_specs=in_specs,
             out_specs=pl.BlockSpec((bm, bn), lambda j, lid: (0, j)),
             scratch_shapes=[
-                pltpu.VMEM((2, bk // 2, bn), jnp.uint8),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((nbuf if unroll else 2, bk // 2, bn), jnp.uint8),
+                pltpu.SemaphoreType.DMA((nbuf if unroll else 2,)),
                 pltpu.VMEM((bm, bn), jnp.float32),
             ],
         ),

@@ -123,6 +123,68 @@ class TestSparseMla:
                 ref = (p @ kv[:, :512]) / p.sum()
                 np.testing.assert_allclose(np.asarray(out)[bb, hh], ref, rtol=2e-2, atol=2e-2)
 
+    def _oracle(self, q_nope, q_pe, pools_sels, sm, sink=None):
+        """fp64 oracle over an arbitrary union of (pool, selected rows)."""
+        kv = np.concatenate([p[s] for p, s in pools_sels], axis=0).astype(np.float64)
+        q = np.concatenate([q_nope, q_pe]).astype(np.float64)
+        s = kv @ q * sm
+        m = s.max() if s.size else 0.0
+        denom = np.exp(s - m).sum()
+        num = np.exp(s - m) @ kv[:, :512]
+        if sink is not None:
+            denom = denom + np.exp(sink - m)
+        return num / denom
+
+    def test_dual_pool_sinks_lse_fp8(self, rng):
+        """Reference-parity surface (sgl_flash_kernel_ops.h:96-139): dual
+        KV pools combined via merge, per-head attn_sink, topk_length,
+        fp8 latent pools, lse output."""
+        import ml_dtypes
+
+        b, h, kk, kk2, nslots = 2, 4, 32, 16, 128
+        pool = (rng.standard_normal((nslots, 576)) * 0.3).astype(np.float32)
+        extra = (rng.standard_normal((64, 576)) * 0.3).astype(np.float32)
+        q_nope = (rng.standard_normal((b, h, 512)) * 0.3).astype(np.float32)
+        q_pe = (rng.standard_normal((b, h, 64)) * 0.3).astype(np.float32)
+        slots = np.stack([rng.choice(nslots, kk, replace=False) for _ in range(b)]).astype(np.int32)
+        eslots = np.stack([rng.choice(64, kk2, replace=False) for _ in range(b)]).astype(np.int32)
+        tl = np.asarray([kk, kk - 5], np.int32)
+        etl = np.asarray([kk2 - 3, 0], np.int32)  # row 1: extra pool EMPTY
+        slots[1, tl[1]:] = -1
+        eslots[0, etl[0]:] = -1
+        eslots[1, :] = -1
+        sink = (rng.standard_normal(h) * 0.5).astype(np.float32)
+        sm = 1.0 / np.sqrt(576)
+        out, lse = nsa.sparse_mla_decode(
+            jnp.asarray(q_nope), jnp.asarray(q_pe), jnp.asarray(pool),
+            jnp.asarray(slots), topk_length=jnp.asarray(tl),
+            extra_pool_flat=jnp.asarray(extra), extra_indices=jnp.asarray(eslots),
+            extra_topk_length=jnp.asarray(etl), attn_sink=jnp.asarray(sink),
+            return_lse=True, page=16)
+        assert lse.shape == (b, h)
+        for bb in range(b):
+            sels = [(pool, slots[bb][: tl[bb]])]
+            if etl[bb]:
+                sels.append((extra, eslots[bb][: etl[bb]]))
+            for hh in range(h):
+                ref = self._oracle(q_nope[bb, hh], q_pe[bb, hh], sels, sm, sink[hh])
+                np.testing.assert_allclose(np.asarray(out)[bb, hh], ref, rtol=2e-2, atol=2e-2)
+        # fp8 pools run through the same path (looser tolerance)
+        pool8 = pool.astype(ml_dtypes.float8_e4m3fn)
+        out8 = nsa.sparse_mla_decode(
+            jnp.asarray(q_nope, jnp.bfloat16), jnp.asarray(q_pe, jnp.bfloat16),
+            jnp.asarray(pool8), jnp.asarray(slots), topk_length=jnp.asarray(tl),
+            page=16)
+        for bb in range(b):
+            kv8 = pool[slots[bb][: tl[bb]]].astype(ml_dtypes.float8_e4m3fn).astype(np.float64)
+            for hh in range(h):
+                q = np.concatenate([q_nope[bb, hh], q_pe[bb, hh]]).astype(np.float64)
+                s = kv8 @ q * sm
+                p = np.exp(s - s.max())
+                ref = (p @ kv8[:, :512]) / p.sum()
+                np.testing.assert_allclose(
+                    np.asarray(out8, np.float32)[bb, hh], ref, rtol=8e-2, atol=8e-2)
+
 
 class TestVerticalSlash:
     def test_matches_masked_dense(self, rng):
