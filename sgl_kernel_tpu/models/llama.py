@@ -510,3 +510,85 @@ def prefill_extend(
     x_sel = jnp.take_along_axis(x, idx[:, :, None], axis=1)  # [B, n, H]
     logits = _linear(x_sel.reshape(b * n, -1), params["lm_head"], cfg).astype(jnp.float32)
     return logits[:, : cfg.vocab_size].reshape(b, n, -1), k_cache, v_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "prefix_max"), donate_argnums=(2, 3))
+def prefill_tree(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions,
+                 tree_mask, prefix_lens, page_tables, slot_loc, rope_cache, *,
+                 prefix_max: int):
+    """Tree-masked verify forward (EAGLE-style speculative trees): the dt
+    fresh tokens form a draft TREE — node i attends its ancestors-or-self
+    via ``tree_mask`` [B, dt, dt] (build_tree_kernel_efficient) instead of
+    the chunk-causal rule, plus the whole cached prefix.
+
+    tokens/positions/slot_loc [B, dt] (slot_loc = per-NODE cache slots —
+    siblings share a position but need distinct rows; the spec round moves
+    accepted rows to their position slots afterwards); prefix_lens [B].
+    Returns (logits [B, dt, V], k_cache, v_cache) — logits for EVERY node.
+
+    dt is small (1 + gamma*topk), so the fresh-tree pass is a dense masked
+    attention (f32, base-2 lse) merged with the gathered-prefix pass via
+    merge_state — the reference's two-launch/one-output chunked scheme
+    (flash_attention.cpp:1207-1325) with a tree mask on launch 1.
+    """
+    b, dt = tokens.shape
+    x = params["embed"][tokens.reshape(-1)].astype(cfg.dtype)
+    lw = params["layers"]
+    pos_idx = jnp.arange(prefix_max)
+    page_sz = k_cache.shape[-2]
+    pre_slots = (
+        page_tables[:, pos_idx // page_sz] * page_sz + (pos_idx % page_sz)[None, :]
+    )
+    _LOG2E = 1.4426950408889634
+    sm = 1.0 / (cfg.head_dim ** 0.5)
+    grp = cfg.num_heads // cfg.num_kv_heads
+
+    def gather_prefix(kc, lidx):
+        pid = pre_slots // page_sz
+        off = pre_slots % page_sz
+        return kc[lidx, pid, :, off]  # [B, pre, Hkv, D]
+
+    def layer_fn(carry, lidx):
+        x, kc, vc = carry
+        h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
+        q, k, v = _qkv(h, lw, cfg, b * dt, layer_id=lidx)
+        q, k = rotary_embedding(positions.reshape(-1), q, k, cfg.head_dim, rope_cache)
+        kc, vc = store_cache_stacked(k, v, kc, vc, slot_loc.reshape(-1), lidx)
+        qb = q.reshape(b, dt, cfg.num_heads, cfg.head_dim)
+        kb = k.reshape(b, dt, cfg.num_kv_heads, cfg.head_dim)
+        vb = v.reshape(b, dt, cfg.num_kv_heads, cfg.head_dim)
+        # pass 1: dense tree-masked attention over the fresh dt nodes
+        kbr = jnp.repeat(kb, grp, axis=2).astype(jnp.float32)
+        vbr = jnp.repeat(vb, grp, axis=2).astype(jnp.float32)
+        s2 = jnp.einsum("bihd,bjhd->bhij", qb.astype(jnp.float32), kbr) * (sm * _LOG2E)
+        s2 = jnp.where(tree_mask[:, None], s2, -jnp.inf)
+        m = jnp.max(s2, axis=-1)  # [B, H, dt] (diagonal always visible)
+        p = jnp.exp2(s2 - m[..., None])
+        l1 = jnp.sum(p, axis=-1)
+        o1 = jnp.einsum("bhij,bjhd->bihd", p, vbr) / l1[..., None].swapaxes(1, 2)
+        lse1 = (m + jnp.log2(l1)).swapaxes(1, 2)  # [B, dt, H]
+        # pass 2: cached prefix, fully visible to every node
+        kpre = gather_prefix(kc, lidx).astype(qb.dtype)
+        vpre = gather_prefix(vc, lidx).astype(qb.dtype)
+        o2, l2 = flash_attention(
+            qb, kpre, vpre, jnp.full((b,), dt, jnp.int32), prefix_lens,
+            causal=False, return_lse=True,
+        )
+        om, _ = merge_state(
+            o1.reshape(b * dt, cfg.num_heads, cfg.head_dim),
+            lse1.reshape(b * dt, cfg.num_heads),
+            o2.reshape(b * dt, cfg.num_heads, cfg.head_dim).astype(jnp.float32),
+            jnp.swapaxes(l2, 1, 2).reshape(b * dt, cfg.num_heads),
+        )
+        attn = om.reshape(b * dt, -1).astype(cfg.dtype)
+        x = x + _linear(attn, lw["o"], cfg, layer_id=lidx)
+        h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
+        mlp = _mlp(h2, lw, cfg, layer_id=lidx)
+        return (x + mlp, kc, vc), None
+
+    (x, k_cache, v_cache), _ = jax.lax.scan(
+        layer_fn, (x, k_cache, v_cache), jnp.arange(cfg.num_layers)
+    )
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    logits = _linear(x, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
+    return logits.reshape(b, dt, -1), k_cache, v_cache

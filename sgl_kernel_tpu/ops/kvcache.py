@@ -95,6 +95,30 @@ def store_cache_stacked(k, v, k_pool, v_pool, loc, layer_id):
 
 
 @jax.jit
+def move_cache_rows_stacked(k_pool, v_pool, src_loc, dst_loc):
+    """Copy token rows src -> dst across ALL layers of the stacked
+    page-major pools (speculative-TREE acceptance fix-up: accepted node
+    rows, written at per-node slots during the tree verify forward, move
+    to their true position slots). src_loc/dst_loc [T] flat slots; a
+    negative src or dst drops that move. Gather-then-scatter on the flat
+    view (single leading advanced index — the kvcache scatter rule)."""
+    l, p, h, page, d = k_pool.shape
+    src = _page_major_slots(jnp.maximum(src_loc, 0), p, h, page)  # [T, H]
+    dst = _page_major_slots(dst_loc, p, h, page)
+    lids = (jnp.arange(l) * (p * h * page))[:, None, None]
+    rows_src = lids + src[None]
+    rows_dst = lids + dst[None]
+    ok = (dst_loc >= 0) & (dst_loc < p * page) & (src_loc >= 0) & (src_loc < p * page)
+    rows_dst = jnp.where(ok[None, :, None], rows_dst, l * p * h * page)
+    fk = k_pool.reshape(l * p * h * page, d)
+    fv = v_pool.reshape(l * p * h * page, d)
+    kk, vv = fk[rows_src], fv[rows_src]  # gather BEFORE any scatter (aliasing)
+    fk = fk.at[rows_dst].set(kk, mode="drop")
+    fv = fv.at[rows_dst].set(vv, mode="drop")
+    return fk.reshape(k_pool.shape), fv.reshape(v_pool.shape)
+
+
+@jax.jit
 def store_cache_all_layers_xla(k_all, v_all, k_pool, v_pool, loc):
     """XLA-scatter variant of store_cache_all_layers (fallback for page
     sizes the DMA kernel can't window). The scatter runs on the FULLY flat

@@ -92,6 +92,7 @@ class Engine:
         draft_cfg: Optional[llama.LlamaConfig] = None,
         draft_params=None,
         spec_gamma: int = 4,
+        spec_topk: int = 1,
         mesh=None,
         prefill_chunk: Optional[int] = None,
         log_every: int = 0,
@@ -160,8 +161,16 @@ class Engine:
         # per scheduler step with unchanged output (lossless)
         self.draft_cfg = draft_cfg
         self.spec_gamma = spec_gamma
+        # spec_topk > 1 switches to TREE speculation (spec_tree_round):
+        # each draft step's top-k tokens become sibling nodes; needs the
+        # target family's tree-masked verify program (llama.prefill_tree)
+        self.spec_topk = spec_topk
         if draft_cfg is not None:
             assert self.adapter.supports_spec, f"{self.adapter.name} has no spec-decode program (models/spec.py)"
+            if spec_topk > 1:
+                assert getattr(self.adapter._m, "prefill_tree", None) is not None, (
+                    f"{self.adapter.name} has no tree-masked verify program "
+                    "(prefill_tree); use spec_topk=1 chain speculation")
             self.draft_params = draft_params if draft_params is not None else llama.init_weights(
                 draft_cfg, jax.random.PRNGKey(seed + 1)
             )
@@ -306,7 +315,9 @@ class Engine:
                 matched, shared, req.lock_id = self.native.match_prefix_locked(probe)
                 req.prefix_len = matched
                 req.shared_pages = len(shared)
-            slack = self.spec_gamma if self.draft_cfg is not None else 0
+            # tree spec writes dt-1 = gamma*topk per-node rows past the root
+            slack = (self.spec_gamma * self.spec_topk
+                     if self.draft_cfg is not None else 0)
             need = cdiv(req.seq_len + req.max_new_tokens + slack, self.page_size) - len(shared)
             pages = self.allocator.alloc(need)
             if pages is None and self.native is not None:
@@ -648,16 +659,29 @@ class Engine:
             tokens[i] = r.output[-1] if r.output else r.prompt[-1]
             lengths[i] = r.seq_len
             valid[i] = True
-        prefix_max = max(self.page_size, cdiv(int(lengths.max()) + self.spec_gamma, self.page_size) * self.page_size)
-        new, n_new, caches_t, self.dk_cache, self.dv_cache = spec.spec_decode_round(
-            self.params, self.draft_params,
-            tuple(self.caches), self.dk_cache, self.dv_cache,
-            jnp.asarray(tokens), jnp.asarray(lengths), jnp.asarray(tables),
-            self.rope_cache, self.draft_rope, jnp.asarray(valid),
-            cfg_t=self.cfg, cfg_d=self.draft_cfg, gamma=self.spec_gamma,
-            prefix_max=prefix_max, target=self.adapter._m,
-        )
-        self.caches = tuple(caches_t)
+        slack = self.spec_gamma * self.spec_topk
+        prefix_max = max(self.page_size, cdiv(int(lengths.max()) + slack, self.page_size) * self.page_size)
+        if self.spec_topk > 1:
+            kct, vct = self.caches
+            new, n_new, kct, vct, self.dk_cache, self.dv_cache = spec.spec_tree_round(
+                self.params, self.draft_params,
+                kct, vct, self.dk_cache, self.dv_cache,
+                jnp.asarray(tokens), jnp.asarray(lengths), jnp.asarray(tables),
+                self.rope_cache, self.draft_rope, jnp.asarray(valid),
+                cfg_t=self.cfg, cfg_d=self.draft_cfg, gamma=self.spec_gamma,
+                topk=self.spec_topk, prefix_max=prefix_max,
+            )
+            self.caches = (kct, vct)
+        else:
+            new, n_new, caches_t, self.dk_cache, self.dv_cache = spec.spec_decode_round(
+                self.params, self.draft_params,
+                tuple(self.caches), self.dk_cache, self.dv_cache,
+                jnp.asarray(tokens), jnp.asarray(lengths), jnp.asarray(tables),
+                self.rope_cache, self.draft_rope, jnp.asarray(valid),
+                cfg_t=self.cfg, cfg_d=self.draft_cfg, gamma=self.spec_gamma,
+                prefix_max=prefix_max, target=self.adapter._m,
+            )
+            self.caches = tuple(caches_t)
         new = np.asarray(new)
         n_new = np.asarray(n_new)
         # n_new per request = accepted drafts + 1 bonus token (models/spec.py)

@@ -101,3 +101,91 @@ class TestSpecChain:
         ref = _greedy_decode(cfg_t, params_t, prompts, 9)
         got = _spec_decode(cfg_t, params_t, cfg_d, params_d, prompts, 9, gamma=2)
         assert got == ref
+
+
+def _spec_tree_decode(cfg_t, params_t, cfg_d, params_d, prompts, n_new,
+                      gamma=3, topk=2, collect=None, **kw):
+    kct, vct, ropet, tables, first = _setup(cfg_t, params_t, prompts, **kw)
+    kcd, vcd, roped, _, _ = _setup(cfg_d, params_d, prompts, **kw)
+    b = len(prompts)
+    toks = [list(p) + [int(first[i])] for i, p in enumerate(prompts)]
+    done = [len(t) + n_new - 1 for t in toks]
+    while any(len(t) < d for t, d in zip(toks, done)):
+        last = jnp.asarray([t[-1] for t in toks], jnp.int32)
+        lens = jnp.asarray([len(t) for t in toks], jnp.int32)
+        new, n_new_b, kct, vct, kcd, vcd = spec.spec_tree_round(
+            params_t, params_d, kct, vct, kcd, vcd, last, lens, tables,
+            ropet, roped,
+            cfg_t=cfg_t, cfg_d=cfg_d, gamma=gamma, topk=topk, prefix_max=64,
+        )
+        new = np.asarray(new)
+        if collect is not None:
+            collect.append(np.asarray(n_new_b).copy())
+        for i in range(b):
+            take = min(int(n_new_b[i]), done[i] - len(toks[i]))
+            toks[i] += [int(x) for x in new[i, :take]]
+    return [t[len(p):] for t, p in zip(toks, prompts)]
+
+
+class TestSpecTree:
+    def test_perfect_draft_lossless(self, models):
+        cfg_t, params_t, _, _ = models
+        prompts = [[1, 2, 3], [9, 8, 7, 6]]
+        ref = _greedy_decode(cfg_t, params_t, prompts, 8)
+        got = _spec_tree_decode(cfg_t, params_t, cfg_t, params_t, prompts, 8,
+                                gamma=3, topk=2)
+        assert got == ref
+
+    def test_adversarial_draft_lossless(self, models):
+        """Random (wrong) draft: divergent tree acceptance exercises BOTH
+        fix-ups (target node-row moves + draft re-extend) — any cache
+        corruption shows up as a diverged stream a few tokens later."""
+        cfg_t, params_t, cfg_d, params_d = models
+        prompts = [[5, 4, 3, 2], [11, 12]]
+        ref = _greedy_decode(cfg_t, params_t, prompts, 9)
+        got = _spec_tree_decode(cfg_t, params_t, cfg_d, params_d, prompts, 9,
+                                gamma=2, topk=3)
+        assert got == ref
+
+    def test_tree_accepts_at_least_chain(self, models):
+        """The sibling hedge can only help: per round, tree acceptance >=
+        chain acceptance on the same (draft, target); over a long run the
+        tree must strictly win at least once for a mismatched draft."""
+        cfg_t, params_t, cfg_d, params_d = models
+        prompts = [[5, 4, 3, 2], [11, 12], [1, 7, 7]]
+        tree_n, chain_n = [], []
+        got_t = _spec_tree_decode(cfg_t, params_t, cfg_d, params_d, prompts, 16,
+                                  gamma=3, topk=3, collect=tree_n)
+        ref = _greedy_decode(cfg_t, params_t, prompts, 16)
+        assert got_t == ref
+        # chain rounds on the same sequence of states: chain accept = the
+        # leading-run acceptance, recomputable from the tree's spine --
+        # simpler proxy: run chain end-to-end and compare ROUND COUNTS
+        # (fewer rounds for the same emitted tokens = longer acceptance)
+        chain_rounds = []
+        _spec_chain_counted(cfg_t, params_t, cfg_d, params_d, prompts, 16,
+                            gamma=3, collect=chain_rounds)
+        assert len(tree_n) <= len(chain_rounds), (len(tree_n), len(chain_rounds))
+
+
+def _spec_chain_counted(cfg_t, params_t, cfg_d, params_d, prompts, n_new,
+                        gamma=3, collect=None, **kw):
+    kct, vct, ropet, tables, first = _setup(cfg_t, params_t, prompts, **kw)
+    kcd, vcd, roped, _, _ = _setup(cfg_d, params_d, prompts, **kw)
+    b = len(prompts)
+    toks = [list(p) + [int(first[i])] for i, p in enumerate(prompts)]
+    done = [len(t) + n_new - 1 for t in toks]
+    while any(len(t) < d for t, d in zip(toks, done)):
+        last = jnp.asarray([t[-1] for t in toks], jnp.int32)
+        lens = jnp.asarray([len(t) for t in toks], jnp.int32)
+        new, n_new_b, (kct, vct), kcd, vcd = spec.spec_decode_round(
+            params_t, params_d, (kct, vct), kcd, vcd, last, lens, tables, ropet, roped,
+            cfg_t=cfg_t, cfg_d=cfg_d, gamma=gamma, prefix_max=64,
+        )
+        new = np.asarray(new)
+        if collect is not None:
+            collect.append(np.asarray(n_new_b).copy())
+        for i in range(b):
+            take = min(int(n_new_b[i]), done[i] - len(toks[i]))
+            toks[i] += [int(x) for x in new[i, :take]]
+    return [t[len(p):] for t, p in zip(toks, prompts)]
