@@ -513,6 +513,98 @@ def prefill_extend(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "prefix_max"), donate_argnums=(2, 3))
+def mixed_step(params, cfg: LlamaConfig, k_cache, v_cache,
+               dec_tokens, dec_positions, dec_tables, dec_lengths, dec_slots,
+               pf_tokens, pf_positions, pf_q_len, pf_kv_len, pf_table, pf_slots,
+               rope_cache, *, prefix_max: int):
+    """ONE fused step serving a decode batch AND one prefill chunk — the
+    reference's chunked mixed batch (two complementary launches over one
+    output, flash_attention.cpp:1207-1325), TPU-native: the decode rows
+    and the chunk tokens run as one packed token stream through every
+    weight-streaming GEMM (the weights are read ONCE per layer instead of
+    once for the decode launch and again for the prefill launch — decode
+    is weight-bandwidth-bound, so the second read was the stall), then the
+    stream splits for attention: paged-DMA decode for the first Bd rows,
+    two-pass extend (fresh chunk causal + gathered prefix, merge_state)
+    for the chunk. One host->device dispatch per scheduler tick instead of
+    two (the axon relay charges ~26ms per dispatch).
+
+    dec_*: [Bd] / dec_tables [Bd, P] — padded decode batch (slot -1 rows
+    are dead). pf_*: ONE chunked-prefill request: tokens/positions/slots
+    [S] (padded), q_len/kv_len scalars, table [P2].
+    Returns (dec_logits [Bd, V], pf_logits [V], k_cache, v_cache).
+    """
+    bd = dec_tokens.shape[0]
+    s = pf_tokens.shape[0]
+    t = bd + s
+    tokens = jnp.concatenate([dec_tokens, pf_tokens])
+    positions = jnp.concatenate([dec_positions, pf_positions])
+    slots = jnp.concatenate([dec_slots, pf_slots])
+    x = params["embed"][tokens].astype(cfg.dtype)
+    lw = params["layers"]
+    prefix_len = pf_kv_len - pf_q_len  # scalar [1]-shaped
+    pos_idx = jnp.arange(prefix_max)
+    page_sz = k_cache.shape[-2]
+    pre_slots = (pf_table[pos_idx // page_sz] * page_sz + pos_idx % page_sz)[None, :]
+
+    def gather_prefix(kc, lidx):
+        pid = pre_slots // page_sz
+        off = pre_slots % page_sz
+        return kc[lidx, pid, :, off]  # [1, pre, Hkv, D]
+
+    def layer_fn(carry, lidx):
+        x = carry
+        h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
+        q, k, v = _qkv(h, lw, cfg, t, layer_id=lidx)
+        q, k = rotary_embedding(positions, q, k, cfg.head_dim, rope_cache)
+        # decode attention: paged DMA over history + in-kernel fresh row
+        attn_d = paged_attention_decode_dma(
+            q[:bd], k_cache, v_cache, dec_lengths, dec_tables, layer_id=lidx,
+            fresh_k=k[:bd], fresh_v=v[:bd],
+        )
+        # prefill chunk: two-pass extend (fresh causal at global offsets +
+        # cached prefix) — the chunk's own KV is attended in-tensor, so the
+        # deferred pool store (below) is invisible to it
+        qb = q[bd:].reshape(1, s, cfg.num_heads, cfg.head_dim)
+        kb = k[bd:].reshape(1, s, cfg.num_kv_heads, cfg.head_dim)
+        vb = v[bd:].reshape(1, s, cfg.num_kv_heads, cfg.head_dim)
+        o1, l1 = flash_attention(
+            qb, kb, vb, pf_q_len.reshape(1), pf_q_len.reshape(1),
+            q_start=prefix_len.reshape(1), kv_start=prefix_len.reshape(1),
+            causal=True, return_lse=True,
+        )
+        kpre = gather_prefix(k_cache, lidx).astype(qb.dtype)
+        vpre = gather_prefix(v_cache, lidx).astype(qb.dtype)
+        o2, l2 = flash_attention(
+            qb, kpre, vpre, pf_q_len.reshape(1), prefix_len.reshape(1),
+            q_start=prefix_len.reshape(1), kv_start=jnp.zeros((1,), jnp.int32),
+            causal=True, return_lse=True,
+        )
+        om, _ = merge_state(
+            o1.reshape(s, cfg.num_heads, cfg.head_dim),
+            jnp.swapaxes(l1, 1, 2).reshape(s, cfg.num_heads),
+            o2.reshape(s, cfg.num_heads, cfg.head_dim),
+            jnp.swapaxes(l2, 1, 2).reshape(s, cfg.num_heads),
+        )
+        attn = jnp.concatenate(
+            [attn_d.reshape(bd, -1), om.reshape(s, -1).astype(cfg.dtype)])
+        x = _linear(attn, lw["o"], cfg, residual=x, layer_id=lidx)
+        h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
+        x = _mlp(h2, lw, cfg, residual=x, layer_id=lidx)
+        return x, (k, v)
+
+    x, (k_all, v_all) = jax.lax.scan(layer_fn, x, jnp.arange(cfg.num_layers))
+    k_cache, v_cache = store_cache_all_layers(k_all, v_all, k_cache, v_cache, slots)
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    # lm_head only on the rows that need logits: the decode batch + the
+    # chunk's last fresh token
+    last_pf = bd + jnp.clip(pf_q_len - 1, 0, s - 1)
+    sel = jnp.concatenate([jnp.arange(bd), last_pf.reshape(1)])
+    logits = _linear(x[sel], params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
+    return logits[:bd], logits[bd], k_cache, v_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "prefix_max"), donate_argnums=(2, 3))
 def prefill_tree(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions,
                  tree_mask, prefix_lens, page_tables, slot_loc, rope_cache, *,
                  prefix_max: int):

@@ -142,7 +142,7 @@ def _decode_tile(w_ref, fmt: str):
     return (sign * val).astype(jnp.bfloat16)
 
 
-def _kernel(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *, fmt, group_size, ngb, n_k, has_bias, prologue):
+def _kernel(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *, fmt, group_size, ngb, n_k, has_bias, prologue, gmode="loop"):
     k_idx = pl.program_id(2)
     g0 = group_size
 
@@ -157,17 +157,37 @@ def _kernel(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *,
     else:
         a = a_ref[...]
     acc = acc_ref[...]
-    for g in range(ngb):
-        a_g = a[:, g * g0 : (g + 1) * g0]
-        part = jax.lax.dot_general(
-            a_g, wf[g * g0 : (g + 1) * g0, :], (((1,), (0,)), ((), ())),
+    if gmode == "batched":
+        # one BATCHED dot over all scale groups + a single scale-reduce
+        # epilogue — candidate to beat the 8-sequential-dots form (the
+        # loop's acc dependency can serialize the MXU feed)
+        bm, bk = a.shape
+        bn = wf.shape[-1]
+        ab = jnp.swapaxes(a.reshape(bm, ngb, g0), 0, 1)      # [G, bm, g0]
+        wb = wf.reshape(ngb, g0, bn)                          # [G, g0, bn]
+        parts = jax.lax.dot_general(
+            ab, wb, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [bm, bn]
-        acc = acc + part * s_ref[g, :][None, :].astype(jnp.float32)
+        )  # [G, bm, bn]
+        acc = acc + jnp.sum(parts * s_ref[...][:, None, :].astype(jnp.float32), axis=0)
         if z_ref is not None:
-            # rank-1 zero-point correction: - (sum_k a_g) * (z*s)[g, n]
-            asum = jnp.sum(a_g.astype(jnp.float32), axis=1, keepdims=True)
-            acc = acc - asum * z_ref[g, :][None, :].astype(jnp.float32)
+            asum = jnp.sum(a.astype(jnp.float32).reshape(bm, ngb, g0), axis=2)  # [bm, G]
+            acc = acc - jax.lax.dot_general(
+                asum, z_ref[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    else:
+        for g in range(ngb):
+            a_g = a[:, g * g0 : (g + 1) * g0]
+            part = jax.lax.dot_general(
+                a_g, wf[g * g0 : (g + 1) * g0, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bm, bn]
+            acc = acc + part * s_ref[g, :][None, :].astype(jnp.float32)
+            if z_ref is not None:
+                # rank-1 zero-point correction: - (sum_k a_g) * (z*s)[g, n]
+                asum = jnp.sum(a_g.astype(jnp.float32), axis=1, keepdims=True)
+                acc = acc - asum * z_ref[g, :][None, :].astype(jnp.float32)
     acc_ref[...] = acc
 
     @pl.when(k_idx == n_k - 1)
@@ -182,7 +202,7 @@ def _kernel(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group_size", "fmt", "out_dtype", "bm", "bn", "bk", "prologue"),
+    static_argnames=("group_size", "fmt", "out_dtype", "bm", "bn", "bk", "prologue", "gmode"),
 )
 def w4a16_gemm(
     a,
@@ -201,6 +221,7 @@ def w4a16_gemm(
     bn: int = 2048,
     bk: Optional[int] = None,
     prologue: Optional[str] = None,
+    gmode: str = "loop",
 ):
     """A[M, K] @ dequant(W[N, K])^T with 4-bit weights.
 
@@ -334,6 +355,7 @@ def w4a16_gemm(
         ngb=ngb,
         n_k=k // bk,
         prologue=prologue,
+        gmode=gmode,
     )
 
     common = dict(
@@ -372,7 +394,7 @@ def w4a16_gemm(
     return out[:m] if mp != m else out
 
 
-def _kernel_entry(*refs, has_lid=False, has_a2, has_zeros, has_bias, has_res, fmt, group_size, ngb, n_k, prologue):
+def _kernel_entry(*refs, has_lid=False, has_a2, has_zeros, has_bias, has_res, fmt, group_size, ngb, n_k, prologue, gmode="loop"):
     # refs layout: [lid], a, [a2], w, s, [z], [bias], [residual], o, acc
     idx = int(has_lid)  # scalar-prefetch ref consumed by the BlockSpecs
     a_ref = refs[idx]; idx += 1
@@ -391,6 +413,7 @@ def _kernel_entry(*refs, has_lid=False, has_a2, has_zeros, has_bias, has_res, fm
     _kernel(
         a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref,
         fmt=fmt, group_size=group_size, ngb=ngb, n_k=n_k, has_bias=has_bias, prologue=prologue,
+        gmode=gmode,
     )
 
 

@@ -98,6 +98,7 @@ class Engine:
         log_every: int = 0,
         adapter=None,
         decode_burst: int = 1,
+        enable_mixed: bool = True,
     ):
         self.adapter = adapter if adapter is not None else adapter_for(cfg)
         self.cfg = cfg
@@ -110,6 +111,7 @@ class Engine:
         # longer than prefill_chunk are ingested in chunks through the
         # extend path, bounding per-step activation memory
         self.prefill_chunk = prefill_chunk
+        self.enable_mixed = enable_mixed
         if params is None:
             params = self.adapter.init_weights(jax.random.PRNGKey(seed))
         self.params = params
@@ -424,11 +426,15 @@ class Engine:
         logits = self._prefill_range(req, pre, total)
         self._finish_prefill(req, logits)
 
-    def _advance_prefilling(self):
+    def _advance_prefilling(self, skip=None):
         """One chunk of progress per interleaved-prefill request, so the
-        subsequent decode batch of this same step isn't starved."""
+        subsequent decode batch of this same step isn't starved. ``skip``:
+        a request already advanced this tick by the fused mixed step."""
         still = []
         for req in self.prefilling:
+            if req is skip:
+                still.append(req)
+                continue
             total = len(req.prompt)
             end = min(req.prefill_pos + self.prefill_chunk, total)
             with self.metrics.time("prefill"):
@@ -698,6 +704,75 @@ class Engine:
             if len(r.output) >= r.max_new_tokens:
                 r.done = True
 
+    def _try_mixed_step(self):
+        """Fuse the first in-flight prefill chunk with this tick's decode
+        batch into one dispatch (llama-family mixed_step). Returns the
+        prefill Request it advanced (so the caller skips it in
+        _advance_prefilling), or None when the plain path should run."""
+        if not self.enable_mixed:
+            return None
+        if not self.prefilling or self._pstep is not None or self._stateful:
+            return None
+        if self.draft_cfg is not None or self.decode_burst > 1:
+            return None
+        if getattr(self.adapter, "_m", None) is None or not hasattr(self.adapter._m, "mixed_step"):
+            return None
+        reqs = [r for r in self.running if not r.done]
+        if not reqs:
+            return None
+        pf = self.prefilling[0]
+        pre = pf.prefill_pos
+        if pre == 0:
+            return None  # first chunk has no cached prefix; plain path
+        total = len(pf.prompt)
+        end = min(pre + self.prefill_chunk, total)
+        s = end - pre
+        bucket = max(self.prefill_bucket, 1 << (s - 1).bit_length())
+        pf_tokens = np.zeros(bucket, np.int32)
+        pf_tokens[:s] = pf.prompt[pre:end]
+        pf_positions = np.zeros(bucket, np.int32)
+        pf_positions[:s] = np.arange(pre, end)
+        pf_slots = np.full(bucket, -1, np.int32)
+        pf_slots[:s] = [self._slot(pf, p) for p in range(pre, end)]
+        prefix_max = cdiv(pre, self.page_size) * self.page_size
+
+        bp = self.max_batch
+        tokens = np.zeros(bp, np.int32)
+        positions = np.zeros(bp, np.int32)
+        lengths = np.ones(bp, np.int32)
+        slot_loc = np.full(bp, -1, np.int32)
+        tables = self._batch_tables(reqs, bp)
+        for i, r in enumerate(reqs):
+            pos = r.seq_len - 1
+            tokens[i] = r.output[-1] if r.output else r.prompt[-1]
+            positions[i] = pos
+            lengths[i] = r.seq_len
+            slot_loc[i] = self._slot(r, pos)
+
+        k, v = self.caches
+        dec_logits, pf_logits, k, v = self.adapter._m.mixed_step(
+            self.params, self.cfg, k, v,
+            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
+            jnp.asarray(lengths), jnp.asarray(slot_loc),
+            jnp.asarray(pf_tokens), jnp.asarray(pf_positions),
+            jnp.asarray(s, jnp.int32), jnp.asarray(end, jnp.int32),
+            jnp.asarray(self._page_table(pf)), jnp.asarray(pf_slots),
+            self.rope_cache, prefix_max=prefix_max,
+        )
+        self.caches = (k, v)
+        dec_np = dec_logits[: len(reqs)]
+        for i, r in enumerate(reqs):
+            self._append_token(r, dec_np[i])
+        self.metrics.inc("tokens_decoded", len(reqs))
+        self.metrics.inc("tokens_prefilled", s)
+        self.metrics.inc("mixed_steps")
+        pf.prefill_pos = end
+        if end == total:
+            self.prefilling.remove(pf)
+            self._finish_prefill(pf, pf_logits[None])
+            self.running.append(pf)
+        return pf
+
     def _retire(self):
         still = []
         for r in self.running:
@@ -738,12 +813,21 @@ class Engine:
 
     # ------------------------------------------------------------------
     def step(self):
-        """One scheduler iteration: admit+prefill, one decode step, retire."""
+        """One scheduler iteration: admit+prefill, one decode step, retire.
+
+        When a chunked prefill is in flight alongside a decode batch, the
+        first chunk advance and the decode step fuse into ONE dispatch
+        (adapter-family mixed_step; the reference's chunkprefill
+        two-launch/one-output scheme, flash_attention.cpp:1207-1325) so
+        decode never waits a whole tick behind a prefill chunk and the
+        layer weights stream once for both."""
         with self.metrics.time("step"):
             self._admit()
-            self._advance_prefilling()
+            mixed_pf = self._try_mixed_step()  # Request served fused, or None
+            self._advance_prefilling(skip=mixed_pf)
             with self.metrics.time("decode"):
-                self._decode_batch()
+                if mixed_pf is None:
+                    self._decode_batch()
             self._retire()
         self.metrics.inc("scheduler_steps")
         free = self.allocator.free  # int (native) or free-list (python)
