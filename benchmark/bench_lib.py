@@ -15,6 +15,15 @@ import time
 import jax
 import jax.numpy as jnp
 
+# the bench suite is compile-dominated on the axon relay (remote compiles
+# take minutes); reuse the persistent cache across scripts/runs
+try:
+    from sgl_kernel_tpu.utils.profiling import enable_persistent_cache
+
+    enable_persistent_cache(os.environ.get("SGL_TPU_CACHE", "/tmp/sgl_tpu_jax_cache"))
+except Exception:
+    pass
+
 
 def bench_chain(step_fn, carry_init, *, reps: int = 64, spinup: int = 1):
     """step_fn(carry) -> carry (device-only). Returns seconds per step."""

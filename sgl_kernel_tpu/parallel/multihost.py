@@ -162,6 +162,29 @@ def assert_no_dcn_collectives(compiled, mesh: Mesh, n_ici: int):
     return True
 
 
+def collective_inventory(compiled, mesh: Mesh, n_ici: int):
+    """Structured collective report for a compiled step — the honest
+    multi-host scaling artifact (BASELINE.md): every collective with its
+    group count/size and whether it stays inside one ICI block. The >=80%
+    scaling claim rests on every entry being ici_only=True (zero DCN
+    traffic per step), not on simulator timings."""
+    from collections import defaultdict
+
+    hlo = compiled.as_text()
+    agg = defaultdict(lambda: {"count": 0, "group_sizes": set(), "ici_only": True})
+    for op, groups in _collective_replica_groups(hlo):
+        rec = agg[op]
+        rec["count"] += 1
+        rec["group_sizes"].update(len(g) for g in groups)
+        if any(len({i // n_ici for i in g}) > 1 for g in groups):
+            rec["ici_only"] = False
+    return [
+        {"op": op, "count": rec["count"],
+         "group_sizes": sorted(rec["group_sizes"]), "ici_only": rec["ici_only"]}
+        for op, rec in sorted(agg.items())
+    ]
+
+
 def process_local_slice(global_batch: int, axis_size: int, axis_index: int):
     """Rows of a [global_batch, ...] input owned by one dp shard."""
     assert global_batch % axis_size == 0, (

@@ -24,6 +24,7 @@ from sgl_kernel_tpu.models import llama
 from sgl_kernel_tpu.parallel import tp as tp_lib
 from sgl_kernel_tpu.parallel.multihost import (
     assert_no_dcn_collectives,
+    collective_inventory,
     make_hybrid_mesh,
 )
 
@@ -70,6 +71,80 @@ class TestHybridMesh:
             (tables[:, 0] * page).astype(jnp.int32), rope,
         ).compile()
         assert_no_dcn_collectives(compiled, mesh, n_ici=4)
+
+        # structured artifact form of the same guarantee (the BASELINE.md
+        # scaling evidence): every collective stays inside one ICI block
+        inv = collective_inventory(compiled, mesh, n_ici=4)
+        assert inv, "tp decode must contain collectives (the o-proj psum)"
+        for rec in inv:
+            assert rec["ici_only"], rec
+            assert rec["count"] > 0 and rec["group_sizes"], rec
+        assert any(rec["op"] == "all-reduce" for rec in inv), inv
+
+    def test_ep_collectives_stay_on_ici(self):
+        """EP fused_experts (all-to-all token dispatch) over the tp axis of
+        the hybrid mesh: the a2a + combine must ride ICI, never DCN."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from sgl_kernel_tpu.ops import moe
+        from sgl_kernel_tpu.parallel import ep as ep_lib
+
+        mesh = make_hybrid_mesh({"dp": 2}, {"tp": 4})
+        t, e, h, inter, k = 8, 8, 64, 128, 2
+        key = jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 4)
+        x = jax.random.normal(ks[0], (4 * t, h), jnp.float32)
+        w1 = jax.random.normal(ks[1], (e, h, 2 * inter), jnp.float32) * 0.05
+        w2 = jax.random.normal(ks[2], (e, inter, h), jnp.float32) * 0.05
+        tw, tids = moe.topk_softmax(
+            jax.random.normal(ks[3], (4 * t, e)), k, renormalize=True)
+
+        def run(x, w1, w2, tw, tids):
+            lw = moe.MoeWeights(w1=w1, w2=w2, fmt="bf16")
+            return ep_lib.ep_fused_experts_a2a(
+                x, lw, tw, tids, axis_name="tp", num_experts_global=e,
+                block_size=8)
+
+        fn = jax.jit(shard_map(
+            run, mesh=mesh,
+            in_specs=(P("tp", None), P("tp", None, None), P("tp", None, None),
+                      P("tp", None), P("tp", None)),
+            out_specs=P("tp", None), check_vma=False,
+        ))
+        compiled = fn.lower(x, w1, w2, tw, tids).compile()
+        assert_no_dcn_collectives(compiled, mesh, n_ici=4)
+        inv = collective_inventory(compiled, mesh, n_ici=4)
+        assert any(rec["op"] == "all-to-all" for rec in inv), inv
+
+    def test_compress_step_collectives_stay_on_ici(self):
+        """Compressed-KV DeepSeek TP decode step on the hybrid mesh: the
+        sharded-heads/experts psum points stay inside the ICI block."""
+        from sgl_kernel_tpu.models import deepseek
+        from sgl_kernel_tpu.parallel import tp as tp_lib
+
+        mesh = make_hybrid_mesh({"dp": 2}, {"tp": 2}, devices=jax.devices()[:4])
+        cfg = deepseek.DeepseekConfig.tiny(
+            compress="c4", compress_ring=8, compress_local=16)
+        params = deepseek.init_weights(cfg, jax.random.PRNGKey(0))
+        page, npages, b = 16, 4, 4
+        kv, sc, comp = deepseek.make_compress_caches(
+            cfg, npages, page, max_slots=b)
+        rope = deepseek.build_rope_cache(cfg)
+        decode, _ = tp_lib.make_parallel_deepseek_compress_steps(
+            cfg, mesh, params)
+        tokens = jnp.zeros(b, jnp.int32)
+        tables = jnp.asarray(
+            (np.arange(b) % npages).reshape(b, 1), jnp.int32)
+        slots = (tables[:, 0] * page).astype(jnp.int32)
+        state_slots = jnp.arange(b, dtype=jnp.int32)
+        compiled = jax.jit(decode).lower(
+            params, kv, sc, comp, tokens, tokens, tables,
+            jnp.ones(b, jnp.int32), slots, state_slots, rope,
+        ).compile()
+        assert_no_dcn_collectives(compiled, mesh, n_ici=2)
+        inv = collective_inventory(compiled, mesh, n_ici=2)
+        assert inv and all(rec["ici_only"] for rec in inv), inv
 
 
 @pytest.mark.slow
