@@ -74,12 +74,17 @@ GROUPS_PER_KTILE = 8  # bk = 8 * group_size
 # buckets (1/2) come from the isolated confirm sweep (MXU-bound there, tile
 # choice is second-order).
 _TILE_TABLE = {
-    # decode entries re-measured for the K-paired kernel (in-model harness,
-    # benchmark/retune_w4a16_decode.py, 2026-08-17): gate_up 635 GB/s at
-    # (16, 2048, 1024) == the default; o_proj best (2048, 1024) == default;
-    # qkv best (2048, 2048) at 599 GB/s. Readings above the 819 GB/s HBM
-    # peak are relay-jitter artifacts and were discarded.
-    (6144, 4096, 0): (16, 2048, 2048),    # qkv decode: 599 GB/s in-model
+    # decode entries re-measured for the gmode="inner" kernel (in-model
+    # harness, benchmark/sweep_w4a16_variants.py, 2026-08-19): per-group
+    # decode interleaved with the MXU dots beats the materialize-whole-tile
+    # form by 1.2-1.7x on every decode shape (o 465->779 GB/s, qkv
+    # 477->789, down 493->692, gate_up 497->648). Readings above the
+    # 819 GB/s HBM peak are relay-jitter artifacts and were discarded.
+    (6144, 4096, 0): (16, 2048, 2048),     # qkv decode: 789 GB/s in-model
+    (4096, 4096, 0): (16, 2048, 1024),     # o decode: 779 GB/s
+    (28672, 4096, 0): (16, 4096, 1024),    # gate_up decode: 648 GB/s
+    (4096, 14336, 0): (16, 2048, 2048),    # down decode: 692 GB/s
+    (129024, 4096, 0): (16, 4096, 1024),   # llama3 lm_head decode (gate_up-like)
     (4096, 4096, 2): (256, 512, 2048),    # 195 TFLOP/s (MXU-bound)
     (4096, 14336, 1): (128, 4096, 1024),
     (4096, 14336, 2): (256, 4096, 1024),
@@ -200,6 +205,48 @@ def _kernel(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *,
         o_ref[...] = out.astype(o_ref.dtype)
 
 
+def _kernel_inner(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *, fmt, group_size, ngb, n_k, has_bias, prologue):
+    """gmode="inner": decode each scale group's [g0, bn] weight slice right
+    before its MXU dot instead of materializing the whole decoded [bk, bn]
+    tile in VMEM first. The per-group VPU decode (astype) software-pipelines
+    against the previous group's MXU dot, and the decode temp shrinks from
+    bk*bn*2 bytes to g0*bn*2."""
+    k_idx = pl.program_id(2)
+    g0 = group_size
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if prologue == "silu_mul":
+        g = a_ref[...].astype(jnp.float32)
+        a = (g * jax.nn.sigmoid(g) * a2_ref[...].astype(jnp.float32)).astype(a_ref.dtype)
+    else:
+        a = a_ref[...]
+    acc = acc_ref[...]
+    for g in range(ngb):
+        wf_g = _decode_tile(w_ref.at[pl.ds(g * g0 // 2, g0 // 2), :], fmt)  # [g0, bn]
+        a_g = a[:, g * g0 : (g + 1) * g0]
+        part = jax.lax.dot_general(
+            a_g, wf_g, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + part * s_ref[g, :][None, :].astype(jnp.float32)
+        if z_ref is not None:
+            asum = jnp.sum(a_g.astype(jnp.float32), axis=1, keepdims=True)
+            acc = acc - asum * z_ref[g, :][None, :].astype(jnp.float32)
+    acc_ref[...] = acc
+
+    @pl.when(k_idx == n_k - 1)
+    def _done():
+        out = acc_ref[...]
+        if has_bias:
+            out = out + b_ref[...].astype(jnp.float32)
+        if r_ref is not None:
+            out = out + r_ref[...].astype(jnp.float32)
+        o_ref[...] = out.astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("group_size", "fmt", "out_dtype", "bm", "bn", "bk", "prologue", "gmode"),
@@ -221,7 +268,7 @@ def w4a16_gemm(
     bn: int = 2048,
     bk: Optional[int] = None,
     prologue: Optional[str] = None,
-    gmode: str = "loop",
+    gmode: Optional[str] = None,
 ):
     """A[M, K] @ dequant(W[N, K])^T with 4-bit weights.
 
@@ -253,6 +300,12 @@ def w4a16_gemm(
     stacked = layer_id is not None
     n = w.shape[-1]
     out_dtype = out_dtype or a.dtype
+    if gmode is None:
+        # decode bucket: per-group decode interleaved with the dots pipelines
+        # the VPU upconvert against the MXU and wins 1.2-1.7x on-chip
+        # (docs/PERF.md round 3); prefill is MXU-bound and keeps the
+        # whole-tile decode that amortizes across the larger bm.
+        gmode = "inner" if _m_bucket(m) == 0 else "loop"
     k_pad = w.shape[-2] * 2  # packed layout [.., K/2, N]
     if k_pad != k:
         # quantize_w4 zero-padded a non-group-multiple K; pad the
@@ -410,6 +463,13 @@ def _kernel_entry(*refs, has_lid=False, has_a2, has_zeros, has_bias, has_res, fm
     idx += int(has_res)
     o_ref = refs[idx]
     acc_ref = refs[idx + 1]
+    if gmode == "inner":
+        _kernel_inner(
+            a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref,
+            fmt=fmt, group_size=group_size, ngb=ngb, n_k=n_k, has_bias=has_bias,
+            prologue=prologue,
+        )
+        return
     _kernel(
         a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref,
         fmt=fmt, group_size=group_size, ngb=ngb, n_k=n_k, has_bias=has_bias, prologue=prologue,
