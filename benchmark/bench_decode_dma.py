@@ -57,6 +57,11 @@ CONFIGS = {
     "fp8page16c8": lambda r: run("fp8page16c8", 16, 1024, 32, 8, 128, paged_attention_decode_dma, r, chunk_pages=8, layout="page", kv_dtype=jnp.float8_e4m3fn),
     "fp8page16c16": lambda r: run("fp8page16c16", 16, 1024, 32, 8, 128, paged_attention_decode_dma, r, chunk_pages=16, layout="page", kv_dtype=jnp.float8_e4m3fn),
     "fp8old16": lambda r: run("fp8old16", 16, 1024, 32, 8, 128, paged_attention_decode, r, kv_dtype=jnp.float8_e4m3fn),
+    # e5m2: pure-shift upcast (no mask/rebias) — cheaper VPU chain than e4m3
+    "e5m2page16c16": lambda r: run("e5m2page16c16", 16, 1024, 32, 8, 128, paged_attention_decode_dma, r, chunk_pages=16, layout="page", kv_dtype=jnp.float8_e5m2),
+    # int8 KV: upcast is ONE hardware convert; scales fold into sm_scale/output
+    "int8page16c16": lambda r: run("int8page16c16", 16, 1024, 32, 8, 128, paged_attention_decode_dma, r, chunk_pages=16, layout="page", kv_dtype=jnp.int8),
+    "int8page16c8": lambda r: run("int8page16c8", 16, 1024, 32, 8, 128, paged_attention_decode_dma, r, chunk_pages=8, layout="page", kv_dtype=jnp.int8),
     # long-context small-batch (split-KV territory)
     "old1x8k": lambda r: run("old1x8k", 1, 8192, 32, 8, 128, paged_attention_decode, r),
     "head1x8k": lambda r: run("head1x8k", 1, 8192, 32, 8, 128, paged_attention_decode_dma, r, chunk_pages=8),

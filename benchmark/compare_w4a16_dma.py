@@ -46,16 +46,27 @@ def bench(fn, tag, a, pk, sc, n, k, **kw):
     print(f"{tag} N={n} K={k}: {sec*1e6:.1f}us {gbs:.0f}GB/s", flush=True)
 
 
+DMA_CANDS = [
+    ("inner", 2048, 1024, 2),
+    ("inner", 4096, 1024, 2),
+    ("inner", 2048, 2048, 2),
+    ("inner", 2048, 1024, 3),
+    ("loop", 2048, 1024, 2),
+]
+
 for n, k in SHAPES:
     a = jnp.asarray(rng.standard_normal((M, k)), jnp.bfloat16)
     pk = jnp.asarray(rng.integers(0, 255, (L, k // 2, n)), jnp.uint8)
     sc = jnp.asarray(rng.random((L, k // G, n)), jnp.bfloat16)
     jax.block_until_ready((a, pk, sc))
+    for gmode, bn, bk, nbuf in DMA_CANDS:
+        tag = f"dma/{gmode} bn={bn} bk={bk} nbuf={nbuf}"
+        try:
+            bench(w4a16_gemm_dma, tag, a, pk, sc, n, k,
+                  bn=bn, bk=bk, nbuf=nbuf, gmode=gmode)
+        except Exception as e:
+            print(f"{tag} N={n} K={k} FAIL {str(e)[:120]}", flush=True)
     try:
-        bench(w4a16_gemm_dma, "dma      ", a, pk, sc, n, k, bn=2048, bk=1024)
-    except Exception as e:
-        print(f"dma N={n} K={k} FAIL {str(e)[:90]}", flush=True)
-    try:
-        bench(w4a16_gemm, "blockspec", a, pk, sc, n, k)
+        bench(w4a16_gemm, "blockspec(table)", a, pk, sc, n, k)
     except Exception as e:
         print(f"blockspec N={n} K={k} FAIL {str(e)[:90]}", flush=True)

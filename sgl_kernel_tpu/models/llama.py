@@ -57,9 +57,16 @@ class LlamaConfig:
     # (manual double-buffered weight DMA, w4a16_dma.py). Decode bucket
     # (M <= 32) only; prefill always uses the pipeline kernel.
     gemm_impl: str = "pipeline"
-    # KV cache dtype: None -> model dtype; jnp.float8_e4m3fn halves decode
-    # attention bandwidth (per-tensor scale 1.0; the paged kernel upcasts)
+    # KV cache dtype: None -> model dtype; jnp.float8_e4m3fn/e5m2 or
+    # jnp.int8 halve the decode-attention KV bytes (the paged kernel
+    # upcasts in-VMEM; int8 is ONE hardware convert — the TPU-native fast
+    # path; reference fp8 contract: flash_attention.cpp:46-74)
     kv_dtype: Any = None
+    # symmetric per-tensor KV quantization scale: stores write
+    # round(x/kv_scale) (int8) or (x/kv_scale).astype(kv_dtype) (fp8) and
+    # every attention read folds the scale back in via k_scale/v_scale.
+    # Required for int8 pools; optional for fp8 (None = scale 1.0).
+    kv_scale: Optional[float] = None
     # Qwen-family options: per-head RMSNorm on q/k before RoPE (Qwen3),
     # biases on the qkv projections (Qwen2)
     qk_norm: bool = False
@@ -253,6 +260,34 @@ def _maybe_psum(x, tp_axis):
     return jax.lax.psum(x, tp_axis) if tp_axis else x
 
 
+def _kv_quant(cfg, x):
+    """Fresh bf16 K/V -> pool representation before a cache store.
+    int8: symmetric per-tensor scale, round-to-nearest, clip to +-127.
+    fp8 with kv_scale: divide then cast (RTNE). No scale: identity (the
+    store's own astype handles plain fp8/bf16 pools)."""
+    if cfg.kv_scale is None:
+        return x
+    y = x.astype(jnp.float32) * (1.0 / cfg.kv_scale)
+    if cfg.kv_dtype == jnp.int8:
+        return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+    return y.astype(cfg.kv_dtype)
+
+
+def _kv_att_kwargs(cfg):
+    """k_scale/v_scale kwargs for the decode attention call (the kernel
+    folds k_scale into q and v_scale into the output — zero per-element
+    cost on the KV stream)."""
+    if cfg.kv_scale is None:
+        return {}
+    return {"k_scale": cfg.kv_scale, "v_scale": cfg.kv_scale}
+
+
+def _kv_deq(cfg, x, dtype):
+    """Dequantize a gathered KV prefix to the compute dtype."""
+    x = x.astype(dtype)
+    return x if cfg.kv_scale is None else x * jnp.asarray(cfg.kv_scale, dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "tp_axis"), donate_argnums=(2, 3))
 def decode_step(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, page_tables, lengths, slot_loc, rope_cache, *, tp_axis=None):
     """One decode step. tokens/positions/lengths/slot_loc: [B];
@@ -295,7 +330,8 @@ def decode_layers(lw, cfg: LlamaConfig, k_cache, v_cache, x, positions, page_tab
         q, k, v = _qkv(h, weights, cfg, b, layer_id=lidx)
         q, k = rope_decode_fused(positions, q, k, rope_cache)
         attn = paged_attention_decode_dma(
-            q, k_cache, v_cache, lengths, page_tables, layer_id=lidx, fresh_k=k, fresh_v=v
+            q, k_cache, v_cache, lengths, page_tables, layer_id=lidx,
+            fresh_k=k, fresh_v=v, **_kv_att_kwargs(cfg)
         )
         if tp_axis is None:
             x = _linear(attn.reshape(b, -1), weights["o"], cfg, residual=x, layer_id=lidx)
@@ -308,7 +344,8 @@ def decode_layers(lw, cfg: LlamaConfig, k_cache, v_cache, x, positions, page_tab
         return x, (k, v)
 
     x, (k_all, v_all) = jax.lax.scan(layer_fn, x, jnp.arange(n_stack))
-    k_cache, v_cache = store_cache_all_layers(k_all, v_all, k_cache, v_cache, slot_loc)
+    k_cache, v_cache = store_cache_all_layers(
+        _kv_quant(cfg, k_all), _kv_quant(cfg, v_all), k_cache, v_cache, slot_loc)
     return x, k_cache, v_cache
 
 
@@ -328,7 +365,7 @@ def prefill(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, q_len
         h = rmsnorm(x, weights["input_norm"][lidx], cfg.rms_eps)
         q, k, v = _qkv(h, weights, cfg, b * s, layer_id=lidx)
         q, k = rotary_embedding(positions.reshape(-1), q, k, cfg.head_dim, rope_cache)
-        kc, vc = store_cache_stacked(k, v, kc, vc, slot_loc.reshape(-1), lidx)
+        kc, vc = store_cache_stacked(_kv_quant(cfg, k), _kv_quant(cfg, v), kc, vc, slot_loc.reshape(-1), lidx)
         attn = flash_attention(
             q.reshape(b, s, cfg.num_heads, cfg.head_dim),
             k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
@@ -381,7 +418,7 @@ def prefill_packed(params, cfg: LlamaConfig, k_cache, v_cache, tokens,
         h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
         q, k, v = _qkv(h, lw, cfg, tp, layer_id=lidx)
         q, k = rotary_embedding(positions, q, k, cfg.head_dim, rope_cache)
-        kc, vc = store_cache_stacked(k, v, kc, vc, slot_loc, lidx)
+        kc, vc = store_cache_stacked(_kv_quant(cfg, k), _kv_quant(cfg, v), kc, vc, slot_loc, lidx)
         attn = flash_attention_packed(
             q.reshape(tp, cfg.num_heads, cfg.head_dim),
             k.reshape(tp, cfg.num_kv_heads, cfg.head_dim),
@@ -462,7 +499,7 @@ def prefill_extend(
         h = rmsnorm(x, weights["input_norm"][lidx], cfg.rms_eps)
         q, k, v = _qkv(h, weights, cfg, b * s, layer_id=lidx)
         q, k = rotary_embedding(positions.reshape(-1), q, k, cfg.head_dim, rope_cache)
-        kc, vc = store_cache_stacked(k, v, kc, vc, slot_loc.reshape(-1), lidx)
+        kc, vc = store_cache_stacked(_kv_quant(cfg, k), _kv_quant(cfg, v), kc, vc, slot_loc.reshape(-1), lidx)
         qb = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
         kb = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         vb = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
@@ -473,8 +510,8 @@ def prefill_extend(
             causal=True, return_lse=True,
         )
         # pass 2: cached prefix, fully visible (masked by prefix length)
-        kpre = gather_prefix(kc, lidx).astype(qb.dtype)
-        vpre = gather_prefix(vc, lidx).astype(qb.dtype)
+        kpre = _kv_deq(cfg, gather_prefix(kc, lidx), qb.dtype)
+        vpre = _kv_deq(cfg, gather_prefix(vc, lidx), qb.dtype)
         o2, l2 = flash_attention(
             qb, kpre, vpre, q_lens, prefix_lens,
             q_start=prefix_lens, kv_start=jnp.zeros_like(prefix_lens),
@@ -560,7 +597,7 @@ def mixed_step(params, cfg: LlamaConfig, k_cache, v_cache,
         # decode attention: paged DMA over history + in-kernel fresh row
         attn_d = paged_attention_decode_dma(
             q[:bd], k_cache, v_cache, dec_lengths, dec_tables, layer_id=lidx,
-            fresh_k=k[:bd], fresh_v=v[:bd],
+            fresh_k=k[:bd], fresh_v=v[:bd], **_kv_att_kwargs(cfg),
         )
         # prefill chunk: two-pass extend (fresh causal at global offsets +
         # cached prefix) — the chunk's own KV is attended in-tensor, so the
@@ -573,8 +610,8 @@ def mixed_step(params, cfg: LlamaConfig, k_cache, v_cache,
             q_start=prefix_len.reshape(1), kv_start=prefix_len.reshape(1),
             causal=True, return_lse=True,
         )
-        kpre = gather_prefix(k_cache, lidx).astype(qb.dtype)
-        vpre = gather_prefix(v_cache, lidx).astype(qb.dtype)
+        kpre = _kv_deq(cfg, gather_prefix(k_cache, lidx), qb.dtype)
+        vpre = _kv_deq(cfg, gather_prefix(v_cache, lidx), qb.dtype)
         o2, l2 = flash_attention(
             qb, kpre, vpre, pf_q_len.reshape(1), prefix_len.reshape(1),
             q_start=prefix_len.reshape(1), kv_start=jnp.zeros((1,), jnp.int32),
@@ -594,7 +631,8 @@ def mixed_step(params, cfg: LlamaConfig, k_cache, v_cache,
         return x, (k, v)
 
     x, (k_all, v_all) = jax.lax.scan(layer_fn, x, jnp.arange(cfg.num_layers))
-    k_cache, v_cache = store_cache_all_layers(k_all, v_all, k_cache, v_cache, slots)
+    k_cache, v_cache = store_cache_all_layers(
+        _kv_quant(cfg, k_all), _kv_quant(cfg, v_all), k_cache, v_cache, slots)
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
     # lm_head only on the rows that need logits: the decode batch + the
     # chunk's last fresh token
@@ -645,7 +683,7 @@ def prefill_tree(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions,
         h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
         q, k, v = _qkv(h, lw, cfg, b * dt, layer_id=lidx)
         q, k = rotary_embedding(positions.reshape(-1), q, k, cfg.head_dim, rope_cache)
-        kc, vc = store_cache_stacked(k, v, kc, vc, slot_loc.reshape(-1), lidx)
+        kc, vc = store_cache_stacked(_kv_quant(cfg, k), _kv_quant(cfg, v), kc, vc, slot_loc.reshape(-1), lidx)
         qb = q.reshape(b, dt, cfg.num_heads, cfg.head_dim)
         kb = k.reshape(b, dt, cfg.num_kv_heads, cfg.head_dim)
         vb = v.reshape(b, dt, cfg.num_kv_heads, cfg.head_dim)
@@ -660,8 +698,8 @@ def prefill_tree(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions,
         o1 = jnp.einsum("bhij,bjhd->bihd", p, vbr) / l1[..., None].swapaxes(1, 2)
         lse1 = (m + jnp.log2(l1)).swapaxes(1, 2)  # [B, dt, H]
         # pass 2: cached prefix, fully visible to every node
-        kpre = gather_prefix(kc, lidx).astype(qb.dtype)
-        vpre = gather_prefix(vc, lidx).astype(qb.dtype)
+        kpre = _kv_deq(cfg, gather_prefix(kc, lidx), qb.dtype)
+        vpre = _kv_deq(cfg, gather_prefix(vc, lidx), qb.dtype)
         o2, l2 = flash_attention(
             qb, kpre, vpre, jnp.full((b,), dt, jnp.int32), prefix_lens,
             causal=False, return_lse=True,

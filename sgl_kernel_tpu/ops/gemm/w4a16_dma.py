@@ -52,6 +52,7 @@ def _kernel(
     prologue: Optional[str],
     unroll: bool,
     nbuf: int,
+    gmode: str,
 ):
     j = pl.program_id(0)
     lid = lid_ref[0]
@@ -101,12 +102,21 @@ def _kernel(
                 dma(kk + 1, jax.lax.rem(kk + 1, 2)).start()
 
         dma(kk, slot).wait()
-        wf = _decode_tile(w_buf.at[slot], fmt)  # [bk, bn] bf16 codes
+        if gmode == "loop":
+            wf = _decode_tile(w_buf.at[slot], fmt)  # [bk, bn] bf16 codes
         acc = acc_scr[...]
         for gg in range(ngb):
+            if gmode == "inner":
+                # decode THIS group's [g0, bn] slice right before its dot:
+                # the VPU upconvert of group g+1 software-pipelines against
+                # the MXU dot of group g (same win as w4a16.py gmode=inner)
+                wf_g = _decode_tile(
+                    w_buf.at[slot, pl.ds(gg * g0 // 2, g0 // 2), :], fmt)
+            else:
+                wf_g = wf[gg * g0 : (gg + 1) * g0, :]
             a_g = load_a(kk * bk + gg * g0)
             part = jax.lax.dot_general(
-                a_g, wf[gg * g0 : (gg + 1) * g0, :], (((1,), (0,)), ((), ())),
+                a_g, wf_g, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             # direct row reads — s_ref[...] would load the whole [ng, bn]
@@ -155,7 +165,7 @@ def _entry(lid_ref, *refs, has_a2, has_zeros, has_bias, has_res, **kw):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group_size", "fmt", "out_dtype", "bn", "bk", "prologue", "unroll", "nbuf"),
+    static_argnames=("group_size", "fmt", "out_dtype", "bn", "bk", "prologue", "unroll", "nbuf", "gmode"),
 )
 def w4a16_gemm_dma(
     a,
@@ -175,6 +185,7 @@ def w4a16_gemm_dma(
     prologue: Optional[str] = None,
     unroll: bool = True,
     nbuf: int = 2,
+    gmode: str = "inner",
 ):
     """Decode-bucket W4A16 GEMM with manual weight DMA.
 
@@ -249,7 +260,7 @@ def w4a16_gemm_dma(
         _entry,
         has_a2=has_a2, has_zeros=has_zeros, has_bias=has_bias, has_res=has_res,
         fmt=fmt, group_size=group_size, bk=bk, bn=bn, n_k=n_k, prologue=prologue,
-        unroll=unroll, nbuf=(nbuf if unroll else 2),
+        unroll=unroll, nbuf=(nbuf if unroll else 2), gmode=gmode,
     )
     out = pl.pallas_call(
         kernel,
