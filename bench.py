@@ -82,7 +82,13 @@ def main():
     # reference treats fp8 KV as a first-class decode win,
     # flash_attention.cpp:46-74; target: >= 1.2x the bf16 tok/s)
     kv_env = os.environ.get("BENCH_KV_DTYPE", "")
-    kv_kw = {"kv_dtype": jnp.float8_e4m3fn} if kv_env == "fp8" else {}
+    kv_kw = {
+        "fp8": {"kv_dtype": jnp.float8_e4m3fn},
+        "e5m2": {"kv_dtype": jnp.float8_e5m2, "kv_scale": 0.5},
+        # int8 KV: ONE hardware upcast in the decode kernel; per-tensor
+        # scale folds into q / the output (the TPU-native low-bit KV path)
+        "int8": {"kv_dtype": jnp.int8, "kv_scale": 1 / 16},
+    }.get(kv_env, {})
     cfg = llama.LlamaConfig.llama3_8b(quant="w4a16", group_size=128, fused=True, **kv_kw)
     params = build_weights(cfg)
 
@@ -150,7 +156,7 @@ def main():
         json.dumps(
             {
                 "metric": "decode_tokens_per_s_w4a16_llama3_8b_b16_ctx1024"
-                + ("_fp8kv" if kv_env == "fp8" else ""),
+                + (f"_{kv_env}kv" if kv_env else ""),
                 "value": round(toks_per_s, 1),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(toks_per_s / roofline_tps, 4),

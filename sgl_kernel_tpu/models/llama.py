@@ -356,8 +356,27 @@ def prefill(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, q_len
     Returns (last-token logits [B, V], k_cache, v_cache)."""
     b, s = tokens.shape
     x = params["embed"][tokens.reshape(-1)].astype(cfg.dtype)  # [B*S, H]
+    x, k_cache, v_cache = prefill_layers(
+        params["layers"], cfg, k_cache, v_cache, x, positions, q_lens,
+        slot_loc, rope_cache, tp_axis=tp_axis,
+    )
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    # gather last valid token per sequence
+    x = x.reshape(b, s, -1)
+    last = jnp.clip(q_lens - 1, 0, s - 1)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    logits = _linear(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
+    return logits, k_cache, v_cache
 
-    lw = params["layers"]
+
+def prefill_layers(lw, cfg: LlamaConfig, k_cache, v_cache, x, positions, q_lens, slot_loc, rope_cache, *, tp_axis=None):
+    """Run a stack of decoder layers in prefill mode on hidden states
+    x [B*S, H] (flash attention over the fresh padded batch + stacked KV
+    store per layer). The embed/lm_head boundary lives in ``prefill`` so
+    pipeline parallelism (parallel/pp.py) can run just this middle section
+    per stage — the prefill analog of ``decode_layers``."""
+    b, s = positions.shape
+    n_stack = jax.tree_util.tree_leaves(lw)[0].shape[0]
 
     def layer_fn(carry, lidx):
         x, kc, vc = carry
@@ -383,15 +402,9 @@ def prefill(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, q_len
         return (x, kc, vc), None
 
     (x, k_cache, v_cache), _ = jax.lax.scan(
-        layer_fn, (x, k_cache, v_cache), jnp.arange(cfg.num_layers)
+        layer_fn, (x, k_cache, v_cache), jnp.arange(n_stack)
     )
-    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
-    # gather last valid token per sequence
-    x = x.reshape(b, s, -1)
-    last = jnp.clip(q_lens - 1, 0, s - 1)
-    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
-    logits = _linear(x_last, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
-    return logits, k_cache, v_cache
+    return x, k_cache, v_cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_kvb", "tp_axis"), donate_argnums=(2, 3))

@@ -58,7 +58,12 @@ def _upcast(x, dtype):
         return (jax.lax.bitcast_convert_type(h, jnp.bfloat16) * jnp.bfloat16(2.0 ** 120)).astype(dtype)
     if x.dtype == jnp.float8_e5m2:
         u32 = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32) << 8
-        return jax.lax.bitcast_convert_type(u32.astype(jnp.uint16), jnp.float16).astype(dtype)
+        f16 = jax.lax.bitcast_convert_type(u32.astype(jnp.uint16), jnp.float16)
+        if dtype == jnp.bfloat16:
+            # Mosaic has no f16->bf16 cast; hop through f32 (both hops are
+            # hardware converts)
+            return f16.astype(jnp.float32).astype(dtype)
+        return f16.astype(dtype)
     return x.astype(dtype)
 
 

@@ -207,6 +207,58 @@ class TestPPDecode:
         np.testing.assert_allclose(np.asarray(out_kc), np.asarray(ref_kc), rtol=1e-2, atol=1e-2)
 
 
+class TestPPPrefill:
+    def test_pp_prefill_matches_single_device(self, rng):
+        """Prompt microbatches flow through the stage pipeline; logits AND
+        the stage-sharded KV pools match the single-device prefill, and a
+        subsequent PP decode step consumes the pipelined pools correctly."""
+        from sgl_kernel_tpu.parallel import pp as pp_lib
+
+        cfg = llama.LlamaConfig.tiny()
+        mesh = mesh_lib.make_mesh({"pp": 2})
+        params = llama.init_weights(cfg, jax.random.PRNGKey(1))
+        n_micro, bm, pages, page, s = 2, 2, 12, 16, 8
+        b = n_micro * bm
+
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, s)), jnp.int32)
+        positions = jnp.tile(jnp.arange(s)[None], (b, 1))
+        q_lens = jnp.asarray([8, 5, 8, 3], jnp.int32)
+        slot_loc = jnp.where(positions < q_lens[:, None],
+                             jnp.arange(b)[:, None] * page + positions, -1)
+        rope_cache = llama.build_rope_cache(cfg)
+
+        kc, vc = llama.make_caches(cfg, pages, page)
+        ref_logits, ref_kc, ref_vc = llama.prefill(
+            params, cfg, kc, vc, tokens, positions, q_lens, slot_loc, rope_cache)
+
+        step = pp_lib.make_pp_prefill_step(cfg, mesh, params, n_micro)
+        kc2, vc2 = llama.make_caches(cfg, pages, page)
+        mb = lambda a: a.reshape(n_micro, bm, *a.shape[1:])
+        out_logits, out_kc, out_vc = jax.jit(step)(
+            params, kc2, vc2, mb(tokens), mb(positions), mb(q_lens),
+            mb(slot_loc), rope_cache)
+        np.testing.assert_allclose(
+            np.asarray(out_logits).reshape(b, -1), np.asarray(ref_logits),
+            rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(out_kc), np.asarray(ref_kc), rtol=1e-2, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(out_vc), np.asarray(ref_vc), rtol=1e-2, atol=1e-2)
+
+        # decode one token on top of the pipelined pools
+        dec_tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, b), jnp.int32)
+        tables = jnp.asarray([[i, 0] for i in range(b)], jnp.int32)
+        dslots = (jnp.arange(b) * page + q_lens).astype(jnp.int32)
+        ref_dec, _, _ = llama.decode_step(
+            params, cfg, ref_kc, ref_vc, dec_tokens, q_lens, tables,
+            q_lens + 1, dslots, rope_cache)
+        dstep = pp_lib.make_pp_decode_step(cfg, mesh, params, n_micro)
+        out_dec, _, _ = jax.jit(dstep)(
+            params, out_kc, out_vc, mb(dec_tokens), mb(q_lens), mb(tables),
+            mb(q_lens + 1), mb(dslots), rope_cache)
+        np.testing.assert_allclose(
+            np.asarray(out_dec).reshape(b, -1), np.asarray(ref_dec),
+            rtol=2e-2, atol=2e-2)
+
+
 class TestUlysses:
     @pytest.mark.parametrize("causal", [True, False])
     def test_matches_full_attention(self, rng, causal):
