@@ -27,9 +27,12 @@ G, M = 128, 16
 # (n, k, L, [(bn, bk), ...]) — L=4 for the lm_head (264 MB/slice; one
 # slice can't go VMEM-resident so fewer distinct slices are honest)
 SWEEPS = [
-    (28672, 4096, 32, [(4096, 1024), (7168, 1024), (7168, 2048), (14336, 1024)]),
-    (4096, 14336, 32, [(2048, 2048), (4096, 2048), (4096, 1024)]),
-    (129024, 4096, 4, [(2048, 1024), (8064, 1024), (8064, 2048), (16128, 1024)]),
+    # round 2: full-K tiles (fewest grid steps; bk=2048 variants of big-bn
+    # tiles crash the remote compiler with HTTP 500, skipped) + re-measures
+    # of the round-1 winners for noise calibration
+    (28672, 4096, 32, [(7168, 4096), (7168, 1024)]),
+    (4096, 14336, 32, [(4096, 7168), (4096, 1024)]),
+    (129024, 4096, 4, [(8064, 4096), (8064, 1024)]),
 ]
 
 

@@ -57,13 +57,13 @@ def _upcast(x, dtype):
         h = (((u32 & 0x80) << 8) | ((u32 & 0x7F) << 4)).astype(jnp.uint16)
         return (jax.lax.bitcast_convert_type(h, jnp.bfloat16) * jnp.bfloat16(2.0 ** 120)).astype(dtype)
     if x.dtype == jnp.float8_e5m2:
-        u32 = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32) << 8
-        f16 = jax.lax.bitcast_convert_type(u32.astype(jnp.uint16), jnp.float16)
-        if dtype == jnp.bfloat16:
-            # Mosaic has no f16->bf16 cast; hop through f32 (both hops are
-            # hardware converts)
-            return f16.astype(jnp.float32).astype(dtype)
-        return f16.astype(dtype)
+        # same rebias scheme as e4m3 but with the 5-bit exponent field at
+        # bf16 bit 5 and rebias 2^(127-15). (The "pure shift into f16"
+        # form is dead on this Mosaic: f16 vector casts fail with
+        # "Invalid vector register cast", measured 2026-08-19.)
+        u32 = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
+        h = (((u32 & 0x80) << 8) | ((u32 & 0x7F) << 5)).astype(jnp.uint16)
+        return (jax.lax.bitcast_convert_type(h, jnp.bfloat16) * jnp.bfloat16(2.0 ** 112)).astype(dtype)
     return x.astype(dtype)
 
 

@@ -80,11 +80,16 @@ _TILE_TABLE = {
     # form by 1.2-1.7x on every decode shape (o 465->779 GB/s, qkv
     # 477->789, down 493->692, gate_up 497->648). Readings above the
     # 819 GB/s HBM peak are relay-jitter artifacts and were discarded.
+    # Big-bn retune (benchmark/sweep_w4a16_bigbn.py, 2026-08-19): the
+    # residual scales with the per-layer group-dot COUNT (N/bn * K/G) —
+    # shapes at <=128 dots stream ~660-790 GB/s, 224+ dots sit 540-650.
+    # lm_head: 129024 = 2048*63, so bn=4096 silently fell back to 2048
+    # (2016 dots, 594 GB/s); bn=8064 divides exactly -> 762 GB/s.
     (6144, 4096, 0): (16, 2048, 2048),     # qkv decode: 789 GB/s in-model
     (4096, 4096, 0): (16, 2048, 1024),     # o decode: 779 GB/s
-    (28672, 4096, 0): (16, 4096, 1024),    # gate_up decode: 648 GB/s
-    (4096, 14336, 0): (16, 2048, 2048),    # down decode: 692 GB/s
-    (129024, 4096, 0): (16, 4096, 1024),   # llama3 lm_head decode (gate_up-like)
+    (28672, 4096, 0): (16, 7168, 1024),    # gate_up decode: 664 GB/s (128 dots)
+    (4096, 14336, 0): (16, 4096, 1024),    # down decode: 666 GB/s (112 dots)
+    (129024, 4096, 0): (16, 8064, 1024),   # llama3 lm_head decode: 762 GB/s
     (4096, 4096, 2): (256, 512, 2048),    # 195 TFLOP/s (MXU-bound)
     (4096, 14336, 1): (128, 4096, 1024),
     (4096, 14336, 2): (256, 4096, 1024),
