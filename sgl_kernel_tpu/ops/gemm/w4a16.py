@@ -99,6 +99,12 @@ _TILE_TABLE = {
 }
 
 
+# per-shape decode gmode overrides, (N, K, m_bucket) -> gmode. Populated
+# from the interleaved-repeat on-chip sweep (sweep_w4a16_nacc.py) where a
+# multi-accumulator epilogue beats plain "inner" beyond noise.
+_GMODE_TABLE = {}
+
+
 def _m_bucket(m: int) -> int:
     return 0 if m <= 32 else (1 if m <= 256 else 2)
 
@@ -210,12 +216,17 @@ def _kernel(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *,
         o_ref[...] = out.astype(o_ref.dtype)
 
 
-def _kernel_inner(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *, fmt, group_size, ngb, n_k, has_bias, prologue):
+def _kernel_inner(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *, fmt, group_size, ngb, n_k, has_bias, prologue, nacc: int = 1):
     """gmode="inner": decode each scale group's [g0, bn] weight slice right
     before its MXU dot instead of materializing the whole decoded [bk, bn]
     tile in VMEM first. The per-group VPU decode (astype) software-pipelines
     against the previous group's MXU dot, and the decode temp shrinks from
-    bk*bn*2 bytes to g0*bn*2."""
+    bk*bn*2 bytes to g0*bn*2.
+
+    nacc > 1 ("inner2"): round-robin the scale epilogue over nacc
+    independent accumulators so group g's VPU mul-add does not serialize
+    behind group g-1's — the per-layer group-dot count is the measured
+    decode residual (sweep_w4a16_bigbn.py)."""
     k_idx = pl.program_id(2)
     g0 = group_size
 
@@ -228,7 +239,7 @@ def _kernel_inner(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_r
         a = (g * jax.nn.sigmoid(g) * a2_ref[...].astype(jnp.float32)).astype(a_ref.dtype)
     else:
         a = a_ref[...]
-    acc = acc_ref[...]
+    accs = [acc_ref[...]] + [jnp.zeros_like(acc_ref) for _ in range(nacc - 1)]
     for g in range(ngb):
         wf_g = _decode_tile(w_ref.at[pl.ds(g * g0 // 2, g0 // 2), :], fmt)  # [g0, bn]
         a_g = a[:, g * g0 : (g + 1) * g0]
@@ -236,10 +247,14 @@ def _kernel_inner(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_r
             a_g, wf_g, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc = acc + part * s_ref[g, :][None, :].astype(jnp.float32)
+        j = g % nacc
+        accs[j] = accs[j] + part * s_ref[g, :][None, :].astype(jnp.float32)
         if z_ref is not None:
             asum = jnp.sum(a_g.astype(jnp.float32), axis=1, keepdims=True)
-            acc = acc - asum * z_ref[g, :][None, :].astype(jnp.float32)
+            accs[j] = accs[j] - asum * z_ref[g, :][None, :].astype(jnp.float32)
+    acc = accs[0]
+    for extra in accs[1:]:
+        acc = acc + extra
     acc_ref[...] = acc
 
     @pl.when(k_idx == n_k - 1)
@@ -309,8 +324,12 @@ def w4a16_gemm(
         # decode bucket: per-group decode interleaved with the dots pipelines
         # the VPU upconvert against the MXU and wins 1.2-1.7x on-chip
         # (docs/PERF.md round 3); prefill is MXU-bound and keeps the
-        # whole-tile decode that amortizes across the larger bm.
-        gmode = "inner" if _m_bucket(m) == 0 else "loop"
+        # whole-tile decode that amortizes across the larger bm. Per-shape
+        # overrides (measured) live in _GMODE_TABLE.
+        if _m_bucket(m) == 0:
+            gmode = _GMODE_TABLE.get((n, k, 0), "inner")
+        else:
+            gmode = "loop"
     k_pad = w.shape[-2] * 2  # packed layout [.., K/2, N]
     if k_pad != k:
         # quantize_w4 zero-padded a non-group-multiple K; pad the
@@ -468,11 +487,11 @@ def _kernel_entry(*refs, has_lid=False, has_a2, has_zeros, has_bias, has_res, fm
     idx += int(has_res)
     o_ref = refs[idx]
     acc_ref = refs[idx + 1]
-    if gmode == "inner":
+    if gmode.startswith("inner"):
         _kernel_inner(
             a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref,
             fmt=fmt, group_size=group_size, ngb=ngb, n_k=n_k, has_bias=has_bias,
-            prologue=prologue,
+            prologue=prologue, nacc=int(gmode[5:] or 1),
         )
         return
     _kernel(
