@@ -18,6 +18,11 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from sgl_kernel_tpu.utils.profiling import enable_persistent_cache
+
+# remote compiles cost minutes; identical re-runs must be cache hits
+enable_persistent_cache(os.environ.get("SGL_TPU_CACHE", "/tmp/sgl_tpu_jax_cache"))
+
 from sgl_kernel_tpu.models import llama
 from sgl_kernel_tpu.ops.gemm.w4a16 import quantize_w4
 
@@ -136,8 +141,11 @@ def main():
         return time.perf_counter() - t0
 
     _ = run(1)
-    t_small = min(run(1) for _ in range(2))
-    t_big = min(run(1 + STEPS) for _ in range(2))
+    # min over 4 attempts per point: the shared chip's co-tenant load swings
+    # identical programs +-25% between windows (sweep_w4a16_nacc denoise,
+    # 2026-08-19); the min is the hardware's capability, the rest is noise
+    t_small = min(run(1) for _ in range(4))
+    t_big = min(run(1 + STEPS) for _ in range(4))
     dt = t_big - t_small  # overhead-free time for STEPS steps
     toks_per_s = BATCH * STEPS / dt
 
