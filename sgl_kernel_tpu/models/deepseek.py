@@ -66,6 +66,12 @@ class DeepseekConfig:
     # small absorbed einsum factors (w_uk/w_uv) stay in cfg.dtype
     quant: Optional[str] = None
     group_size: int = 128
+    # symmetric per-tensor latent quantization scale: stores write
+    # round(kv/kv_scale) (int8) or (kv/kv_scale).astype (fp8); pool reads
+    # fold the scale into sm_scale (logits) and one output multiply —
+    # int8 latent is the TPU-native low-bit pool (ONE hardware upcast,
+    # docs/PERF.md round 3). Dense/NSA families only (compress rings gate).
+    kv_scale: Any = None
     # latent KV-cache dtype (BASELINE flagship: fp8 latent pool; the MLA
     # decode kernel upcasts via the integer-bitcast fast path)
     kv_dtype: Any = None
@@ -303,6 +309,35 @@ def _sm_scale(cfg):
     return 1.0 / ((cfg.qk_nope_dim + D_ROPE) ** 0.5)
 
 
+def _lat_quant(cfg, kv_row):
+    """Fresh latent row -> pool representation (see cfg.kv_scale)."""
+    if cfg.kv_scale is None:
+        return kv_row
+    y = kv_row.astype(jnp.float32) * (1.0 / cfg.kv_scale)
+    if cfg.kv_dtype == jnp.int8:
+        return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+    return y.astype(cfg.kv_dtype)
+
+
+def _lat_sm(cfg):
+    """sm_scale for POOL reads: the latent quant scale folds into the
+    logit scale (pool rows hold kv/s, so logits pick up a factor s)."""
+    return _sm_scale(cfg) * (cfg.kv_scale if cfg.kv_scale is not None else 1.0)
+
+
+def _lat_rescale(cfg, attn):
+    """Output-side fold for POOL reads: attn latents are p @ (kv/s)."""
+    if cfg.kv_scale is None:
+        return attn
+    return attn * jnp.asarray(cfg.kv_scale, attn.dtype)
+
+
+def _lat_deq(cfg, rows, dtype):
+    """Dequantize gathered pool rows to the compute dtype."""
+    rows = rows.astype(dtype)
+    return rows if cfg.kv_scale is None else rows * jnp.asarray(cfg.kv_scale, dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "tp_axis"), donate_argnums=(2,))
 def decode_step(params, cfg: DeepseekConfig, kv_cache, tokens, positions, page_tables, lengths, slot_loc, rope_cache, *, tp_axis=None):
     """One decode step: tokens [B]; kv_cache [L, P, page, 576].
@@ -325,8 +360,8 @@ def decode_step(params, cfg: DeepseekConfig, kv_cache, tokens, positions, page_t
         # Pallas operand would be a materialized per-layer pool copy)
         l, np_, pg, dd = cache.shape
         off_slots = jnp.where(slot_loc >= 0, lidx * np_ * pg + slot_loc, -1)
-        cache = store_cache_mla(kv_row, cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
-        attn = mla_decode(q_lat, q_pe, cache, lengths, page_tables, layer_id=lidx, sm_scale=_sm_scale(cfg))
+        cache = store_cache_mla(_lat_quant(cfg, kv_row), cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
+        attn = _lat_rescale(cfg, mla_decode(q_lat, q_pe, cache, lengths, page_tables, layer_id=lidx, sm_scale=_lat_sm(cfg)))
         x = x + _maybe_psum(_mla_out(attn, lw, lidx, cfg, b), tp_axis)
         h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
         is_dense = lidx < cfg.num_dense_layers
@@ -359,7 +394,7 @@ def prefill(params, cfg: DeepseekConfig, kv_cache, tokens, positions, q_lens, sl
         l, np_, pg, dd = cache.shape
         sl = slot_loc.reshape(-1)
         off_slots = jnp.where(sl >= 0, lidx * np_ * pg + sl, -1)
-        cache = store_cache_mla(kv_row, cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
+        cache = store_cache_mla(_lat_quant(cfg, kv_row), cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
         attn = mla_prefill(
             q_lat.reshape(b, s, cfg.num_heads, D_LATENT),
             q_pe.reshape(b, s, cfg.num_heads, D_ROPE),
@@ -432,7 +467,7 @@ def prefill_packed(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
         h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
         q_lat, q_pe, kv_row = _mla_qkv(h, lw, lidx, cfg, tp, positions, rope_cache)
         off_slots = jnp.where(slot_loc >= 0, lidx * pool_tokens + slot_loc, -1)
-        cache = store_cache_mla(kv_row, cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
+        cache = store_cache_mla(_lat_quant(cfg, kv_row), cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
         if with_indexer:
             ik, isc = _indexer_ingest(h, lw, lidx, cfg, positions, slot_loc,
                                       ik, isc, idx_rope_cache, pool_tokens)
@@ -496,7 +531,7 @@ def prefill_extend(params, cfg: DeepseekConfig, kv_cache, tokens, positions,
         l, np_, pg, dd = cache.shape
         sl = slot_loc.reshape(-1)
         off_slots = jnp.where(sl >= 0, lidx * np_ * pg + sl, -1)
-        cache = store_cache_mla(kv_row, cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
+        cache = store_cache_mla(_lat_quant(cfg, kv_row), cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
         qn = q_lat.reshape(b, s, cfg.num_heads, D_LATENT)
         qp = q_pe.reshape(b, s, cfg.num_heads, D_ROPE)
         # pass 1: fresh chunk latents, causal at global offsets
@@ -510,7 +545,7 @@ def prefill_extend(params, cfg: DeepseekConfig, kv_cache, tokens, positions,
         off = pre_slots % pg
         kv_pre = cache[lidx, pid, off]  # [B, prefix_max, 576]
         o2, l2 = mla_prefill(
-            qn, qp, kv_pre.astype(qn.dtype), q_lens, prefix_lens,
+            qn, qp, _lat_deq(cfg, kv_pre, qn.dtype), q_lens, prefix_lens,
             q_start=prefix_lens, kv_start=jnp.zeros_like(prefix_lens),
             sm_scale=_sm_scale(cfg), return_lse=True,
         )
@@ -637,17 +672,17 @@ def decode_step_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
         h = rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
         q_lat, q_pe, kv_row, c_q = _mla_qkv_full(h, lw, lidx, cfg, b, positions, rope_cache)
         off_slots = jnp.where(slot_loc >= 0, lidx * pool_tokens + slot_loc, -1)
-        cache = store_cache_mla(kv_row, cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
+        cache = store_cache_mla(_lat_quant(cfg, kv_row), cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
         ik, isc = _indexer_ingest(h, lw, lidx, cfg, positions, slot_loc, ik, isc,
                                   idx_rope_cache, pool_tokens)
         slots = _indexer_select(h, c_q if c_q is not None else h, lw, lidx, cfg,
                                 positions, lengths, page_tables,
                                 ik, isc, idx_rope_cache, np_, pg)
         slots_off = jnp.where(slots >= 0, lidx * pool_tokens + slots, -1)
-        attn = sparse_mla_decode(
+        attn = _lat_rescale(cfg, sparse_mla_decode(
             q_lat, q_pe, cache.reshape(l * pool_tokens, dd), slots_off,
-            sm_scale=_sm_scale(cfg),
-        )
+            sm_scale=_lat_sm(cfg),
+        ))
         x = x + _maybe_psum(_mla_out(attn, lw, lidx, cfg, b), tp_axis)
         h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
         is_dense = lidx < cfg.num_dense_layers
@@ -683,7 +718,7 @@ def prefill_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s, tokens,
         q_lat, q_pe, kv_row = _mla_qkv(h, lw, lidx, cfg, b * s, positions.reshape(-1), rope_cache)
         sl = slot_loc.reshape(-1)
         off_slots = jnp.where(sl >= 0, lidx * pool_tokens + sl, -1)
-        cache = store_cache_mla(kv_row, cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
+        cache = store_cache_mla(_lat_quant(cfg, kv_row), cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
         ik, isc = _indexer_ingest(h, lw, lidx, cfg, positions.reshape(-1), sl,
                                   ik, isc, idx_rope_cache, pool_tokens)
         attn = mla_prefill(
@@ -742,7 +777,7 @@ def prefill_extend_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
         q_lat, q_pe, kv_row = _mla_qkv(h, lw, lidx, cfg, b * s, positions.reshape(-1), rope_cache)
         sl = slot_loc.reshape(-1)
         off_slots = jnp.where(sl >= 0, lidx * pool_tokens + sl, -1)
-        cache = store_cache_mla(kv_row, cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
+        cache = store_cache_mla(_lat_quant(cfg, kv_row), cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
         ik, isc = _indexer_ingest(h, lw, lidx, cfg, positions.reshape(-1), sl,
                                   ik, isc, idx_rope_cache, pool_tokens)
         qn = q_lat.reshape(b, s, cfg.num_heads, D_LATENT)
@@ -756,7 +791,7 @@ def prefill_extend_nsa(params, cfg: DeepseekConfig, kv_cache, idx_k, idx_s,
         off = pre_slots % pg
         kv_pre = cache[lidx, pid, off]
         o2, l2 = mla_prefill(
-            qn, qp, kv_pre.astype(qn.dtype), q_lens, prefix_lens,
+            qn, qp, _lat_deq(cfg, kv_pre, qn.dtype), q_lens, prefix_lens,
             q_start=prefix_lens, kv_start=jnp.zeros_like(prefix_lens),
             sm_scale=_sm_scale(cfg), return_lse=True,
         )
@@ -870,6 +905,9 @@ def decode_step_c(params, cfg: DeepseekConfig, kv_cache, score_cache, comp_cache
     event when the length crosses a ratio multiple (plan_compress_decode
     semantics), then attend [ring ∪ last compress_local tokens] and merge.
     """
+    assert cfg.kv_scale is None, (
+        "kv_scale applies to the dense/NSA latent pools; the compress family's"
+        " pooled rings keep unscaled latents")
     from ..ops.attention.merge_state import merge_state
     from ..ops.compression import compress_window, plan_compress_decode
 
@@ -955,6 +993,9 @@ def prefill_c(params, cfg: DeepseekConfig, kv_cache, score_cache, comp_cache,
     (compression only bounds decode reads), stores latent + score rows,
     then builds each layer's compressed ring for the prompt
     (plan_compress_prefill + compress_window over the stored windows)."""
+    assert cfg.kv_scale is None, (
+        "kv_scale applies to the dense/NSA latent pools; the compress family's"
+        " pooled rings keep unscaled latents")
     from ..ops.compression import compress_window, plan_compress_prefill
 
     b, s = tokens.shape
@@ -1040,6 +1081,9 @@ def prefill_packed_c(params, cfg: DeepseekConfig, kv_cache, score_cache,
     then each sequence's compressed ring built from the packed layout
     (sequence i's tokens start at packed index seq_kvblk0 * block — the
     engine lays blocks out contiguously, engine._prefill_packed_batch)."""
+    assert cfg.kv_scale is None, (
+        "kv_scale applies to the dense/NSA latent pools; the compress family's"
+        " pooled rings keep unscaled latents")
     from ..ops.compression import compress_window, plan_compress_prefill
 
     tp = tokens.shape[0]
@@ -1058,7 +1102,7 @@ def prefill_packed_c(params, cfg: DeepseekConfig, kv_cache, score_cache,
         q_lat, q_pe, kv_row = _mla_qkv(h, lw, lidx, cfg, tp, positions, rope_cache)
         score_row = _lin(h, lw["comp_score"], cfg, lidx)
         off_slots = jnp.where(slot_loc >= 0, lidx * pool_tokens + slot_loc, -1)
-        cache = store_cache_mla(kv_row, cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
+        cache = store_cache_mla(_lat_quant(cfg, kv_row), cache.reshape(l * np_, pg, dd), off_slots).reshape(cache.shape)
         scc = store_cache_mla(score_row.astype(scc.dtype), scc.reshape(l * np_, pg, dd), off_slots).reshape(scc.shape)
         attn = _mla_attend_packed(q_lat, q_pe, kv_row, blk_seq, blk_q0,
                                   seq_meta, cfg, tp, max_kvb)

@@ -122,3 +122,100 @@ def test_kv_quant_store_roundtrip():
     np.testing.assert_array_equal(np.asarray(q), [[0, -1, 127, -127]])
     deq = llama._kv_deq(cfg, q, jnp.float32)
     np.testing.assert_allclose(np.asarray(deq), [[0.0, -0.25, 31.75, -31.75]])
+
+
+class TestDeepseekScaledLatent:
+    """int8/fp8 latent pools with per-tensor kv_scale (MLA): stores write
+    kv/s, pool reads fold s into sm_scale + one output multiply."""
+
+    def _drive_ds(self, cfg, key):
+        from sgl_kernel_tpu.models import deepseek
+
+        params = deepseek.init_weights(cfg, key)
+        cache = deepseek.make_cache(cfg, 9, 32)
+        rope = deepseek.build_rope_cache(cfg)
+        b, s = 2, 12
+        toks = jax.random.randint(key, (b, s), 0, cfg.vocab_size)
+        pos = jnp.tile(jnp.arange(s)[None], (b, 1))
+        q_lens = jnp.array([12, 7], jnp.int32)
+        tables = jnp.arange(1, 9, dtype=jnp.int32).reshape(b, 4)
+        slot = jnp.where(pos < q_lens[:, None], tables[:, 0:1] * 32 + pos, -1)
+        logits, cache = deepseek.prefill(params, cfg, cache, toks, pos, q_lens, slot, rope)
+        outs = [np.asarray(logits, np.float64)]
+        dec = jax.random.randint(jax.random.fold_in(key, 5), (2, b), 0, cfg.vocab_size)
+        positions, lengths = q_lens, q_lens + 1
+        for t in range(2):
+            slots = (tables[jnp.arange(b), positions // 32] * 32 + positions % 32).astype(jnp.int32)
+            lg, cache = deepseek.decode_step(params, cfg, cache, dec[t], positions,
+                                             tables, lengths, slots, rope)
+            outs.append(np.asarray(lg, np.float64))
+            positions, lengths = positions + 1, lengths + 1
+        # extend (gathered-prefix dequant)
+        ext = jax.random.randint(jax.random.fold_in(key, 9), (b, 3), 0, cfg.vocab_size)
+        epos = positions[:, None] + jnp.arange(3)[None]
+        eslot = (tables[jnp.arange(b)[:, None], epos // 32] * 32 + epos % 32).astype(jnp.int32)
+        lg, cache = deepseek.prefill_extend(
+            params, cfg, cache, ext, epos, jnp.full((b,), 3, jnp.int32),
+            lengths + 2, tables, eslot, rope, prefix_max=96)
+        outs.append(np.asarray(lg, np.float64))
+        return outs
+
+    @pytest.mark.parametrize("kv_dtype,scale", [(jnp.int8, 1 / 16), (jnp.float8_e4m3fn, 0.25)])
+    def test_dense_close_to_bf16(self, kv_dtype, scale):
+        from sgl_kernel_tpu.models import deepseek
+
+        key = jax.random.PRNGKey(0)
+        ref = self._drive_ds(deepseek.DeepseekConfig.tiny(), key)
+        got = self._drive_ds(deepseek.DeepseekConfig.tiny(kv_dtype=kv_dtype, kv_scale=scale), key)
+        for r, g in zip(ref, got):
+            # MLA amplifies latent quant noise through the W_UV absorption
+            # einsum; the bound is proportionate to the representation error
+            # (int8@1/16 ~ 0.03/elem over 576-dim rows)
+            assert np.abs(r - g).max() < 0.25 * max(np.abs(r).max(), 1.0)
+
+    def test_nsa_int8_latent_runs(self):
+        """NSA decode over an int8 latent pool: the sparse gather keeps the
+        pool dtype and the folded scale keeps logits close to bf16."""
+        from sgl_kernel_tpu.models import deepseek
+
+        key = jax.random.PRNGKey(1)
+        outs = {}
+        for tag, kw in [("bf16", {}), ("int8", dict(kv_dtype=jnp.int8, kv_scale=0.02))]:
+            cfg = deepseek.DeepseekConfig.tiny(nsa=True, **kw)
+            params = deepseek.init_weights(cfg, key)
+            cache = deepseek.make_cache(cfg, 9, 32)
+            ik, isc = deepseek.make_indexer_cache(cfg, 9, 32)
+            rope = deepseek.build_rope_cache(cfg)
+            irope = deepseek.build_idx_rope_cache(cfg)
+            b, s = 2, 8
+            toks = jax.random.randint(key, (b, s), 0, cfg.vocab_size)
+            pos = jnp.tile(jnp.arange(s)[None], (b, 1))
+            q_lens = jnp.full((b,), s, jnp.int32)
+            tables = jnp.arange(1, 9, dtype=jnp.int32).reshape(b, 4)
+            slot = tables[:, 0:1] * 32 + pos
+            _, cache, ik, isc = deepseek.prefill_nsa(
+                params, cfg, cache, ik, isc, toks, pos, q_lens, slot, rope, irope)
+            dec = jnp.asarray([3, 5], jnp.int32)
+            slots = (tables[:, 0] * 32 + s).astype(jnp.int32)
+            lg, cache, ik, isc = deepseek.decode_step_nsa(
+                params, cfg, cache, ik, isc, dec, q_lens, tables, q_lens + 1,
+                slots, rope, irope)
+            outs[tag] = np.asarray(lg, np.float64)
+        d = np.abs(outs["bf16"] - outs["int8"]).max()
+        assert d < 0.15 * max(np.abs(outs["bf16"]).max(), 1.0), d
+
+    def test_compress_gate(self):
+        from sgl_kernel_tpu.models import deepseek
+
+        cfg = deepseek.DeepseekConfig.tiny(compress="c4", kv_scale=0.02, kv_dtype=jnp.int8)
+        params = deepseek.init_weights(cfg, jax.random.PRNGKey(0))
+        with pytest.raises(AssertionError, match="compress"):
+            kv, sc, comp = deepseek.make_compress_caches(cfg, 4, 32, max_slots=2)
+            rope = deepseek.build_rope_cache(cfg)
+            b = 1
+            toks = jnp.zeros((b, 8), jnp.int32)
+            pos = jnp.tile(jnp.arange(8)[None], (b, 1))
+            deepseek.prefill_c(
+                params, cfg, kv, sc, comp, toks, pos,
+                jnp.full((b,), 8, jnp.int32), pos.astype(jnp.int32),
+                jnp.zeros((b,), jnp.int32), rope)
