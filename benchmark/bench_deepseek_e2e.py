@@ -29,13 +29,14 @@ CTX = 1024
 PAGE = 128
 
 
-def v2_lite_cfg():
+def v2_lite_cfg(**kv_kw):
     return deepseek.DeepseekConfig(
         vocab_size=102400, hidden_size=2048, num_layers=27, num_heads=16,
         qk_nope_dim=128, v_head_dim=128, num_experts=64, num_experts_per_tok=6,
         moe_intermediate=1408, dense_intermediate=10944, num_dense_layers=1,
         routed_scaling_factor=1.0, max_position=4096, dtype=jnp.bfloat16,
-        quant="w4a16", group_size=128, kv_dtype=jnp.float8_e4m3fn,
+        quant="w4a16", group_size=128,
+        **(kv_kw or dict(kv_dtype=jnp.float8_e4m3fn)),
     )
 
 
@@ -91,8 +92,8 @@ def build_weights(cfg):
     }
 
 
-def main():
-    cfg = v2_lite_cfg()
+def run_one(records, tag, **kv_kw):
+    cfg = v2_lite_cfg(**kv_kw)
     params = build_weights(cfg)
     num_pages = BATCH * (CTX // PAGE) + 1
     cache = deepseek.make_cache(cfg, num_pages, PAGE)
@@ -126,9 +127,17 @@ def main():
     wbytes = nbytes(params["layers"]) + nbytes(params["lm_head"]) + BATCH * cfg.hidden_size * 2
     kv_bytes = cfg.num_layers * BATCH * CTX * D_CKV * cache.dtype.itemsize
     roof = BATCH / ((wbytes + kv_bytes) / 819e9)
-    records = [report(
-        f"deepseek_decode_e2e:v2lite-w4a16-fp8kv-{BATCH}-{CTX}", sec,
-        tokens_per_s=round(tps, 1), vs_roofline=round(tps / roof, 4))]
+    records.append(report(
+        f"deepseek_decode_e2e:v2lite-w4a16-{tag}-{BATCH}-{CTX}", sec,
+        tokens_per_s=round(tps, 1), vs_roofline=round(tps / roof, 4)))
+
+
+def main():
+    records = []
+    run_one(records, "fp8kv")
+    # int8 latent: ONE hardware upcast + folded kv_scale — the TPU-native
+    # low-bit pool (docs/PERF.md round 3)
+    run_one(records, "int8kv", kv_dtype=jnp.int8, kv_scale=1 / 16)
     compare_to_baseline(records, load_baseline())
 
 
