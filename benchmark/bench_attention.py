@@ -90,7 +90,7 @@ def bench_decode_dma(rng, b, ctx, hq, hkv, d, records, kv_dtype=jnp.bfloat16,
 
     sec = bench_chain(step, q, reps=128 if ctx <= 2048 else 32)
     kv_gb = 2 * b * ctx * hkv * d * jnp.dtype(kv_dtype).itemsize / 1e9
-    tag = "" if kv_dtype == jnp.bfloat16 else "-fp8"
+    tag = {jnp.bfloat16: "", jnp.int8: "-int8"}.get(kv_dtype, "-fp8")
     stag = "" if num_splits == 1 else f"-s{num_splits}"
     records.append(report(
         f"paged_decode_dma{tag}{stag}:{b}-{ctx}-{hq}-{hkv}-{d}-{PAGE}", sec,
@@ -151,6 +151,11 @@ def main():
         bench_decode_dma(rng, b, ctx, 32, 8, 128, records)
     bench_decode_dma(rng, 16, 1024, 32, 8, 128, records, kv_dtype=jnp.float8_e4m3fn)
     bench_decode_dma(rng, 1, 8192, 32, 8, 128, records, kv_dtype=jnp.float8_e4m3fn)
+    # int8 KV: ONE hardware upcast + folded per-tensor scales — the measured
+    # low-bit decode win (1.59x isolated; docs/PERF.md round 3)
+    bench_decode_dma(rng, 16, 1024, 32, 8, 128, records, kv_dtype=jnp.int8)
+    bench_decode_dma(rng, 1, 8192, 32, 8, 128, records, kv_dtype=jnp.int8)
+    bench_decode_dma(rng, 16, 8192, 32, 8, 128, records, kv_dtype=jnp.int8)
     bench_decode_dma(rng, 1, 8192, 32, 8, 128, records, num_splits=4)
     # GQA variants
     bench_decode_dma(rng, 16, 1024, 32, 32, 128, records)  # MHA
