@@ -27,11 +27,11 @@ def bench_decode(rng, b, ctx, hq, hkv, d, records):
     table = jnp.asarray(rng.integers(1, n_pages, (b, blocks)), jnp.int32)
     q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
 
-    def step(carry):
+    def step(carry, kp, vp):
         o = paged_attention_decode(carry, kp, vp, lengths, table)
         return carry + o * jnp.bfloat16(1e-8)
 
-    sec = bench_chain(step, q, reps=64)
+    sec = bench_chain(step, q, reps=64, args=(kp, vp))
     kv_gb = 2 * b * ctx * hkv * d * 2 / 1e9
     records.append(report(f"paged_decode:{b}-{ctx}-{hq}-{hkv}-{d}-{PAGE}", sec, kv_gbs=round(kv_gb / sec, 1)))
 
@@ -81,14 +81,14 @@ def bench_decode_dma(rng, b, ctx, hq, hkv, d, records, kv_dtype=jnp.bfloat16,
     q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
     fk = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.bfloat16)
 
-    def step(carry):
+    def step(carry, kp, vp):
         o = paged_attention_decode_dma(
             carry, kp, vp, lengths, table, fresh_k=fk, fresh_v=fk,
             num_splits=num_splits,
         )
         return carry + o * jnp.bfloat16(1e-8)
 
-    sec = bench_chain(step, q, reps=128 if ctx <= 2048 else 32)
+    sec = bench_chain(step, q, reps=128 if ctx <= 2048 else 32, args=(kp, vp))
     kv_gb = 2 * b * ctx * hkv * d * jnp.dtype(kv_dtype).itemsize / 1e9
     tag = {jnp.bfloat16: "", jnp.int8: "-int8"}.get(kv_dtype, "-fp8")
     stag = "" if num_splits == 1 else f"-s{num_splits}"

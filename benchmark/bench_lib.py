@@ -25,28 +25,41 @@ except Exception:
     pass
 
 
-def bench_chain(step_fn, carry_init, *, reps: int = 64, spinup: int = 1):
-    """step_fn(carry) -> carry (device-only). Returns seconds per step."""
+def bench_chain(step_fn, carry_init, *, reps: int = 64, spinup: int = 1, args=()):
+    """step_fn(carry, *args) -> carry (device-only). Returns seconds/step.
+
+    Pass multi-hundred-MB operands (KV pools, weight banks) via ``args``,
+    NOT as closure constants: closed-over arrays embed in the shipped HLO
+    and the relay's remote-compile endpoint rejects large bodies with
+    HTTP 413 (hit at the B=16 ctx-8192 decode pool, regen 2026-08-19)."""
 
     @jax.jit
-    def chain(n, carry):
+    def chain(n, carry, *a):
         def body(i, c):
-            return step_fn(c)
+            return step_fn(c, *a)
 
         out = jax.lax.fori_loop(0, n, body, carry)
         return jax.tree.leaves(out)[0].reshape(-1)[0]
 
-    _ = float(chain(jnp.int32(spinup), carry_init))
+    _ = float(chain(jnp.int32(spinup), carry_init, *args))
 
     def run(n):
         t0 = time.perf_counter()
-        _ = float(chain(jnp.int32(n), carry_init))
+        _ = float(chain(jnp.int32(n), carry_init, *args))
         return time.perf_counter() - t0
 
     _ = run(spinup)
-    t1 = min(run(spinup) for _ in range(2))
-    t2 = min(run(spinup + reps) for _ in range(2))
-    return (t2 - t1) / reps
+    for attempt in range(3):
+        t1 = min(run(spinup) for _ in range(2 + attempt))
+        t2 = min(run(spinup + reps) for _ in range(2 + attempt))
+        sec = (t2 - t1) / reps
+        if sec > 0:
+            return sec
+        # relay dispatch jitter (~ms) swamped the differencing for this
+        # tiny op — quadruple the rep count and try again (negative
+        # "timings" were landing in baseline.json, regen 2026-08-19)
+        reps *= 4
+    return sec
 
 
 def report(name: str, seconds: float, **extra):
@@ -84,7 +97,7 @@ def check_regressions(records, baseline, threshold: float = 0.10):
     bad = []
     for rec in records:
         base = baseline.get(rec["name"])
-        if base and rec["ms"] > base * (1 + threshold):
+        if base and base > 0 and rec["ms"] > base * (1 + threshold):
             bad.append((rec["name"], rec["ms"], base, (rec["ms"] - base) / base * 100))
     return bad
 
@@ -93,6 +106,10 @@ def update_baseline(records, path=None):
     path = path or os.path.join(os.path.dirname(__file__), "baseline.json")
     baseline = load_baseline(path)
     for rec in records:
-        baseline[rec["name"]] = rec["ms"]
+        # a non-positive "latency" is relay jitter, not a measurement —
+        # never let it poison the regression gate
+        if rec["ms"] > 0:
+            baseline[rec["name"]] = rec["ms"]
+    baseline = {k: v for k, v in baseline.items() if v > 0}
     with open(path, "w") as f:
         json.dump(baseline, f, indent=1, sort_keys=True)

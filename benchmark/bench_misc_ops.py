@@ -136,9 +136,12 @@ def bench_nsa():
             lg = fp8_paged_mqa_logits(c, kv, w, lengths, table)
             return c.at[:, 0, 0].add(lg[:, 0] * 1e-9)
 
-        sec = bench_chain(step, q, reps=16)
-        add(f"nsa_indexer_logits:{b}-{ctx}-{h}-{d}", sec,
-            gbs=round(b * ctx * d * 2 / sec / 1e9, 1))
+        try:
+            sec = bench_chain(step, q, reps=16)
+            add(f"nsa_indexer_logits:{b}-{ctx}-{h}-{d}", sec,
+                gbs=round(b * ctx * d * 2 / sec / 1e9, 1))
+        except Exception as e:  # one shape's Mosaic crash must not drop the rest
+            print(f"SKIP nsa_indexer_logits:{b}-{ctx}: {type(e).__name__} {str(e)[:120]}", flush=True)
 
     b, ctx = 4, 8192
     logits = jnp.asarray(rng.standard_normal((b, ctx)), jnp.float32)

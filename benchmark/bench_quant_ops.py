@@ -94,7 +94,7 @@ def main():
 
     # mxfp4 dequant
     kq = jnp.asarray(rng.integers(0, 255, (4096, 2048)), jnp.uint8)
-    ks = jnp.asarray(rng.integers(120, 130, (4096, 32)), jnp.uint8)
+    ks = jnp.asarray(rng.integers(120, 130, (4096, 128)), jnp.uint8)  # K/32 groups
 
     def stepmx(c):
         from sgl_kernel_tpu.ops.quant import mxfp4_dequantize

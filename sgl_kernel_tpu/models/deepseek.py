@@ -196,8 +196,11 @@ def init_weights(cfg: DeepseekConfig, key):
 
 def make_cache(cfg: DeepseekConfig, num_pages: int, page_size: int, kv_dtype=None):
     """Latent KV cache [L, P, page, 576] — single pool (MLA)."""
-    return jnp.zeros((cfg.num_layers, num_pages, page_size, D_CKV),
-                     kv_dtype or cfg.kv_dtype or cfg.dtype)
+    dt = kv_dtype or cfg.kv_dtype or cfg.dtype
+    assert not (dt == jnp.int8 and cfg.kv_scale is None), (
+        "int8 latent pools require cfg.kv_scale — without it the store's "
+        "astype truncates the bf16 latent to {-1, 0, 1} codes silently")
+    return jnp.zeros((cfg.num_layers, num_pages, page_size, D_CKV), dt)
 
 
 def _lin(x, w, cfg, lidx=None):

@@ -203,6 +203,9 @@ def make_caches(cfg: LlamaConfig, num_pages: int, page_size: int, kv_dtype=None)
     block — the unit the manual-DMA decode kernel streams (measured 821
     vs 270 GB/s against per-(head,page) DMAs; docs/PERF.md)."""
     kv_dtype = kv_dtype or cfg.kv_dtype or cfg.dtype
+    assert not (kv_dtype == jnp.int8 and cfg.kv_scale is None), (
+        "int8 KV pools require cfg.kv_scale — without it the store's astype "
+        "truncates bf16 K/V to {-1, 0, 1} codes silently")
     shape = (cfg.num_layers, num_pages, cfg.num_kv_heads, page_size, cfg.head_dim)
     return jnp.zeros(shape, kv_dtype), jnp.zeros(shape, kv_dtype)
 

@@ -374,6 +374,14 @@ def sparse_mla_decode(q_nope, q_pe, kv_pool_flat, slot_indices, *,
     if extra_pool_flat is not None:
         o2, lse2 = one_pool(extra_pool_flat, extra_indices, extra_topk_length)
         o, lse = merge_state(o, lse, o2, lse2)
+        # BOTH pools empty for a row: merge_state of two -inf lses is
+        # exp2(-inf - -inf) = NaN — re-assert the empty contract (zeros).
+        # (lengths default to counting the -1 padding, like one_pool)
+        tl1 = jnp.sum(slot_indices >= 0, axis=1) if topk_length is None else topk_length
+        tl2 = jnp.sum(extra_indices >= 0, axis=1) if extra_topk_length is None else extra_topk_length
+        both_empty = (tl1 == 0) & (tl2 == 0)
+        o = jnp.where(both_empty[:, None, None], 0.0, o)
+        lse = jnp.where(both_empty[:, None], -jnp.inf, lse)
     if attn_sink is not None:
         o = apply_sinks(o, lse, attn_sink)
         if return_lse:

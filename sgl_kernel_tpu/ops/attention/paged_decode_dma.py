@@ -49,8 +49,11 @@ def _upcast(x, dtype):
     DENORMALS (|x| <= 0.875 * 2^-6 ~= 0.0137) flush to zero where the
     intermediate bf16 is denormal-flushed, and the NaN encodings
     0x7f/0xff decode to +-480 instead of NaN (a poisoned page contributes
-    a large finite logit rather than propagating NaN). e5m2 is
-    bit-upper-half of f16 by construction."""
+    a large finite logit rather than propagating NaN). e5m2 uses the same
+    rebias scheme (the exact bit-upper-half-of-f16 shift form dies on
+    Mosaic: f16 vector casts fail "Invalid vector register cast"), so its
+    6 SUBNORMAL encodings (|x| <= 0.75 * 2^-14) flush to zero and
+    inf/nan decode to large finite values — same deviation policy."""
     if x.dtype == jnp.float8_e4m3fn:
         # shifts on i32 (i16 vector shli does not legalize on Mosaic)
         u32 = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)

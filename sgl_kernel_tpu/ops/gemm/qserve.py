@@ -40,7 +40,9 @@ def _per_group_kernel(a_ref, w_ref, s2_ref, z2_ref, o_ref, acc_ref, *, group_siz
 
     bn, bk = w_ref.shape
     ng = bk // group_size
-    w = w_ref[...].astype(jnp.float32).reshape(bn, ng, group_size)
+    # u8 -> i32 -> f32: Mosaic has no direct uint8->float32 vector cast
+    # (found in the on-chip baseline regen; interpret mode allows it)
+    w = w_ref[...].astype(jnp.int32).astype(jnp.float32).reshape(bn, ng, group_size)
     # (code * s2 - z2s2): z2_ref already holds zero*s2 (reference packs
     # zeros pre-multiplied by the group scale, test_qserve_w4a8_per_group_gemm.py:82-90)
     w = w * s2_ref[..., 0][..., None] - z2_ref[..., 0][..., None]

@@ -358,6 +358,13 @@ def w4a16_gemm(
     bn = min(bn, n)
     while n % bn != 0:  # largest power-of-two-ish divisor <= requested bn
         bn //= 2
+    if bn % 128 and bn != n:
+        # Mosaic requires the lane (last) block dim be a multiple of 128 OR
+        # the full array extent. N values like 10944 = 64*171 have NO
+        # 128-multiple divisor — fall back to one whole-N block (found in
+        # the on-chip baseline regen: V2-Lite dense_intermediate 10944
+        # halved down to an illegal bn=64; interpret mode doesn't enforce)
+        bn = n
     assert bn >= 2, (n, bn)  # tiny N (tests) still works, just less efficient
     auto_bk = bk is None
     bk = bk or min(tbk, k)

@@ -194,6 +194,7 @@ def w4a16_gemm_dma(
     """
     m, k = a.shape
     assert m <= 32, "DMA GEMM is the decode-bucket path; use w4a16_gemm for prefill"
+    assert gmode in ("loop", "inner"), f"unsupported gmode {gmode!r} (loop | inner)"
     stacked = layer_id is not None
     if not stacked:
         w = w[None]

@@ -187,6 +187,8 @@ def mxfp4_dequantize(q_packed, scales):
     """Inverse of per_token_group_quant_fp4 -> float32 [..., K]."""
     codes = unpack_int4(q_packed)
     vals = e2m1_decode(codes)
+    assert scales.shape == (*vals.shape[:-1], vals.shape[-1] // 32), (
+        scales.shape, vals.shape)  # one ue8m0 byte per 32-elem group
     sval = ue8m0_decode(scales)
     g = vals.reshape(*vals.shape[:-1], -1, 32) * sval[..., None]
     return g.reshape(*vals.shape[:-1], -1)

@@ -750,15 +750,16 @@ class Engine:
             slot_loc[i] = self._slot(r, pos)
 
         k, v = self.caches
-        dec_logits, pf_logits, k, v = self.adapter._m.mixed_step(
-            self.params, self.cfg, k, v,
-            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
-            jnp.asarray(lengths), jnp.asarray(slot_loc),
-            jnp.asarray(pf_tokens), jnp.asarray(pf_positions),
-            jnp.asarray(s, jnp.int32), jnp.asarray(end, jnp.int32),
-            jnp.asarray(self._page_table(pf)), jnp.asarray(pf_slots),
-            self.rope_cache, prefix_max=prefix_max,
-        )
+        with self.metrics.time("mixed"):
+            dec_logits, pf_logits, k, v = self.adapter._m.mixed_step(
+                self.params, self.cfg, k, v,
+                jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
+                jnp.asarray(lengths), jnp.asarray(slot_loc),
+                jnp.asarray(pf_tokens), jnp.asarray(pf_positions),
+                jnp.asarray(s, jnp.int32), jnp.asarray(end, jnp.int32),
+                jnp.asarray(self._page_table(pf)), jnp.asarray(pf_slots),
+                self.rope_cache, prefix_max=prefix_max,
+            )
         self.caches = (k, v)
         dec_np = dec_logits[: len(reqs)]
         for i, r in enumerate(reqs):
@@ -825,8 +826,11 @@ class Engine:
             self._admit()
             mixed_pf = self._try_mixed_step()  # Request served fused, or None
             self._advance_prefilling(skip=mixed_pf)
-            with self.metrics.time("decode"):
-                if mixed_pf is None:
+            if mixed_pf is None:
+                # timer inside the branch: a fused tick must not log a ~0
+                # "decode" sample (it would collapse p50 decode latency
+                # exactly when the system is busiest)
+                with self.metrics.time("decode"):
                     self._decode_batch()
             self._retire()
         self.metrics.inc("scheduler_steps")

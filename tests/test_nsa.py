@@ -351,3 +351,35 @@ class TestNsaRegressions:
         o = np.asarray(out)
         assert np.isneginf(o[0, :2]).all() and np.isneginf(o[0, 10:]).all()
         assert np.isneginf(o[1, 5:]).all() and np.isfinite(o[1, :5]).all()
+
+
+def test_sparse_mla_dual_pool_both_empty_is_zero():
+    """Both pools empty for a row: merge_state of two -inf lses would be
+    NaN — the contract is zeros (code-review finding, round 3)."""
+    import numpy as np
+
+    from sgl_kernel_tpu.ops.attention.nsa import sparse_mla_decode
+
+    rng = np.random.default_rng(0)
+    b, h, nslots, kk = 3, 4, 256, 8
+    pool = jnp.asarray(rng.standard_normal((nslots, 576)) * 0.1, jnp.bfloat16)
+    extra = jnp.asarray(rng.standard_normal((nslots, 576)) * 0.1, jnp.bfloat16)
+    qn = jnp.asarray(rng.standard_normal((b, h, 512)), jnp.bfloat16)
+    qp = jnp.asarray(rng.standard_normal((b, h, 64)), jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, nslots, (b, kk)), jnp.int32)
+    eidx = jnp.asarray(rng.integers(0, nslots, (b, kk)), jnp.int32)
+    tl = jnp.asarray([kk, 0, kk], jnp.int32)
+    etl = jnp.asarray([kk, 0, 0], jnp.int32)  # row 1: BOTH empty
+    o = sparse_mla_decode(qn, qp, pool, idx, topk_length=tl,
+                          extra_pool_flat=extra, extra_indices=eidx,
+                          extra_topk_length=etl)
+    o = np.asarray(o, np.float64)
+    assert np.isfinite(o).all()
+    np.testing.assert_array_equal(o[1], np.zeros_like(o[1]))
+    assert np.abs(o[0]).max() > 0 and np.abs(o[2]).max() > 0
+    # default (counted) lengths path: all -1 rows in both pools
+    idx2 = idx.at[1].set(-1)
+    eidx2 = eidx.at[1].set(-1)
+    o2 = sparse_mla_decode(qn, qp, pool, idx2, extra_pool_flat=extra,
+                           extra_indices=eidx2)
+    assert np.isfinite(np.asarray(o2, np.float64)).all()
