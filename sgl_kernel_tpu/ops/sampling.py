@@ -7,10 +7,15 @@ surface (SURVEY §2.6 roadmap): top_k_renorm_probs, top_p_renorm_probs,
 joint top_k_top_p, min_p and plain sampling-from-probs.
 
 The reference uses Philox-based rejection sampling to avoid a full vocab
-sort per token; on TPU a [T, V] sort is a single fused XLA pass over VMEM
-tiles and is already bandwidth-bound, so sort-based filtering is the
-speed-of-light implementation and is deterministic by construction (the
-reference's ``deterministic`` flag is therefore always honoured).
+sort per token. On TPU, XLA's [T, V] sort is a BITONIC network —
+O(log^2 V) ~ 289 passes at V=128k, measured 22.5 ms for top_k_top_p at
+B=64 on the baseline regen — so filtering here finds the exact per-row
+threshold by 31-step bisection on the f32 BIT pattern instead
+(probs >= 0, so the int32 order matches the float order): ~31
+bandwidth-bound passes, no sort, deterministic by construction (the
+reference's ``deterministic`` flag is always honoured), and bit-identical
+keep sets to the sort formulation (both keep ``probs >= kth value``
+including ties).
 """
 
 from __future__ import annotations
@@ -26,18 +31,37 @@ def _renorm(filtered):
     return filtered / jnp.maximum(filtered.sum(-1, keepdims=True), 1e-38)
 
 
+def _bisect_threshold(probs, feasible):
+    """Largest f32 threshold t (by bit pattern) with feasible(mask(t)) True
+    per row, where mask(t) = probs >= t. feasible takes [T, V] bool and
+    returns [T] bool, and must be monotone (shrinking the set can only
+    turn True -> False). Exact: the result is an actual row value's bit
+    pattern (or 0.0 when even the full set is the answer)."""
+    t = probs.shape[0]
+
+    def body(i, tbits):
+        cand = tbits | (jnp.int32(1) << (30 - i))
+        ok = feasible(probs >= jax.lax.bitcast_convert_type(cand, jnp.float32)[:, None])
+        return jnp.where(ok, cand, tbits)
+
+    tbits = jax.lax.fori_loop(0, 31, body, jnp.zeros((t,), jnp.int32))
+    return jax.lax.bitcast_convert_type(tbits, jnp.float32)[:, None]
+
+
 @jax.jit
 def top_k_renorm_probs(probs, top_k):
     """Keep the top_k largest probs per row, renormalize to sum 1.
 
     top_k: scalar or [T] int; k <= 0 is the standard "disabled" sentinel
-    (no filtering). Reference: top_k_renorm_probs (TopKRenormProbs.cpp)."""
+    (no filtering). Reference: top_k_renorm_probs (TopKRenormProbs.cpp).
+    Threshold = exact k-th largest value (bit bisection; ties kept)."""
     t, v = probs.shape
     k = jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (t,))
-    sorted_p = jnp.sort(probs, axis=-1)[:, ::-1]
-    # threshold = k-th largest value; k <= 0 disables (threshold 0)
-    thresh = jnp.take_along_axis(sorted_p, jnp.clip(k[:, None] - 1, 0, v - 1), axis=-1)
-    thresh = jnp.where(k[:, None] <= 0, 0.0, thresh)
+    kc = jnp.where(k <= 0, v, k)  # disabled -> keep everything
+    thresh = _bisect_threshold(
+        probs.astype(jnp.float32),
+        lambda mask: jnp.sum(mask, axis=-1) >= kc,
+    )
     keep = probs >= thresh
     filtered = jnp.where(keep, probs, 0.0)
     return _renorm(filtered)
@@ -45,19 +69,24 @@ def top_k_renorm_probs(probs, top_k):
 
 @jax.jit
 def top_p_renorm_probs(probs, top_p):
-    """Nucleus filtering: keep the smallest prefix of sorted probs with
-    cumulative mass >= top_p, renormalize. top_p: scalar or [T]."""
+    """Nucleus filtering: keep the smallest high-prob set with cumulative
+    mass >= top_p, renormalize. top_p: scalar or [T].
+
+    Threshold = largest value t with sum(probs[probs >= t]) >= top_p (bit
+    bisection) — for distinct values this is exactly the sorted-prefix
+    rule; ties at the boundary are all kept. top_p == 0 keeps the top-1
+    (mass >= 0 is always feasible, so t climbs to the max value) — the
+    reference's at-least-one guarantee."""
     t, v = probs.shape
-    p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (t,))[:, None]
-    sorted_p = jnp.sort(probs, axis=-1)[:, ::-1]
-    csum = jnp.cumsum(sorted_p, axis=-1)
-    # keep tokens while cumulative mass *before* them is < top_p; the
-    # top-1 token always survives (top_p == 0 must not produce an empty
-    # nucleus — reference at-least-one guarantee)
-    keep_sorted = (csum - sorted_p) < p
-    keep_sorted = keep_sorted.at[:, 0].set(True)
-    # threshold = smallest kept prob
-    thresh = jnp.min(jnp.where(keep_sorted, sorted_p, jnp.inf), axis=-1, keepdims=True)
+    p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (t,))
+    pf = probs.astype(jnp.float32)
+    # the non-empty condition carries the at-least-one guarantee: with
+    # p == 0 the empty set has mass 0 >= 0, so feasibility alone would
+    # push the threshold past the max value
+    thresh = _bisect_threshold(
+        pf, lambda mask: (jnp.sum(jnp.where(mask, pf, 0.0), axis=-1) >= p)
+        & jnp.any(mask, axis=-1),
+    )
     keep = probs >= thresh
     filtered = jnp.where(keep, probs, 0.0)
     return _renorm(filtered)

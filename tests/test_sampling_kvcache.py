@@ -205,3 +205,42 @@ class TestSamplingEdgeCases:
         toks = sample_tokens(logits, jax.random.PRNGKey(0),
                              temperature=jnp.asarray([0.5, 1.0, 2.0]))
         assert toks.shape == (3,)
+
+
+class TestBisectionMatchesSortOracle:
+    """The bit-bisection thresholds must reproduce the sort formulation
+    exactly (same >= threshold rule), including tie-heavy rows."""
+
+    def test_top_k_matches_sort(self, rng):
+        from sgl_kernel_tpu.ops.sampling import top_k_renorm_probs
+
+        p = rng.random((8, 257)).astype(np.float32)
+        p[3, 10:200] = p[3, 10]  # massive tie group
+        p = p / p.sum(-1, keepdims=True)
+        for k in (1, 5, 200, 257, 0, -1):
+            got = np.asarray(top_k_renorm_probs(jnp.asarray(p), k), np.float64)
+            srt = np.sort(p, axis=-1)[:, ::-1]
+            if k <= 0:
+                ref = p / p.sum(-1, keepdims=True)
+            else:
+                thr = srt[:, min(k, 257) - 1][:, None]
+                f = np.where(p >= thr, p, 0.0)
+                ref = f / f.sum(-1, keepdims=True)
+            np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7)
+
+    def test_top_p_matches_sort_distinct(self, rng):
+        from sgl_kernel_tpu.ops.sampling import top_p_renorm_probs
+
+        # distinct values: threshold rule == sorted-prefix rule exactly
+        p = rng.permutation(np.arange(1, 129, dtype=np.float32))[None].repeat(4, 0)
+        p = p / p.sum(-1, keepdims=True)
+        for tp in (0.1, 0.5, 0.9, 0.999):
+            got = np.asarray(top_p_renorm_probs(jnp.asarray(p), tp), np.float64)
+            srt = np.sort(p, axis=-1)[:, ::-1]
+            cs = np.cumsum(srt, -1)
+            keep_sorted = (cs - srt) < tp
+            keep_sorted[:, 0] = True
+            thr = np.min(np.where(keep_sorted, srt, np.inf), -1, keepdims=True)
+            f = np.where(p >= thr, p, 0.0)
+            ref = f / f.sum(-1, keepdims=True)
+            np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7)
