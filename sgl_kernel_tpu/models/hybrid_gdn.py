@@ -138,10 +138,11 @@ def decode_step(params, cfg: HybridGdnConfig, k_cache, v_cache, conv_state, ssm_
             q, k = rope_decode_fused(positions, q, k, rope_cache)
             attn = paged_attention_decode_dma(
                 q, k_cache, v_cache, lengths, page_tables, layer_id=half,
-                fresh_k=k, fresh_v=v,
+                fresh_k=k, fresh_v=v, **llama._kv_att_kwargs(cfg),
             )
             from ..ops.kvcache import store_cache_stacked as _scs
-            k_cache, v_cache = _scs(k, v, k_cache, v_cache, slot_loc, half)
+            k_cache, v_cache = _scs(llama._kv_quant(cfg, k), llama._kv_quant(cfg, v),
+                                    k_cache, v_cache, slot_loc, half)
             x = llama._linear(attn.reshape(b, -1), lw["o"], cfg, residual=x, layer_id=half)
             h2 = rmsnorm(x, lw["post_norm"][half], cfg.rms_eps)
             x = llama._mlp(h2, lw, cfg, residual=x, layer_id=half)
@@ -176,7 +177,7 @@ def prefill(params, cfg: HybridGdnConfig, k_cache, v_cache, conv_state, ssm_stat
             h = rmsnorm(x, lw["input_norm"][half], cfg.rms_eps)
             q, k, v = llama._qkv(h, lw, cfg, b * s, layer_id=half)
             q, k = rotary_embedding(positions.reshape(-1), q, k, cfg.head_dim, rope_cache)
-            k_cache, v_cache = store_cache_stacked(k, v, k_cache, v_cache, slot_loc.reshape(-1), half)
+            k_cache, v_cache = store_cache_stacked(llama._kv_quant(cfg, k), llama._kv_quant(cfg, v), k_cache, v_cache, slot_loc.reshape(-1), half)
             attn = flash_attention(
                 q.reshape(b, s, cfg.num_heads, cfg.head_dim),
                 k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
@@ -249,7 +250,7 @@ def prefill_extend(params, cfg: HybridGdnConfig, k_cache, v_cache, conv_state,
             h = rmsnorm(x, lw["input_norm"][half], cfg.rms_eps)
             q, k, v = llama._qkv(h, lw, cfg, b * s, layer_id=half)
             q, k = rotary_embedding(positions.reshape(-1), q, k, cfg.head_dim, rope_cache)
-            k_cache, v_cache = store_cache_stacked(k, v, k_cache, v_cache, slot_loc.reshape(-1), half)
+            k_cache, v_cache = store_cache_stacked(llama._kv_quant(cfg, k), llama._kv_quant(cfg, v), k_cache, v_cache, slot_loc.reshape(-1), half)
             qb = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
             kb = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
             vb = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
@@ -258,8 +259,8 @@ def prefill_extend(params, cfg: HybridGdnConfig, k_cache, v_cache, conv_state,
                 q_start=prefix_lens, kv_start=prefix_lens,
                 causal=True, return_lse=True,
             )
-            kpre = gather_prefix(k_cache, half).astype(qb.dtype)
-            vpre = gather_prefix(v_cache, half).astype(qb.dtype)
+            kpre = llama._kv_deq(cfg, gather_prefix(k_cache, half), qb.dtype)
+            vpre = llama._kv_deq(cfg, gather_prefix(v_cache, half), qb.dtype)
             o2, l2 = flash_attention(
                 qb, kpre, vpre, q_lens, prefix_lens,
                 q_start=prefix_lens, kv_start=jnp.zeros_like(prefix_lens),
