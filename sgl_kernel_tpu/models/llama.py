@@ -30,7 +30,12 @@ from ..ops.attention.paged_decode_dma import paged_attention_decode_dma
 from ..ops.gemm.w4a16 import quantize_w4, w4a16_gemm
 from ..ops.kvcache import store_cache, store_cache_all_layers, store_cache_stacked
 from ..ops.norm import rmsnorm
-from ..ops.rope import compute_cos_sin_cache, rope_decode_fused, rotary_embedding
+from ..ops.rope import (
+    compute_cos_sin_cache,
+    rope_decode_fused,
+    rope_decode_fused_qkv,
+    rotary_embedding,
+)
 from ..utils import round_up
 
 
@@ -237,14 +242,24 @@ def _qkv(h, weights, cfg, n_tokens, layer_id=None):
 
 
 def _mlp(h2, weights, cfg, residual=None, layer_id=None):
+    w = weights["down"]
     if cfg.fused:
         gu = _linear(h2, weights["gate_up"], cfg, layer_id=layer_id)
+        if isinstance(w, dict) and _w4_kernel_for(cfg, gu.shape[0]) is w4a16_gemm:
+            # feed the FUSED gate_up output straight into the down GEMM's
+            # silu prologue (two BlockSpecs over one array) — the
+            # gate/up slices were standalone XLA fusion kernels between
+            # two Pallas calls (~24us/launch on this runtime, PERF.md)
+            return w4a16_gemm(
+                gu, w["packed"], w["scales"], residual=residual,
+                layer_id=layer_id, prologue="silu_mul", fused_gate_up=True,
+                group_size=cfg.group_size, out_dtype=cfg.dtype,
+            )
         inter = gu.shape[-1] // 2
         gate, up = gu[:, :inter], gu[:, inter:]
     else:
         gate = _linear(h2, weights["gate"], cfg, layer_id=layer_id)
         up = _linear(h2, weights["up"], cfg, layer_id=layer_id)
-    w = weights["down"]
     if isinstance(w, dict):
         # silu-mul prologue + residual epilogue fused into the down GEMM
         return _w4_kernel_for(cfg, gate.shape[0])(
@@ -330,8 +345,17 @@ def decode_layers(lw, cfg: LlamaConfig, k_cache, v_cache, x, positions, page_tab
         x = carry
         weights = lw
         h = rmsnorm(x, weights["input_norm"][lidx], cfg.rms_eps)
-        q, k, v = _qkv(h, weights, cfg, b, layer_id=lidx)
-        q, k = rope_decode_fused(positions, q, k, rope_cache)
+        if cfg.fused and not cfg.qkv_bias and not cfg.qk_norm:
+            # GEMM -> split+rope in ONE Pallas call (three BlockSpecs over
+            # the unsplit qkv output): the q/k/v slices were standalone XLA
+            # fusion kernels between two Pallas calls (docs/PERF.md)
+            qkv = _linear(h, weights["qkv"], cfg, layer_id=lidx)
+            q, k, v = rope_decode_fused_qkv(
+                positions, qkv, rope_cache, num_q=cfg.num_heads,
+                num_kv=cfg.num_kv_heads, head_dim=cfg.head_dim)
+        else:
+            q, k, v = _qkv(h, weights, cfg, b, layer_id=lidx)
+            q, k = rope_decode_fused(positions, q, k, rope_cache)
         attn = paged_attention_decode_dma(
             q, k_cache, v_cache, lengths, page_tables, layer_id=lidx,
             fresh_k=k, fresh_v=v, **_kv_att_kwargs(cfg)

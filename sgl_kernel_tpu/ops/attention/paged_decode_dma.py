@@ -367,7 +367,10 @@ def paged_attention_decode_dma(
     num_splits = min(num_splits, n_chunks)
     chunks_per_split = cdiv(n_chunks, num_splits)
     span = page * cpp
-    bb = b  # all sequences folded into one grid step
+    # fold at most 32 sequences per grid step: the per-block scratch
+    # (q/m/l/acc/out rows) scales with bb and b=64 exceeded the 16 MB
+    # scoped-VMEM limit on-chip (grid dim 0 already covers b > bb)
+    bb = min(b, 32)
 
     qh = q.reshape(b, hkv, group, d).astype(jnp.float32)
     if k_scale is not None:

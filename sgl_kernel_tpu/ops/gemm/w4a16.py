@@ -269,7 +269,7 @@ def _kernel_inner(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_r
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group_size", "fmt", "out_dtype", "bm", "bn", "bk", "prologue", "gmode"),
+    static_argnames=("group_size", "fmt", "out_dtype", "bm", "bn", "bk", "prologue", "gmode", "fused_gate_up"),
 )
 def w4a16_gemm(
     a,
@@ -289,6 +289,7 @@ def w4a16_gemm(
     bk: Optional[int] = None,
     prologue: Optional[str] = None,
     gmode: Optional[str] = None,
+    fused_gate_up: bool = False,
 ):
     """A[M, K] @ dequant(W[N, K])^T with 4-bit weights.
 
@@ -317,6 +318,15 @@ def w4a16_gemm(
     814 GB/s vs 616 at bn=1024; gate_up (28672x4096) 471 vs 404.
     """
     m, k = a.shape
+    if fused_gate_up:
+        # a is the FUSED [M, 2K] gate_up output (gate columns then up
+        # columns); the kernel reads gate and up blocks from the SAME
+        # array via two BlockSpecs — no XLA slice kernels between the
+        # gate_up GEMM and this one (an XLA fusion launch costs ~24us on
+        # this runtime vs ~0.7us for a Pallas call, docs/PERF.md)
+        assert a2 is None and prologue == "silu_mul", (a2, prologue)
+        assert k % 2 == 0
+        k = k // 2
     stacked = layer_id is not None
     n = w.shape[-1]
     out_dtype = out_dtype or a.dtype
@@ -331,6 +341,8 @@ def w4a16_gemm(
         else:
             gmode = "loop"
     k_pad = w.shape[-2] * 2  # packed layout [.., K/2, N]
+    if fused_gate_up:
+        assert k_pad == k, (k_pad, k)
     if k_pad != k:
         # quantize_w4 zero-padded a non-group-multiple K; pad the
         # activations to match (the padded tail multiplies zero codes)
@@ -348,8 +360,8 @@ def w4a16_gemm(
         assert w.shape == (k // 2, n) and w.dtype == jnp.uint8, (w.shape, w.dtype)
         assert scales.shape == (k // group_size, n), (scales.shape, (k // group_size, n))
 
-    assert (a2 is not None) == (prologue == "silu_mul"), (
-        "prologue='silu_mul' requires a2 (and vice versa)")
+    assert fused_gate_up or (a2 is not None) == (prologue == "silu_mul"), (
+        "prologue='silu_mul' requires a2 (or fused_gate_up)")
     if zeros is not None:
         assert zeros.shape == scales.shape, (zeros.shape, scales.shape)
     tbm, tbn, tbk = pick_tiles(m, n, k, group_size)
@@ -408,8 +420,16 @@ def w4a16_gemm(
 
     in_specs = [a_spec]
     inputs = [a]
-    has_a2 = a2 is not None
-    if has_a2:
+    has_a2 = a2 is not None or fused_gate_up
+    if fused_gate_up:
+        koff = k // bk
+        if stacked:
+            a2_spec = pl.BlockSpec((bm, bk), lambda j, i, kk, lid: (i, kk + koff))
+        else:
+            a2_spec = pl.BlockSpec((bm, bk), lambda j, i, kk: (i, kk + koff))
+        in_specs.append(a2_spec)
+        inputs.append(a)
+    elif has_a2:
         assert prologue == "silu_mul"
         in_specs.append(a_spec)
         inputs.append(a2)

@@ -219,6 +219,54 @@ def fused_k_norm_rope_mla(
     return flat.at[safe].set(row.astype(kv_cache.dtype), mode="drop").reshape(kv_cache.shape)
 
 
+def _rope_decode_qkv_kernel(pos_ref, q_ref, k_ref, v_ref, cache_ref, qo_ref, ko_ref, vo_ref, *, rot):
+    _rope_decode_kernel(pos_ref, q_ref, k_ref, cache_ref, qo_ref, ko_ref, rot=rot)
+    vo_ref[0] = v_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("num_q", "num_kv", "head_dim"))
+def rope_decode_fused_qkv(positions, qkv, cos_sin_cache, *, num_q: int, num_kv: int, head_dim: int):
+    """rope_decode_fused taking the UNSPLIT fused-qkv GEMM output
+    [B, (num_q + 2*num_kv) * head_dim]: the q/k/v head ranges are read via
+    three BlockSpecs over one (trivially reshaped) array, so the decode
+    layer runs GEMM -> rope with NO standalone XLA slice kernels between
+    the two Pallas calls (~24us per XLA fusion launch on this runtime,
+    docs/PERF.md). Returns (q [B, Hq, D] roped, k [B, Hkv, D] roped,
+    v [B, Hkv, D])."""
+    b = qkv.shape[0]
+    nq, nkv, d = num_q, num_kv, head_dim
+    assert qkv.shape[1] == (nq + 2 * nkv) * d, (qkv.shape, nq, nkv, d)
+    assert nq % nkv == 0  # GQA: k/v head offsets in whole block units
+    g = nq // nkv
+    rot = cos_sin_cache.shape[-1]
+    qkv3 = qkv.reshape(b, nq + 2 * nkv, d)  # contiguous-dims reshape: free
+    qo, ko, vo = pl.pallas_call(
+        functools.partial(_rope_decode_qkv_kernel, rot=rot),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, nq, d), lambda bb, pos: (bb, 0, 0)),
+                pl.BlockSpec((1, nkv, d), lambda bb, pos: (bb, g, 0)),
+                pl.BlockSpec((1, nkv, d), lambda bb, pos: (bb, g + 1, 0)),
+                pl.BlockSpec((1, 1, rot), lambda bb, pos: (pos[bb], 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, nq, d), lambda bb, pos: (bb, 0, 0)),
+                pl.BlockSpec((1, nkv, d), lambda bb, pos: (bb, 0, 0)),
+                pl.BlockSpec((1, nkv, d), lambda bb, pos: (bb, 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nq, d), qkv.dtype),
+            jax.ShapeDtypeStruct((b, nkv, d), qkv.dtype),
+            jax.ShapeDtypeStruct((b, nkv, d), qkv.dtype),
+        ],
+        interpret=pallas_interpret(),
+    )(positions.astype(jnp.int32), qkv3, qkv3, qkv3, cos_sin_cache[:, None, :])
+    return qo, ko, vo
+
+
 def _rope_decode_kernel(pos_ref, q_ref, k_ref, cache_ref, qo_ref, ko_ref, *, rot):
     b = pl.program_id(0)
     cs = cache_ref[0].astype(jnp.float32)  # [1, rot] block at row pos[b]

@@ -351,3 +351,24 @@ class TestGemmRegressions:
         packed, scales = scaled_fp4_quant(x, jnp.float32(1.0))
         codes = np.asarray(packed)
         assert ((codes & 0x77) == 0).all(), "expected zero-magnitude codes"
+
+
+def test_w4a16_fused_gate_up_exact(rng):
+    """silu prologue fed from the UNSPLIT [M, 2K] gate_up output (two
+    BlockSpecs over one array) is bit-identical to the a2 form."""
+    from sgl_kernel_tpu.ops.gemm.w4a16 import w4a16_gemm
+
+    m, k, n, g, l = 16, 512, 256, 128, 2
+    gate = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    up = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    gu = jnp.concatenate([gate, up], axis=1)
+    pk = jnp.asarray(rng.integers(0, 255, (l, k // 2, n)), jnp.uint8)
+    sc = jnp.asarray(rng.random((l, k // g, n)), jnp.bfloat16)
+    res = jnp.asarray(rng.standard_normal((m, n)), jnp.bfloat16)
+    for lid, pk_, sc_ in ((1, pk, sc), (None, pk[0], sc[0])):
+        kw = dict(layer_id=lid) if lid is not None else {}
+        o1 = w4a16_gemm(gate, pk_, sc_, a2=up, residual=res, prologue="silu_mul",
+                        bm=16, bn=128, bk=256, **kw)
+        o2 = w4a16_gemm(gu, pk_, sc_, residual=res, prologue="silu_mul",
+                        bm=16, bn=128, bk=256, fused_gate_up=True, **kw)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))

@@ -152,3 +152,23 @@ class TestRopeDecodeFused:
         qr, kr = rope.rotary_embedding(jnp.asarray(pos), jnp.asarray(q), jnp.asarray(k), d, cache)
         np.testing.assert_allclose(np.asarray(qf), np.asarray(qr), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(kf), np.asarray(kr), rtol=1e-5, atol=1e-5)
+
+
+def test_rope_decode_fused_qkv_matches_split(rng):
+    """GEMM->rope with no XLA slices: the 3-BlockSpec variant must equal
+    slice + rope_decode_fused exactly (v is a pure copy)."""
+    from sgl_kernel_tpu.ops.rope import (
+        compute_cos_sin_cache, rope_decode_fused, rope_decode_fused_qkv)
+
+    b, nq, nkv, d = 3, 8, 2, 64
+    cache = compute_cos_sin_cache(d, 128, 10000.0)
+    qkv = jnp.asarray(rng.standard_normal((b, (nq + 2 * nkv) * d)), jnp.bfloat16)
+    pos = jnp.asarray([0, 5, 17], jnp.int32)
+    q = qkv[:, : nq * d].reshape(b, nq, d)
+    k = qkv[:, nq * d : (nq + nkv) * d].reshape(b, nkv, d)
+    v = qkv[:, (nq + nkv) * d :].reshape(b, nkv, d)
+    qr, kr = rope_decode_fused(pos, q, k, cache)
+    qo, ko, vo = rope_decode_fused_qkv(pos, qkv, cache, num_q=nq, num_kv=nkv, head_dim=d)
+    np.testing.assert_array_equal(np.asarray(qo), np.asarray(qr))
+    np.testing.assert_array_equal(np.asarray(ko), np.asarray(kr))
+    np.testing.assert_array_equal(np.asarray(vo), np.asarray(v))
