@@ -282,17 +282,26 @@ def _mla_qkv_full(x, weights, lidx, cfg, n_tokens, positions, rope_cache):
     nh, dn = cfg.num_heads, cfg.qk_nope_dim
     q, c_q = _q_proj(x, weights, lidx, cfg)
     q = q.reshape(n_tokens, nh, dn + D_ROPE)
-    q_nope, q_pe = q[..., :dn], q[..., dn:]
-    q_pe, _ = rotary_embedding(positions, q_pe, None, D_ROPE, rope_cache)
+    kv = _lin(x, weights["wkv_a"], cfg, lidx)
+    if n_tokens <= 64:
+        # decode bucket: ONE Pallas call for the whole qkv-prep glue chain
+        # (nope/pe splits, both rope fusions, latent rmsnorm, kv_row
+        # concat — each a standalone XLA kernel otherwise; docs/PERF.md)
+        from ..ops.rope import mla_qkv_prep
+
+        q_nope, q_pe, kv_row = mla_qkv_prep(
+            positions, lidx, q, kv, weights["kv_norm"], rope_cache,
+            nope_dim=dn, eps=cfg.rms_eps)
+    else:
+        q_nope, q_pe = q[..., :dn], q[..., dn:]
+        q_pe, _ = rotary_embedding(positions, q_pe, None, D_ROPE, rope_cache)
+        kv_c = rmsnorm(kv[:, :D_LATENT], weights["kv_norm"][lidx], cfg.rms_eps)
+        k_pe = kv[:, D_LATENT:]
+        k_pe, _ = rotary_embedding(positions, k_pe[:, None, :], None, D_ROPE, rope_cache)
+        kv_row = jnp.concatenate([kv_c, k_pe[:, 0]], axis=-1)  # [T, 576]
     # absorb W_UK: [T, H, dn] x [H, dn, 512] -> [T, H, 512]
     w_uk = weights["w_uk"][lidx]
     q_lat = jnp.einsum("thd,hdl->thl", q_nope.astype(jnp.float32), w_uk.astype(jnp.float32)).astype(cfg.dtype)
-
-    kv = _lin(x, weights["wkv_a"], cfg, lidx)
-    kv_c = rmsnorm(kv[:, :D_LATENT], weights["kv_norm"][lidx], cfg.rms_eps)
-    k_pe = kv[:, D_LATENT:]
-    k_pe, _ = rotary_embedding(positions, k_pe[:, None, :], None, D_ROPE, rope_cache)
-    kv_row = jnp.concatenate([kv_c, k_pe[:, 0]], axis=-1)  # [T, 576]
     return q_lat, q_pe, kv_row, c_q
 
 

@@ -267,6 +267,76 @@ def rope_decode_fused_qkv(positions, qkv, cos_sin_cache, *, num_q: int, num_kv: 
     return qo, ko, vo
 
 
+def _mla_prep_kernel(pos_ref, lid_ref, q_ref, kv_ref, w_ref, cache_ref,
+                     qn_ref, qpe_ref, kvrow_ref, *, nope_dim, eps):
+    cs = cache_ref[0, 0].astype(jnp.float32)  # [rot]
+    rot = cs.shape[0]
+    half = rot // 2
+    cos = cs[:half][None, :]
+    sin = cs[half:][None, :]
+
+    def rotate(x):  # [rows, rot] neox
+        xf = x.astype(jnp.float32)
+        x1, x2 = xf[:, :half], xf[:, half:]
+        return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1).astype(x.dtype)
+
+    q = q_ref[0]  # [nh, nope+rot]
+    qn_ref[0] = q[:, :nope_dim]
+    qpe_ref[0] = rotate(q[:, nope_dim:])
+    kv = kv_ref[0]  # [1, lat+rot]
+    lat = kv[:, : kv.shape[1] - rot].astype(jnp.float32)
+    ms = jnp.mean(lat * lat, axis=-1, keepdims=True)
+    latn = (lat * jax.lax.rsqrt(ms + eps)) * w_ref[0].astype(jnp.float32)[None, :]
+    kvrow_ref[0] = jnp.concatenate(
+        [latn.astype(kvrow_ref.dtype), rotate(kv[:, kv.shape[1] - rot :]).astype(kvrow_ref.dtype)], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("nope_dim", "eps"))
+def mla_qkv_prep(positions, layer_id, q, kv, kv_norm_w, cos_sin_cache, *,
+                 nope_dim: int, eps: float = 1e-6):
+    """Fused MLA decode qkv-prep: ONE Pallas call replacing the per-layer
+    XLA glue chain (q nope/pe slices, two rotary_embedding fusions, the
+    latent rmsnorm's companion slices and the kv_row concat — each a
+    standalone XLA kernel between Pallas calls, ~24us/launch on this
+    runtime, docs/PERF.md).
+
+    q [T, nh, nope+rot]; kv [T, lat+rot] (wkv_a output); kv_norm_w
+    [L, lat] stacked (selected via scalar-prefetched layer_id);
+    cos_sin_cache [max_pos, rot]. Returns (q_nope [T, nh, nope],
+    q_pe [T, nh, rot] roped, kv_row [T, lat+rot] normed+roped).
+    Decode bucket (grid = T rows; use the jnp path for prefill)."""
+    t, nh, dq = q.shape
+    rot = cos_sin_cache.shape[-1]
+    lat = kv.shape[-1] - rot
+    assert dq == nope_dim + rot, (dq, nope_dim, rot)
+    qn, qpe, kvrow = pl.pallas_call(
+        functools.partial(_mla_prep_kernel, nope_dim=nope_dim, eps=eps),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(t,),
+            in_specs=[
+                pl.BlockSpec((1, nh, dq), lambda bb, pos, lid: (bb, 0, 0)),
+                pl.BlockSpec((1, 1, lat + rot), lambda bb, pos, lid: (bb, 0, 0)),
+                pl.BlockSpec((None, 1, lat), lambda bb, pos, lid: (lid[0], 0, 0)),
+                pl.BlockSpec((1, 1, rot), lambda bb, pos, lid: (pos[bb], 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, nh, nope_dim), lambda bb, pos, lid: (bb, 0, 0)),
+                pl.BlockSpec((1, nh, rot), lambda bb, pos, lid: (bb, 0, 0)),
+                pl.BlockSpec((1, 1, lat + rot), lambda bb, pos, lid: (bb, 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((t, nh, nope_dim), q.dtype),
+            jax.ShapeDtypeStruct((t, nh, rot), q.dtype),
+            jax.ShapeDtypeStruct((t, 1, lat + rot), kv.dtype),
+        ],
+        interpret=pallas_interpret(),
+    )(positions.astype(jnp.int32), jnp.asarray(layer_id, jnp.int32).reshape(1),
+      q, kv[:, None, :], kv_norm_w[:, None, :], cos_sin_cache[:, None, :])
+    return qn, qpe, kvrow[:, 0]
+
+
 def _rope_decode_kernel(pos_ref, q_ref, k_ref, cache_ref, qo_ref, ko_ref, *, rot):
     b = pl.program_id(0)
     cs = cache_ref[0].astype(jnp.float32)  # [1, rot] block at row pos[b]

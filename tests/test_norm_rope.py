@@ -172,3 +172,29 @@ def test_rope_decode_fused_qkv_matches_split(rng):
     np.testing.assert_array_equal(np.asarray(qo), np.asarray(qr))
     np.testing.assert_array_equal(np.asarray(ko), np.asarray(kr))
     np.testing.assert_array_equal(np.asarray(vo), np.asarray(v))
+
+
+def test_mla_qkv_prep_matches_jnp(rng):
+    """Fused MLA decode qkv-prep == the jnp glue chain (slices + two
+    ropes + latent rmsnorm + concat), at real DSv3 head dims."""
+    from sgl_kernel_tpu.ops.norm import rmsnorm
+    from sgl_kernel_tpu.ops.rope import (
+        compute_cos_sin_cache, mla_qkv_prep, rotary_embedding)
+
+    t, nh, dn, rot, lat, L = 5, 16, 128, 64, 512, 3
+    cache = compute_cos_sin_cache(rot, 64, 10000.0)
+    q = jnp.asarray(rng.standard_normal((t, nh, dn + rot)), jnp.bfloat16)
+    kv = jnp.asarray(rng.standard_normal((t, lat + rot)), jnp.bfloat16)
+    w = jnp.asarray(rng.random((L, lat)) + 0.5, jnp.bfloat16)
+    pos = jnp.asarray([0, 3, 9, 1, 60], jnp.int32)
+    lid = 1
+    qn, qpe, kvrow = mla_qkv_prep(pos, lid, q, kv, w, cache, nope_dim=dn, eps=1e-5)
+    ref_qpe, _ = rotary_embedding(pos, q[..., dn:], None, rot, cache)
+    kv_c = rmsnorm(kv[:, :lat], w[lid], 1e-5)
+    k_pe, _ = rotary_embedding(pos, kv[:, lat:][:, None, :], None, rot, cache)
+    ref_row = jnp.concatenate([kv_c, k_pe[:, 0]], axis=-1)
+    np.testing.assert_array_equal(np.asarray(qn), np.asarray(q[..., :dn]))
+    np.testing.assert_allclose(np.asarray(qpe, np.float64), np.asarray(ref_qpe, np.float64),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(kvrow, np.float64), np.asarray(ref_row, np.float64),
+                               rtol=2e-2, atol=2e-2)
