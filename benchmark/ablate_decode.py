@@ -42,6 +42,36 @@ elif VARIANT == "nonorm":
     llama.rmsnorm = lambda x, w, eps=1e-6, **kw: x
 elif VARIANT == "norope":
     llama.rope_decode_fused = lambda pos, q, k, cache: (q, k)
+elif VARIANT == "noscankv":
+    # the deferred store's inputs are scan-STACKED (k, v) outputs — two
+    # dynamic-update-slices per layer the nostore variant still pays.
+    # Reimplement the loop without ys to measure that cost.
+    _orig = llama.decode_layers
+
+    def decode_layers(lw, cfg, k_cache, v_cache, x, positions, page_tables,
+                      lengths, slot_loc, rope_cache, *, tp_axis=None):
+        b = x.shape[0]
+        n_stack = jax.tree_util.tree_leaves(lw)[0].shape[0]
+
+        def layer_fn(carry, lidx):
+            x = carry
+            h = llama.rmsnorm(x, lw["input_norm"][lidx], cfg.rms_eps)
+            qkv = llama._linear(h, lw["qkv"], cfg, layer_id=lidx)
+            q, k, v = llama.rope_decode_fused_qkv(
+                positions, qkv, rope_cache, num_q=cfg.num_heads,
+                num_kv=cfg.num_kv_heads, head_dim=cfg.head_dim)
+            attn = llama.paged_attention_decode_dma(
+                q, k_cache, v_cache, lengths, page_tables, layer_id=lidx,
+                fresh_k=k, fresh_v=v)
+            x = llama._linear(attn.reshape(b, -1), lw["o"], cfg, residual=x, layer_id=lidx)
+            h2 = llama.rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
+            x = llama._mlp(h2, lw, cfg, residual=x, layer_id=lidx)
+            return x, None
+
+        x, _ = jax.lax.scan(layer_fn, x, jnp.arange(n_stack))
+        return x, k_cache, v_cache
+
+    llama.decode_layers = decode_layers
 
 # run bench.py's main with the patched module state
 sys.argv = [sys.argv[0]]
