@@ -50,11 +50,13 @@ def main():
             p2, s2 = jax.vmap(lambda w: quantize_w4(w, group_size=128)[:2])(w2f)
             weights = moe.MoeWeights(w1=p1, w2=p2, w1_scales=s1, w2_scales=s2, fmt="int4", group_size=128)
 
-        def step(carry, weights=weights, tw=tw, tids=tids):
+        def step(carry, weights, tw=tw, tids=tids):
             o = moe.fused_experts(carry, weights, tw, tids, block_size=64)
             return carry + o * jnp.bfloat16(1e-8)
 
-        sec = bench_chain(step, x, reps=16)
+        # expert banks ride as chain ARGS: GB-scale closure constants embed
+        # in the shipped HLO and kill the relay transport (broken pipe)
+        sec = bench_chain(step, x, reps=16, args=(weights,))
         records.append(report(f"fused_moe:{t}-{e}-{k}-{h}-{inter}-{fmt}", sec))
     compare_to_baseline(records, load_baseline())
 
