@@ -141,7 +141,8 @@ def main():
 
     def bmm_chain(carry, bbm=bbm):
         o = bmm_fp8(carry.astype(jnp.float8_e4m3fn), bbm, jnp.float32(0.01), jnp.float32(0.01), out_dtype=jnp.bfloat16)
-        return carry + (o * 0 + 1e-6).astype(carry.dtype)
+        # feed back into the carry's leading nn2 columns (o is [B, M, nn2])
+        return carry.at[:, :, : o.shape[-1]].add((o * 0 + 1e-6).astype(carry.dtype))
 
     sec = bench_chain(bmm_chain, ab.astype(jnp.bfloat16), reps=32)
     records.append(report(f"bmm_fp8:{bb}-{mm}-{nn2}-{kk2}", sec))
