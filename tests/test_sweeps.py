@@ -34,18 +34,25 @@ class TestFp8UpcastExact:
         if out == jnp.bfloat16:
             want = np.asarray(jnp.asarray(want).astype(jnp.bfloat16), np.float32)
         nan = np.isnan(want)
-        # e4m3fn NaN bytes (0x7F/0xFF) decode to a finite 480 under the
-        # bitcast trick — acceptable by design: quantized KV pages never
-        # hold NaN. e5m2 inf/nan map exactly (upper-half-of-f16 identity).
-        if fp8 == jnp.float8_e5m2:
-            assert (np.isnan(got) == nan).all()
-        # e4m3 denormals (|x| < 2^-6, 14 of 256 codes) may flush to zero in
-        # the rebias multiply (backend FTZ): allow exact-or-zero there. The
-        # introduced error (< 2^-9 per element, pre-descale) is far below
-        # e4m3's own quantization error.
-        denorm = (np.abs(want) > 0) & (np.abs(want) < 2.0 ** -6) \
-            if fp8 == jnp.float8_e4m3fn else np.zeros_like(nan)
-        ok = ~nan & ~denorm
+        # Deviation policy (ops/attention/paged_decode_dma.py:47-56, both
+        # encodings use the same rebias scheme): NaN/inf bytes decode to
+        # LARGE FINITE values (a poisoned page contributes a big finite
+        # logit instead of propagating NaN — quantized KV pages never hold
+        # NaN by construction), subnormals may flush to zero in the rebias
+        # multiply (exact-or-zero; error far below the format's own
+        # quantization error), every normal byte decodes EXACTLY.
+        inf = np.isinf(want)
+        special = nan | inf
+        assert np.isfinite(got[special]).all()
+        # e4m3fn NaN (0x7f/0xff) -> +-480 = 1.875*2^8; e5m2 inf/nan
+        # (exp field 31) -> >= 2^16 after the 2^112 rebias.
+        floor = 2.0 ** 16 if fp8 == jnp.float8_e5m2 else 448.0
+        assert (np.abs(got[special]) >= floor).all()
+        if fp8 == jnp.float8_e4m3fn:
+            denorm = (np.abs(want) > 0) & (np.abs(want) < 2.0 ** -6)
+        else:
+            denorm = (np.abs(want) > 0) & (np.abs(want) < 2.0 ** -14)
+        ok = ~special & ~denorm
         np.testing.assert_array_equal(got[ok], want[ok])
         d = got[denorm]
         w = want[denorm]

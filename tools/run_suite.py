@@ -14,7 +14,12 @@ on a signal (device wedge, OOM-kill) is retried after a device-health probe
 up to SGL_KERNEL_TPU_INFRA_RETRIES times. Nonzero-but-clean pytest failures
 are NOT retried — those are real test failures.
 
-Usage: python tools/run_suite.py [--shard I --num-shards N] [--timeout S]
+Usage: python tools/run_suite.py [--num-shards N] [--shard I] [--timeout S]
+
+Without --shard, ALL N shards run as parallel worker subprocesses and the
+exit code aggregates them (round-3 bug: the default --shard 0 silently ran
+only a quarter of the suite — the CI and CLAUDE.md invocation). With
+--shard I, only shard I runs (the per-worker mode used by CI matrices).
 """
 
 import argparse
@@ -107,13 +112,33 @@ def run_with_retries(path: str, root: str, timeout: float) -> int:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--shard", type=int, default=0)
+    ap.add_argument("--shard", type=int, default=None,
+                    help="run ONLY this shard (worker mode); default: run all")
     ap.add_argument("--num-shards", type=int, default=1)
     ap.add_argument("--timeout", type=float, default=900.0,
                     help="per-file hang kill (seconds)")
     args = ap.parse_args()
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    if args.shard is None and args.num_shards > 1:
+        # driver mode: one worker subprocess per shard, all in parallel,
+        # aggregate exit codes. This is what `--num-shards 4` means.
+        procs = []
+        for i in range(args.num_shards):
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--shard", str(i), "--num-shards", str(args.num_shards),
+                 "--timeout", str(args.timeout)],
+                cwd=root,
+            ))
+        bad = [i for i, p in enumerate(procs) if p.wait() != 0]
+        if bad:
+            print(f"FAILED shards: {bad}")
+            sys.exit(1)
+        print(f"suite OK (all {args.num_shards} shards)")
+        return
+
     files = sorted(glob.glob(os.path.join(root, "tests", "test_*.py")))
     files.sort(key=lambda f: -WEIGHTS.get(os.path.basename(f), 3))
     shards = [[] for _ in range(args.num_shards)]
@@ -123,8 +148,8 @@ def main():
         shards[i].append(f)
         loads[i] += WEIGHTS.get(os.path.basename(f), 3)
 
-    mine = shards[args.shard]
-    print(f"shard {args.shard}/{args.num_shards}: "
+    mine = shards[args.shard or 0]
+    print(f"shard {args.shard or 0}/{args.num_shards}: "
           f"{[os.path.basename(f) for f in mine]}", flush=True)
     failures = []
     for f in mine:
