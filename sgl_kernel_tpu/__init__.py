@@ -60,6 +60,7 @@ from .ops.gemm import (  # noqa: F401
     fp4_scaled_mm,
     fp8_blockwise_scaled_grouped_mm,
     fp8_blockwise_scaled_mm,
+    prepare_blockwise_scales,
     gptq_to_tpu_layout,
     scaled_fp4_experts_quant,
     scaled_fp4_quant,

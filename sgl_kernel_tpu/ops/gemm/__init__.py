@@ -4,6 +4,7 @@ FP8 blockwise, QServe W4A8."""
 from .blockwise_fp8 import (  # noqa: F401
     fp8_blockwise_scaled_grouped_mm,
     fp8_blockwise_scaled_mm,
+    prepare_blockwise_scales,
 )
 from .fp4 import (  # noqa: F401
     fp4_group_mm,

@@ -5,6 +5,7 @@ tolerances (test_int8_gemm.py, test_fp8_blockwise_gemm.py,
 test_qserve_w4a8_*.py, test_moe_gemm.py bf16 1e-1/2e-2).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -76,6 +77,75 @@ class TestFp8Blockwise:
         sb_full = np.repeat(np.repeat(sb, 128, axis=0), 128, axis=1)
         ref = (aq.astype(np.float32) * sa_full) @ (bq.astype(np.float32) * sb_full)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-2, atol=1e-4)
+
+    @pytest.mark.parametrize("decode", ["pair", "v32"])
+    def test_decode_policy_all_256_bytes(self, decode):
+        """Pins the module's documented deviation policy for BOTH decode
+        modes (blockwise_fp8.py module docstring): every normal e4m3 byte
+        decodes EXACTLY (after the 2^120 rebias the scale rows carry),
+        subnormals (|x| < 2^-6) are exact-or-zero, and the NaN bytes
+        0x7f/0xff decode to +-480 (finite)."""
+        from jax.experimental import pallas as pl
+        from sgl_kernel_tpu.ops.gemm import blockwise_fp8 as bw
+
+        dec = bw._DECODERS[decode]
+
+        def k(x_ref, o_ref):
+            o_ref[...] = dec(x_ref[...]).astype(jnp.float32) * (2.0 ** 120)
+
+        raw = jnp.arange(256, dtype=jnp.uint8).reshape(2, 128)
+        x = jax.lax.bitcast_convert_type(raw, jnp.float8_e4m3fn)
+        got = np.asarray(pl.pallas_call(
+            k, out_shape=jax.ShapeDtypeStruct((2, 128), jnp.float32),
+            interpret=True)(x))
+        want = np.asarray(x.astype(jnp.float32))
+        nan = np.isnan(want)
+        assert np.isfinite(got[nan]).all()
+        assert (np.abs(got[nan]) == 480.0).all()
+        denorm = (np.abs(want) > 0) & (np.abs(want) < 2.0 ** -6)
+        ok = ~nan & ~denorm
+        np.testing.assert_array_equal(got[ok], want[ok])
+        d, w = got[denorm], want[denorm]
+        assert ((d == w) | (d == 0)).all()
+
+    def test_production_scaled_accuracy(self, rng):
+        """Per-128-block amax-quantized data (the production layout, no
+        subnormal-heavy inputs): kernel matches the exact-fp8 oracle to
+        bf16-dot tolerance."""
+        m, n, k = 64, 256, 512
+        a = rng.standard_normal((m, k)).astype(np.float32)
+        b = rng.standard_normal((k, n)).astype(np.float32)
+        # 1x128 activation scales, 128x128 weight scales (amax -> 448)
+        sa = np.abs(a).reshape(m, k // 128, 128).max(-1) / 448.0
+        aq = np.asarray(jnp.asarray(a / np.repeat(sa, 128, 1)).astype(jnp.float8_e4m3fn))
+        sb = b.reshape(k // 128, 128, n // 128, 128)
+        sb = np.abs(sb).max(axis=(1, 3)) / 448.0
+        sb_full = np.repeat(np.repeat(sb, 128, axis=0), 128, axis=1)
+        bq = np.asarray(jnp.asarray(b / sb_full).astype(jnp.float8_e4m3fn))
+        out = gemm.fp8_blockwise_scaled_mm(
+            jnp.asarray(aq, jnp.float8_e4m3fn), jnp.asarray(bq, jnp.float8_e4m3fn),
+            jnp.asarray(sa.astype(np.float32)), jnp.asarray(sb.astype(np.float32)),
+            out_dtype=jnp.float32,
+        )
+        ref = (aq.astype(np.float32) * np.repeat(sa, 128, 1)) @ (
+            bq.astype(np.float32) * sb_full)
+        # the kernel folds sa into bf16 activations before the dot:
+        # 2^-9-relative rounding on top of the f32 oracle
+        np.testing.assert_allclose(
+            np.asarray(out), ref, rtol=1e-2, atol=3e-2 * np.abs(ref).std())
+
+    def test_prepared_scales_match_compact(self, rng):
+        from sgl_kernel_tpu.ops.gemm.blockwise_fp8 import prepare_blockwise_scales
+
+        m, n, k = 8, 256, 256
+        aq = jnp.asarray(rng.standard_normal((m, k)), jnp.float32).astype(jnp.float8_e4m3fn)
+        bq = jnp.asarray(rng.standard_normal((k, n)), jnp.float32).astype(jnp.float8_e4m3fn)
+        sa = jnp.asarray(rng.random((m, k // 128)).astype(np.float32))
+        sb = jnp.asarray(rng.random((k // 128, n // 128)).astype(np.float32))
+        o1 = gemm.fp8_blockwise_scaled_mm(aq, bq, sa, sb, out_dtype=jnp.float32)
+        o2 = gemm.fp8_blockwise_scaled_mm(
+            aq, bq, sa, prepare_blockwise_scales(sb), out_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
 
 
 class TestW4A16:
