@@ -74,16 +74,31 @@ def bench_decode_dma(rng, b, ctx, hq, hkv, d, records, kv_dtype=jnp.bfloat16,
 
     blocks = ctx // PAGE
     n_pages = b * blocks + 1
-    kp = (jax.random.normal(jax.random.PRNGKey(0), (n_pages, hkv, PAGE, d), jnp.bfloat16) * 0.3).astype(kv_dtype)
-    vp = (jax.random.normal(jax.random.PRNGKey(1), (n_pages, hkv, PAGE, d), jnp.bfloat16) * 0.3).astype(kv_dtype)
+    # low-bit pools carry a symmetric per-tensor kv_scale in production
+    # (make_caches fails fast without one for int8); the bench quantizes the
+    # same way the store does and times the kernel WITH the descale folds
+    # (q pre-multiply, output multiply, fresh-row compensation)
+    kv_scale = None if kv_dtype == jnp.bfloat16 else 1.0 / 16
+    kf = jax.random.normal(jax.random.PRNGKey(0), (n_pages, hkv, PAGE, d), jnp.bfloat16) * 0.3
+    vf = jax.random.normal(jax.random.PRNGKey(1), (n_pages, hkv, PAGE, d), jnp.bfloat16) * 0.3
+    if kv_dtype == jnp.int8:
+        kp = jnp.clip(jnp.round(kf.astype(jnp.float32) / kv_scale), -127, 127).astype(jnp.int8)
+        vp = jnp.clip(jnp.round(vf.astype(jnp.float32) / kv_scale), -127, 127).astype(jnp.int8)
+    elif kv_scale is not None:
+        kp = (kf.astype(jnp.float32) / kv_scale).astype(kv_dtype)
+        vp = (vf.astype(jnp.float32) / kv_scale).astype(kv_dtype)
+    else:
+        kp, vp = kf, vf
     lengths = jnp.full((b,), ctx, jnp.int32)
     table = jnp.asarray(rng.permutation(np.arange(1, n_pages)).reshape(b, blocks), jnp.int32)
     q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
     fk = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.bfloat16)
+    scale_arr = None if kv_scale is None else jnp.float32(kv_scale)
 
     def step(carry, kp, vp):
         o = paged_attention_decode_dma(
             carry, kp, vp, lengths, table, fresh_k=fk, fresh_v=fk,
+            k_scale=scale_arr, v_scale=scale_arr,
             num_splits=num_splits,
         )
         return carry + o * jnp.bfloat16(1e-8)

@@ -245,7 +245,13 @@ def _mlp(h2, weights, cfg, residual=None, layer_id=None):
     w = weights["down"]
     if cfg.fused:
         gu = _linear(h2, weights["gate_up"], cfg, layer_id=layer_id)
-        if isinstance(w, dict) and _w4_kernel_for(cfg, gu.shape[0]) is w4a16_gemm:
+        # fused_gate_up requires the down proj's packed K to equal the true
+        # intermediate size: quantize_w4 zero-pads non-group-multiple K, and
+        # the fused path cannot pad the interleaved [M, 2K] activation
+        # (w4a16.py asserts k_pad == k). Fall back to the slice path there.
+        if (isinstance(w, dict)
+                and _w4_kernel_for(cfg, gu.shape[0]) is w4a16_gemm
+                and gu.shape[-1] // 2 == w["packed"].shape[-2] * 2):
             # feed the FUSED gate_up output straight into the down GEMM's
             # silu prologue (two BlockSpecs over one array) — the
             # gate/up slices were standalone XLA fusion kernels between

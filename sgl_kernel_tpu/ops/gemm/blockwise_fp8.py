@@ -34,6 +34,15 @@ Design, mirroring ops/gemm/w4a16.py:
     once per call (3% of B's bytes), or ahead of time via
     ``prepare_blockwise_scales`` for weight-stationary callers.
 
+Numerics note (inner modes): the MXU dots run on 2^-120-biased bf16
+weights, so individual a*w products sit ~2^-120 below true scale — they
+must stay above f32's normal floor (2^-126) or flush. Production
+per-128-block amax scaling spreads weight codes toward +-448 (2^8.8),
+keeping products f32-normal for any activation the fp8 input format can
+represent; uniformly TINY weight codes (max |code| << 1 across a whole
+block — only possible with non-amax scale calibration) would flush.
+``gmode="prescale"`` dots at true scale and has no such constraint.
+
 Deviation policy (same as the fp8 KV pools, paged_decode_dma.py:47-56):
 e4m3 SUBNORMAL codes (|x| <= 0.875 * 2^-6, 14 of 256 bytes) flush to zero
 — the 2^-120 fold maps them below bf16's normal range, and production
@@ -60,12 +69,44 @@ REBIAS = 2.0 ** 120  # e4m3 bias 7 -> bf16 bias 127
 GROUPS_PER_KTILE = 8
 
 # Per-shape tile table, (N, K, m_bucket) -> (bm, bn, bk); measured on-chip
-# (benchmark/sweep_blockwise_fp8.py). m_bucket as in w4a16.py: 0 = decode
-# (M <= 32), 1 = small prefill (M <= 256), 2 = large prefill.
-_TILE_TABLE = {}
+# 2026-08-20 (benchmark/sweep_blockwise_fp8.py, L=16 distinct weight banks
+# per rep — L=8 sat on the 128 MiB VMEM boundary and over-read by ~25%).
+# m_bucket as in w4a16.py: 0 = decode (M <= 32), 1 = small prefill
+# (M <= 256), 2 = large prefill.
+_TILE_TABLE = {
+    (4096, 4096, 0): (16, 4096, 1024),   # 909 GB/s weight stream (inner2)
+    (4096, 7168, 0): (16, 4096, 1024),   # 660 GB/s (inner2; inner was 504)
+    (7168, 4096, 0): (16, 7168, 1024),   # 765-790 GB/s
+    (4096, 4096, 2): (256, 4096, 1024),  # 138.5 TF = 1.02x the per-tensor
+    # fp8_scaled_mm at the same shape (136.4 TF) and 0.78x the same-shape
+    # bf16 matmul (178.6 TF): the fp8->bf16 VPU decode chain is the v5e
+    # family ceiling (no fp8 MXU input); blockwise scaling itself is free.
+}
 
-# (N, K, m_bucket) -> decode mode override ("pair" | "v32").
+# (N, K, m_bucket) -> decode mode override ("pair" | "v32"). "pair" beat
+# "v32" everywhere measured (750 vs 440 GB/s at the decode headline shape).
 _DECODE_TABLE = {}
+
+# (N, K, m_bucket) -> gmode override ("inner" | "innerN" | "prescale"),
+# the w4a16 gmode analog: inner = per-group dots with scale-on-output
+# (nacc accumulators for innerN), prescale = whole-tile decode + sb folded
+# into the bf16 weights + ONE full-bk dot. Measured: inner2 wins the
+# decode bucket (652 -> 918 GB/s at 4096x4096, 504 -> 660 at K=7168 — the
+# f32 accumulate dependency chain was the drag), ties inner at prefill;
+# prescale loses everywhere (88-117 vs 138 TF); inner4/bk=2048/bm=512
+# crash the remote Mosaic compiler (HTTP 500).
+_GMODE_TABLE = {
+    (7168, 4096, 0): "inner",  # 790 inner vs 765 inner2 (within noise)
+    (4096, 4096, 2): "inner",
+}
+
+
+def _parse_gmode(gmode: str):
+    if gmode == "prescale":
+        return 1, True
+    assert gmode.startswith("inner") and (gmode[5:] == "" or gmode[5:].isdigit()), (
+        f"gmode must be 'inner[N]' or 'prescale', got {gmode!r}")
+    return int(gmode[5:] or 1), False
 
 
 def _m_bucket(m: int) -> int:
@@ -76,7 +117,10 @@ def pick_tiles(m: int, n: int, k: int):
     hit = _TILE_TABLE.get((n, k, _m_bucket(m)))
     if hit is not None:
         return hit
-    return min(256, round_up(m, 8)), 2048, GROUPS_PER_KTILE * BLOCK
+    # decode default bn=4096 (909 vs 699 GB/s at the measured shape);
+    # _resolve_tiles halves it to a divisor of N
+    bn = 4096 if _m_bucket(m) == 0 else 2048
+    return min(256, round_up(m, 8)), bn, GROUPS_PER_KTILE * BLOCK
 
 
 def register_tiles(table):
@@ -130,16 +174,13 @@ def _upcast_a(x):
     return jax.lax.bitcast_convert_type(h, jnp.bfloat16).astype(jnp.float32) * REBIAS
 
 
-def _kernel(a_ref, w_ref, sa_ref, sb_ref, o_ref, acc_ref, *, ngb, n_k, decode):
-    k_idx = pl.program_id(2)
-
-    @pl.when(k_idx == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
+def _group_dots(af, w_ref, sa_ref, sb_ref, *, ngb, decode, nacc, acc0):
+    """The shared inner loop: per-128-group MXU dots with scale-on-output
+    accumulation. ``nacc`` > 1 round-robins the scaled accumulate over
+    independent accumulators (halves/quarters the f32 add dependency
+    chain — the W4A16 gmode=inner2 lesson; wins on deep-K prefill)."""
     dec = _DECODERS[decode]
-    af = _upcast_a(a_ref[...])  # [bm, bk] f32 true values
-    acc = acc_ref[...]
+    accs = [acc0] + [jnp.zeros_like(acc0) for _ in range(nacc - 1)]
     for g in range(ngb):
         # scale_a column folds into the activation slice (bm x 128 VPU)
         a_g = (af[:, g * BLOCK : (g + 1) * BLOCK] * sa_ref[g, :, 0][:, None]).astype(jnp.bfloat16)
@@ -147,8 +188,47 @@ def _kernel(a_ref, w_ref, sa_ref, sb_ref, o_ref, acc_ref, *, ngb, n_k, decode):
         part = jax.lax.dot_general(
             a_g, w_g, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        acc = acc + part * sb_ref[g, :][None, :]  # sb rows carry * 2^120
-    acc_ref[...] = acc
+        i = g % nacc
+        accs[i] = accs[i] + part * sb_ref[g, :][None, :]  # sb rows carry * 2^120
+    return functools.reduce(lambda x, y: x + y, accs)
+
+
+def _prescale_dot(af, w_ref, sa_ref, sb_ref, *, ngb, decode, acc0):
+    """Prefill alternative: decode the WHOLE [bk, bn] tile, fold sb into
+    the bf16 weight tile via a [ngb, 128, bn] reshape-broadcast, and issue
+    ONE full-bk MXU dot — trades ngb scaled [bm, bn] f32 accumulates (the
+    VPU drag at large bm) for one bk x bn VPU multiply. Numerics: the
+    scaled weight rounds to bf16 BEFORE the dot (the group-dot form scales
+    the f32 partial AFTER), a <= 2^-8 relative difference."""
+    dec = _DECODERS[decode]
+    w = dec(w_ref[...])  # [bk, bn] bf16 * 2^-120; sb rows carry * 2^120
+    bk, bn = w.shape
+    ws = (w.reshape(ngb, BLOCK, bn).astype(jnp.float32)
+          * sb_ref[...].astype(jnp.float32)[:, None, :]).reshape(bk, bn)
+    bm = af.shape[0]
+    a = (af.reshape(bm, ngb, BLOCK) * sa_ref[:, :, 0].T[:, :, None]).reshape(bm, bk)
+    part = jax.lax.dot_general(
+        a.astype(jnp.bfloat16), ws.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    return acc0 + part
+
+
+def _kernel(a_ref, w_ref, sa_ref, sb_ref, o_ref, acc_ref, *, ngb, n_k, decode, nacc=1, prescale=False):
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    af = _upcast_a(a_ref[...])  # [bm, bk] f32 true values
+    if prescale:
+        acc_ref[...] = _prescale_dot(
+            af, w_ref, sa_ref, sb_ref, ngb=ngb, decode=decode, acc0=acc_ref[...])
+    else:
+        acc_ref[...] = _group_dots(
+            af, w_ref, sa_ref, sb_ref, ngb=ngb, decode=decode, nacc=nacc,
+            acc0=acc_ref[...])
 
     @pl.when(k_idx == n_k - 1)
     def _done():
@@ -181,11 +261,11 @@ def _resolve_tiles(m, n, k, bm, bn, bk):
     return bm, bn, bk
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk", "decode"))
+@functools.partial(jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk", "decode", "gmode"))
 def fp8_blockwise_scaled_mm(
     a, b, scales_a, scales_b, out_dtype=jnp.bfloat16, *,
     bm: Optional[int] = None, bn: Optional[int] = None, bk: Optional[int] = None,
-    decode: Optional[str] = None,
+    decode: Optional[str] = None, gmode: Optional[str] = None,
 ):
     """A [M,K] fp8, B [K,N] fp8, scales_a [M, K/128] f32,
     scales_b [K/128, N/128] f32 (or pre-expanded [K/128, N] from
@@ -203,6 +283,13 @@ def fp8_blockwise_scaled_mm(
         sbx = scales_b
     if decode is None:
         decode = _DECODE_TABLE.get((n, k, _m_bucket(m)), "pair")
+    if gmode is None:
+        # inner2 is the measured decode-bucket default (the f32 accumulate
+        # dependency chain stalls the single-accumulator form at M<=32);
+        # prefill keeps inner (ties, fewer VMEM accumulators)
+        default = "inner2" if _m_bucket(m) == 0 else "inner"
+        gmode = _GMODE_TABLE.get((n, k, _m_bucket(m)), default)
+    nacc, prescale = _parse_gmode(gmode)
 
     bm, bn, bk = _resolve_tiles(m, n, k, bm, bn, bk)
     mp = round_up(m, bm)
@@ -218,7 +305,8 @@ def fp8_blockwise_scaled_mm(
     sa_t = jnp.swapaxes(scales_a.astype(jnp.float32), 0, 1)[..., None]
 
     out = pl.pallas_call(
-        functools.partial(_kernel, ngb=ngb, n_k=n_k, decode=decode),
+        functools.partial(_kernel, ngb=ngb, n_k=n_k, decode=decode,
+                          nacc=nacc, prescale=prescale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda j, i, kk: (i, kk)),
@@ -242,7 +330,7 @@ def fp8_blockwise_scaled_mm(
     return out[:m] if mp != m else out
 
 
-def _grouped_kernel(eids_ref, a_ref, w_ref, sa_ref, sb_ref, o_ref, acc_ref, *, ngb, n_k, decode):
+def _grouped_kernel(eids_ref, a_ref, w_ref, sa_ref, sb_ref, o_ref, acc_ref, *, ngb, n_k, decode, nacc=1):
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -251,26 +339,27 @@ def _grouped_kernel(eids_ref, a_ref, w_ref, sa_ref, sb_ref, o_ref, acc_ref, *, n
 
     dec = _DECODERS[decode]
     af = _upcast_a(a_ref[...])
-    acc = acc_ref[...]
+    accs = [acc_ref[...]] + [jnp.zeros_like(acc_ref[...]) for _ in range(nacc - 1)]
     for g in range(ngb):
         a_g = (af[:, g * BLOCK : (g + 1) * BLOCK] * sa_ref[g, :, 0][:, None]).astype(jnp.bfloat16)
         w_g = dec(w_ref.at[0, pl.ds(g * BLOCK, BLOCK), :][...])
         part = jax.lax.dot_general(
             a_g, w_g, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        acc = acc + part * sb_ref[0, g, :][None, :]
-    acc_ref[...] = acc
+        i = g % nacc
+        accs[i] = accs[i] + part * sb_ref[0, g, :][None, :]
+    acc_ref[...] = functools.reduce(lambda x, y: x + y, accs)
 
     @pl.when(k_idx == n_k - 1)
     def _done():
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk", "decode"))
+@functools.partial(jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk", "decode", "gmode"))
 def fp8_blockwise_scaled_grouped_mm(
     a, b, scales_a, scales_b, expert_ids, out_dtype=jnp.bfloat16, *,
     bm: int = 128, bn: Optional[int] = None, bk: Optional[int] = None,
-    decode: str = "pair",
+    decode: str = "pair", gmode: str = "inner",
 ):
     """Grouped DeepSeek-style blockwise-FP8 GEMM for MoE.
 
@@ -306,8 +395,10 @@ def fp8_blockwise_scaled_grouped_mm(
     grid = (m // bm, n // bn, n_k)
     sa_t = jnp.swapaxes(scales_a.astype(jnp.float32), 0, 1)[..., None]
 
+    nacc, prescale = _parse_gmode(gmode)
+    assert not prescale, "grouped kernel supports inner[N] gmodes only"
     return pl.pallas_call(
-        functools.partial(_grouped_kernel, ngb=ngb, n_k=n_k, decode=decode),
+        functools.partial(_grouped_kernel, ngb=ngb, n_k=n_k, decode=decode, nacc=nacc),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,

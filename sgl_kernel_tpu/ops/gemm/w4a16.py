@@ -340,6 +340,9 @@ def w4a16_gemm(
             gmode = _GMODE_TABLE.get((n, k, 0), "inner")
         else:
             gmode = "loop"
+    assert gmode in ("loop", "batched") or (
+        gmode.startswith("inner") and (gmode[5:] == "" or gmode[5:].isdigit())
+    ), f"gmode must be 'loop', 'batched', or 'inner[N]', got {gmode!r}"
     k_pad = w.shape[-2] * 2  # packed layout [.., K/2, N]
     if fused_gate_up:
         assert k_pad == k, (k_pad, k)

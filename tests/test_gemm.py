@@ -134,6 +134,32 @@ class TestFp8Blockwise:
         np.testing.assert_allclose(
             np.asarray(out), ref, rtol=1e-2, atol=3e-2 * np.abs(ref).std())
 
+    @pytest.mark.parametrize("gmode", ["inner", "inner2", "inner4", "prescale"])
+    def test_gmode_variants_vs_oracle(self, rng, gmode):
+        """Every gmode matches the exact-fp8 oracle on PRODUCTION-scaled
+        data (per-128-block amax quantization). The amax layout matters
+        for the inner modes: their MXU products carry the 2^-120 weight
+        bias, so weight codes must spread toward +-448 to keep products
+        f32-normal (see blockwise_fp8.py numerics note) — amax scaling
+        guarantees that; prescale dots at true scale and has no such
+        constraint (but rounds w*sb to bf16 BEFORE the dot)."""
+        m, n, k = 32, 256, 512
+        a = rng.standard_normal((m, k)).astype(np.float32)
+        b = rng.standard_normal((k, n)).astype(np.float32)
+        sa = np.abs(a).reshape(m, k // 128, 128).max(-1) / 448.0
+        aq = np.asarray(jnp.asarray(a / np.repeat(sa, 128, 1)).astype(jnp.float8_e4m3fn))
+        sbb = b.reshape(k // 128, 128, n // 128, 128)
+        sb = np.abs(sbb).max(axis=(1, 3)) / 448.0
+        sb_full = np.repeat(np.repeat(sb, 128, axis=0), 128, axis=1)
+        bq = np.asarray(jnp.asarray(b / sb_full).astype(jnp.float8_e4m3fn))
+        got = np.asarray(gemm.fp8_blockwise_scaled_mm(
+            jnp.asarray(aq, jnp.float8_e4m3fn), jnp.asarray(bq, jnp.float8_e4m3fn),
+            jnp.asarray(sa.astype(np.float32)), jnp.asarray(sb.astype(np.float32)),
+            out_dtype=jnp.float32, gmode=gmode))
+        ref = (aq.astype(np.float32) * np.repeat(sa, 128, 1)) @ (
+            bq.astype(np.float32) * sb_full)
+        np.testing.assert_allclose(got, ref, rtol=1e-2, atol=3e-2 * np.abs(ref).std())
+
     def test_prepared_scales_match_compact(self, rng):
         from sgl_kernel_tpu.ops.gemm.blockwise_fp8 import prepare_blockwise_scales
 
