@@ -38,6 +38,7 @@ from .ops.attention.sparse_vs import (  # noqa: F401
     convert_vertical_slash_indexes_mergehead,
     sparse_attention_vertical_slash,
     sparse_attn_func,
+    sparse_attn_varlen_func,
 )
 from .ops.attention.nsa import (  # noqa: F401
     fast_topk,
@@ -73,7 +74,13 @@ from .ops.gemm import (  # noqa: F401
 )
 from .ops.grammar import apply_token_bitmask  # noqa: F401
 from .ops.hadamard import hadamard_transform  # noqa: F401
-from .ops.hc import hc_post, hc_split_sinkhorn, mhc_pre  # noqa: F401
+from .ops.hc import (  # noqa: F401
+    hc_post,
+    hc_pre_big_fuse,
+    hc_pre_gemm_sqr_sum,
+    hc_split_sinkhorn,
+    mhc_pre,
+)
 from .ops.kvcache import (  # noqa: F401
     store_cache,
     store_cache_head_major,

@@ -238,16 +238,24 @@ def build_vertical_slash_indexes(
 
 
 def _bs_kernel(bc_ref, bo_ref, cc_ref,      # prefetch [B,H,R], [B,H,R,NS], [B,H,R]
+               kvl_ref,                     # prefetch [B] per-seq kv length
                q_ref,                       # VMEM [1,1,bm,D]
-               ci_ref,                      # VMEM [1,1,1,NVp] int32 column ids
+               ci_ref,                      # VMEM [1,1,R,NVp] int32 column ids
                kc_ref, vc_ref,              # VMEM [1,1,1,NVp,D] gathered columns
                k_hbm, v_hbm,                # ANY [B,H,Sk,D]
-               o_ref,                       # VMEM [1,1,bm,D]
-               kb, vb, in_sem,              # scratch [2,bn,D] x2, DMA sem (2,2)
-               *, bm: int, bn: int, ns: int, causal: bool, sm_scale: float):
+               *refs,                       # o_ref [,lse_ref], then scratch
+               bm: int, bn: int, ns: int, causal: bool, sm_scale: float,
+               softcap: float = 0.0, with_lse: bool = False):
+    if with_lse:
+        o_ref, lse_ref = refs[0], refs[1]
+        kb, vb, in_sem = refs[2:]
+    else:
+        o_ref = refs[0]
+        kb, vb, in_sem = refs[1:]
     b, h, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nb = bc_ref[b, h, r]
     cc = cc_ref[b, h, r]
+    kvl = kvl_ref[b]
     nvp = ci_ref.shape[-1]
     d = q_ref.shape[-1]
     rows = r * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
@@ -266,12 +274,15 @@ def _bs_kernel(bc_ref, bo_ref, cc_ref,      # prefetch [B,H,R], [B,H,R,NS], [B,H
             dma.start()
 
     # --- stage 1: exact vertical columns (gathered to VMEM by the caller)
-    colids = ci_ref[0, 0, 0]  # [NVp]
+    colids = ci_ref[0, 0, r]  # [NVp] (full-R block: Mosaic last-two-dims rule)
     s_cols = jax.lax.dot_general(
         q, kc_ref[0, 0, 0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * sm_scale  # [bm, NVp]
+    if softcap > 0.0:
+        s_cols = softcap * jnp.tanh(s_cols / softcap)
     cmask = jax.lax.broadcasted_iota(jnp.int32, (bm, nvp), 1) < cc
+    cmask = cmask & (colids[None, :] < kvl)
     if causal:
         cmask = cmask & (colids[None, :] <= rows)
     s_cols = jnp.where(cmask, s_cols, -jnp.inf)
@@ -300,9 +311,16 @@ def _bs_kernel(bc_ref, bo_ref, cc_ref,      # prefetch [B,H,R], [B,H,R,NS], [B,H
             q, kb[slot], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * sm_scale  # [bm, bn]
+        if softcap > 0.0:
+            s_blk = softcap * jnp.tanh(s_blk / softcap)
+        # a scheduled block may overlap past this sequence's kv_len
+        # (offsets are clamped to start < kv_len, not end <= kv_len);
+        # varlen rectangles zero-pad those rows, so mask them here
+        cols = off + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+        blk_mask = cols < kvl
         if causal:
-            cols = off + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
-            s_blk = jnp.where(cols <= rows, s_blk, -jnp.inf)
+            blk_mask = blk_mask & (cols <= rows)
+        s_blk = jnp.where(blk_mask, s_blk, -jnp.inf)
         mb = jnp.maximum(jnp.max(s_blk, axis=-1, keepdims=True), -1e30)
         mn = jnp.maximum(m, mb)
         alpha = jnp.exp(m - mn)
@@ -316,10 +334,19 @@ def _bs_kernel(bc_ref, bo_ref, cc_ref,      # prefetch [B,H,R], [B,H,R,NS], [B,H
 
     m, l, acc = jax.lax.fori_loop(0, nb, body, (m0, l0, acc0))
     o_ref[0, 0] = jnp.where(l > 0, acc / jnp.maximum(l, 1e-38), 0.0).astype(o_ref.dtype)
+    if with_lse:
+        lse = jnp.where(
+            l[:, 0] > 0, m[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-38)), -jnp.inf
+        ).astype(lse_ref.dtype)
+        # [B*H, 8, Sq] 8-row broadcast tile (Mosaic last-two-dims rule)
+        lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_size_M", "block_size_N", "causal", "sm_scale")
+    jax.jit,
+    static_argnames=(
+        "block_size_M", "block_size_N", "causal", "sm_scale", "softcap", "return_lse",
+    ),
 )
 def sparse_attn_func(
     q,
@@ -334,6 +361,9 @@ def sparse_attn_func(
     block_size_N: int = 128,
     causal: bool = True,
     sm_scale: Optional[float] = None,
+    softcap: float = 0.0,
+    return_lse: bool = False,
+    kv_lens=None,
 ):
     """Block-sparse attention over the vertical/slash schedule (reference
     sparse_flash_attn.py::sparse_attn_func; kernels declared-only on XPU).
@@ -374,29 +404,40 @@ def sparse_attn_func(
     vc = vt[bi, hi, ci, :]
 
     kernel = functools.partial(
-        _bs_kernel, bm=bm, bn=bn, ns=ns, causal=causal, sm_scale=sm_scale
+        _bs_kernel, bm=bm, bn=bn, ns=ns, causal=causal, sm_scale=sm_scale,
+        softcap=softcap, with_lse=return_lse,
     )
-    out = pl.pallas_call(
+    out_shapes = [jax.ShapeDtypeStruct((b, h, sq, d), q.dtype)]
+    out_specs = [pl.BlockSpec((1, 1, bm, d), lambda b_, h_, r_, *pf: (b_, h_, r_, 0))]
+    if return_lse:
+        # [B*H, 8, Sq] with an 8-row broadcast per tile (Mosaic block rule)
+        out_shapes.append(jax.ShapeDtypeStruct((b * h, 8, sq), jnp.float32))
+        out_specs.append(pl.BlockSpec(
+            (1, 8, bm), lambda b_, h_, r_, *pf, _h=h: (b_ * _h + h_, 0, r_)))
+    res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(b, h, r),
             in_specs=[
                 pl.BlockSpec((1, 1, bm, d), lambda b_, h_, r_, *pf: (b_, h_, r_, 0)),
-                pl.BlockSpec((1, 1, 1, nvp), lambda b_, h_, r_, *pf: (b_, h_, r_, 0)),
+                # full-R block: a (1,1,1,nvp) tile trips Mosaic's
+                # last-two-dims rule (R not divisible by 8); R*nvp int32
+                # is tiny, so load all rows and slice in-kernel
+                pl.BlockSpec((1, 1, r, nvp), lambda b_, h_, r_, *pf: (b_, h_, 0, 0)),
                 pl.BlockSpec((1, 1, 1, nvp, d), lambda b_, h_, r_, *pf: (b_, h_, r_, 0, 0)),
                 pl.BlockSpec((1, 1, 1, nvp, d), lambda b_, h_, r_, *pf: (b_, h_, r_, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 1, bm, d), lambda b_, h_, r_, *pf: (b_, h_, r_, 0)),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((2, bn, d), kt.dtype),
                 pltpu.VMEM((2, bn, d), vt.dtype),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -405,6 +446,99 @@ def sparse_attn_func(
         block_count.astype(jnp.int32),
         block_offset.astype(jnp.int32),
         column_count.astype(jnp.int32),
+        (jnp.full((b,), s, jnp.int32) if kv_lens is None
+         else jnp.asarray(kv_lens).astype(jnp.int32)),
         qt, ci, kc, vc, kt, vt,
     )
-    return jnp.swapaxes(out[:, :, :s], 1, 2)
+    out = jnp.swapaxes(res[0][:, :, :s], 1, 2)
+    if return_lse:
+        return out, res[1][:, 0, :].reshape(b, h, sq)[:, :, :s]  # lse [B, H, S]
+    return out
+
+
+def sparse_attn_varlen_func(
+    q,
+    k,
+    v,
+    block_count,
+    block_offset,
+    column_count,
+    column_index,
+    cu_seqlens_q,
+    cu_seqlens_k,
+    max_seqlen_q: int,
+    max_seqlen_k: int,
+    *,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    softcap: float = 0.0,
+    return_softmax_lse: bool = False,
+    block_size_M: int = 64,
+    block_size_N: int = 128,
+):
+    """Variable-length vertical+slash sparse attention (reference
+    sparse_attn_varlen_func, sparse_flash_attn.py:851-935).
+
+    q [total_q, H, D]; k/v [total_k, Hk, D] (GQA: Hk divides H); schedule
+    arrays [B, H, R(, NNZ)] from ``convert_vertical_slash_indexes`` with
+    R = ceil(max_seqlen_q / block_size_M); cu_seqlens host int arrays
+    [B+1]. The ragged stream is scattered into the [B, S] rectangle once
+    (S = max(max_seqlen_q, max_seqlen_k)), runs the tile-skipping kernel
+    (per-sequence schedules already stop at each sequence's length —
+    skipped padding tiles cost nothing), and gathers the ragged rows back.
+    With ``causal`` each sequence must have q_len == kv_len (the
+    MInference prefill contract this schedule encodes; the top-left-
+    aligned extend form is not defined for vertical/slash schedules).
+
+    Returns out [total_q, H, D] (+ lse [H, total_q] f32 when
+    ``return_softmax_lse``, the reference's layout).
+    """
+    import numpy as np
+
+    cu_q = np.asarray(cu_seqlens_q, np.int64)
+    cu_k = np.asarray(cu_seqlens_k, np.int64)
+    nb = len(cu_q) - 1
+    q_lens = cu_q[1:] - cu_q[:-1]
+    k_lens = cu_k[1:] - cu_k[:-1]
+    if causal:
+        assert (q_lens == k_lens).all(), (
+            "causal sparse_attn_varlen_func requires q_len == kv_len per "
+            f"sequence (got q={q_lens.tolist()}, k={k_lens.tolist()})")
+    h, d = q.shape[1], q.shape[2]
+    hk = k.shape[1]
+    s = round_up(max(int(max_seqlen_q), int(max_seqlen_k)), block_size_M)
+
+    def to_rect(x, cu, lens):
+        # [total, Hx, D] -> [B, S, Hx, D]; padding rows read row `total`
+        # of a zero-extended copy (gather-with-drop)
+        pos = cu[:-1, None] + np.arange(s)[None, :]
+        pad = pos >= cu[1:, None]
+        pos = np.where(pad, x.shape[0], pos)
+        xz = jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
+        return xz[jnp.asarray(pos, jnp.int32)]
+
+    qr = to_rect(q, cu_q, q_lens)
+    kr = to_rect(k, cu_k, k_lens)
+    vr = to_rect(v, cu_k, k_lens)
+    if hk != h:
+        assert h % hk == 0, (h, hk)
+        kr = jnp.repeat(kr, h // hk, axis=2)
+        vr = jnp.repeat(vr, h // hk, axis=2)
+
+    res = sparse_attn_func(
+        qr, kr, vr, block_count, block_offset, column_count, column_index,
+        block_size_M=block_size_M, block_size_N=block_size_N, causal=causal,
+        sm_scale=softmax_scale, softcap=softcap, return_lse=return_softmax_lse,
+        kv_lens=jnp.asarray(k_lens, jnp.int32),
+    )
+    out_r = res[0] if return_softmax_lse else res
+    # gather the ragged rows back: token t of seq b = rect row (b, t)
+    flat_b = np.concatenate([np.full(int(l), i) for i, l in enumerate(q_lens)]) if nb else np.zeros(0, np.int64)
+    flat_t = np.concatenate([np.arange(int(l)) for l in q_lens]) if nb else np.zeros(0, np.int64)
+    bi = jnp.asarray(flat_b, jnp.int32)
+    ti = jnp.asarray(flat_t, jnp.int32)
+    out = out_r[bi, ti]
+    if return_softmax_lse:
+        lse = res[1][bi, :, ti]  # [total_q, H] -> [H, total_q]
+        return out, jnp.swapaxes(lse, 0, 1)
+    return out

@@ -234,3 +234,101 @@ def plan_compress_prefill(lengths, *, compress_ratio: int = 4, ring_size: int = 
     src = jnp.where(live[:, :, None] & (src >= 0), src, -1)
     dst = jnp.where(live, eid % ring_size, -1)
     return src.astype(jnp.int32), dst.astype(jnp.int32), jnp.minimum(n_events, ring_size).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# legacy (pre-ring/SWA-page) plan builders: fixed per-request pool addressing
+# (reference compress_plan.py:124-246). Legacy layout — c4 double-buffers TWO
+# 4-token pages per request (page = rid*2 + ((pos//4)&1), loc = page*4 +
+# pos%4); other ratios keep ONE page per request (page = rid, loc = rid*r +
+# pos%r). The reference packs the plans into pinned uint8 rows for the host
+# -> device copy; on TPU the plans stay structured int32 (the packing is a
+# transport detail, not semantics).
+# ---------------------------------------------------------------------------
+
+
+def _legacy_page(rid, position, compress_ratio: int):
+    """compress_plan.py:22-29."""
+    if compress_ratio == 4:
+        return rid * 2 + ((position // 4) & 1)
+    return rid
+
+
+def _legacy_loc(rid, position, compress_ratio: int):
+    """compress_plan.py:32-37."""
+    return _legacy_page(rid, position, compress_ratio) * compress_ratio + (
+        position % compress_ratio)
+
+
+@functools.partial(jax.jit, static_argnames=("compress_ratio",))
+def plan_compress_decode_legacy(req_pool_indices, seq_lens, compress_ratio: int = 4):
+    """Decode-step legacy plan (reference plan_compress_decode_legacy,
+    compress_plan.py:237-246): per request, [seq_len, write_loc,
+    read_page(pos0), read_page(pos1)] int32 — the reference returns the
+    same four lanes viewed as [B, 16] uint8."""
+    rid = req_pool_indices.astype(jnp.int32)
+    pos1 = seq_lens.astype(jnp.int32) - 1
+    pos0 = jnp.maximum(pos1 - compress_ratio, 0)
+    return jnp.stack(
+        [
+            seq_lens.astype(jnp.int32),
+            _legacy_loc(rid, pos1, compress_ratio),
+            _legacy_page(rid, pos0, compress_ratio),
+            _legacy_page(rid, pos1, compress_ratio),
+        ],
+        axis=1,
+    )
+
+
+def plan_compress_prefill_legacy(req_pool_indices, seq_lens, extend_lens,
+                                 num_q_tokens: int, compress_ratio: int = 4):
+    """Prefill legacy plan (reference plan_compress_prefill_legacy,
+    compress_plan.py:124-234) — a HOST-side planner in the reference too
+    (python loops over cpu lists filling a pinned buffer).
+
+    Returns (plan_c [num_c, 4] int32, plan_w [num_w, 2] int32):
+      plan_c rows: [position + 1, (buffer_len << 16) | ragged_id,
+                    legacy_page(pos0), legacy_page(pos1)] — one row per
+      compress event (a token whose 1-based position crosses a multiple of
+      compress_ratio); buffer_len = how many window tokens come from the
+      state buffer (_prefill_buffer_len rule: window - min(j+1, window)).
+      plan_w rows: [ragged_id, legacy_loc(position)] — one row per token in
+      the current (possibly double-buffered) window region.
+    """
+    import numpy as np
+
+    is_overlap = compress_ratio == 4
+    window = compress_ratio * (2 if is_overlap else 1)
+    rids = np.asarray(req_pool_indices, np.int64)
+    seqs = np.asarray(seq_lens, np.int64)
+    exts = np.asarray(extend_lens, np.int64)
+
+    c_rows, w_rows = [], []
+    counter = 0
+    for b, (sl, el) in enumerate(zip(seqs, exts)):
+        prefix_len = int(sl - el)
+        last_c_pos = (int(sl) // compress_ratio) * compress_ratio
+        first_w_pos = last_c_pos - (compress_ratio if is_overlap else 0)
+        rid = int(rids[b])
+        for j in range(int(el)):
+            position = prefix_len + j
+            ragged_id = counter + j
+            if (position + 1) % compress_ratio == 0:
+                buffer_len = window - min(j + 1, window)
+                pos0 = max(position - compress_ratio, 0)
+                c_rows.append((
+                    position + 1,
+                    ((buffer_len & 0xFFFF) << 16) | (ragged_id & 0xFFFF),
+                    int(_legacy_page(rid, pos0, compress_ratio)),
+                    int(_legacy_page(rid, position, compress_ratio)),
+                ))
+            if position >= first_w_pos:
+                w_rows.append((
+                    ragged_id & 0xFFFF,
+                    int(_legacy_loc(rid, position, compress_ratio)),
+                ))
+        counter += int(el)
+    assert counter <= num_q_tokens, (counter, num_q_tokens)
+    plan_c = np.asarray(c_rows, np.int32).reshape(-1, 4)
+    plan_w = np.asarray(w_rows, np.int32).reshape(-1, 2)
+    return jnp.asarray(plan_c), jnp.asarray(plan_w)

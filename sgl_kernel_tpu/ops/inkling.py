@@ -23,12 +23,14 @@ scatter); the conv state caches reuse the linear_attn state-cache layout.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 HEAD_DIM = 128
+PAD_SLOT_ID = -1  # reference inkling_sconv.py:7
+CHUNK_SIZE = 64   # reference inkling_sconv.py:8
 
 
 def _head_rmsnorm(x, gamma, eps):
@@ -197,10 +199,135 @@ def update_sconv_cache(conv_cache, cache_indices, tails):
     return conv_cache.at[safe].set(tails.astype(conv_cache.dtype), mode="drop")
 
 
-def fused_gather_scatter_to_sconv_cache(conv_cache, src_indices, dst_indices):
-    """Copy cache rows src -> dst (request migration;
-    inkling_sconv.py:269-283)."""
+def migrate_sconv_cache(conv_cache, src_indices, dst_indices):
+    """Copy cache rows src -> dst (request migration)."""
     s = conv_cache.shape[0]
     rows = conv_cache[jnp.maximum(src_indices, 0)]
     safe_dst = jnp.where((dst_indices >= 0) & (src_indices >= 0), dst_indices, s)
     return conv_cache.at[safe_dst].set(rows, mode="drop")
+
+
+def fused_gather_scatter_to_sconv_cache(hidden_states, conv_cache, track_conv_idx, mask, dst_indices):
+    """Gather per-request conv windows out of a token stream and scatter
+    them into the cache: cache[dst[b], w] = hidden[track_idx[b, w]] where
+    mask[b] and dst[b] != PAD (reference inkling_gather_scatter_sconv_cache,
+    InklingSconv.cpp:775-833; oracle tests/sconv_reference.py:157-168).
+
+    hidden_states [total_tokens, D]; conv_cache [S, W-1, D];
+    track_conv_idx [B, W-1] int32 token ids (from ``track_conv_indices``);
+    mask [B] bool; dst_indices [B] cache slots. Returns the updated cache.
+    """
+    rows = hidden_states[jnp.maximum(track_conv_idx, 0)]  # [B, W-1, D]
+    s = conv_cache.shape[0]
+    ok = mask & (dst_indices != PAD_SLOT_ID)
+    safe_dst = jnp.where(ok, dst_indices, s)
+    return conv_cache.at[safe_dst].set(rows.astype(conv_cache.dtype), mode="drop")
+
+
+class SconvMetadata(NamedTuple):
+    """Reference SconvDecodeMetadata / SconvExtendMetadata
+    (inkling_sconv.py:138-180): cache_mask [B,1,1], safe_idx [B],
+    cu [B+1] token start offsets, si [T] token -> sequence ids."""
+
+    cache_mask: jax.Array
+    safe_idx: jax.Array
+    cu: jax.Array
+    si: jax.Array
+
+
+def precompute_helion_decode_metadata(cache_indices, has_initial_state):
+    """Decode-mode metadata (reference precompute_helion_decode_metadata,
+    inkling_sconv.py:138-156): one token per sequence, so cu/si are
+    trivial aranges."""
+    ci = cache_indices.astype(jnp.int32)
+    b = ci.shape[0]
+    cache_mask = (has_initial_state & (ci != PAD_SLOT_ID))[:, None, None]
+    return SconvMetadata(
+        cache_mask=cache_mask,
+        safe_idx=jnp.maximum(ci, 0),
+        cu=jnp.arange(b + 1, dtype=jnp.int32),
+        si=jnp.arange(b, dtype=jnp.int32),
+    )
+
+
+def precompute_helion_extend_metadata(cache_indices, has_initial_state, query_start_loc, *, total_tokens: int):
+    """Extend-mode metadata (reference precompute_helion_extend_metadata,
+    inkling_sconv.py:158-180): si maps each of the ``total_tokens`` ragged
+    tokens to its sequence via searchsorted over query_start_loc."""
+    ci = cache_indices.astype(jnp.int32)
+    b = ci.shape[0]
+    cache_mask = (has_initial_state & (ci != PAD_SLOT_ID))[:, None, None]
+    cu = query_start_loc.astype(jnp.int32)
+    t = jnp.arange(total_tokens, dtype=jnp.int32)
+    si = jnp.clip(jnp.searchsorted(cu, t, side="right") - 1, 0, b - 1).astype(jnp.int32)
+    return SconvMetadata(cache_mask=cache_mask, safe_idx=jnp.maximum(ci, 0), cu=cu, si=si)
+
+
+def track_conv_indices(query_start_loc, mamba_track_seqlens, extend_prefix_lens,
+                       width_minus_one: int, chunk_size: int = CHUNK_SIZE,
+                       total_tokens: Optional[int] = None):
+    """[B, W-1] token indices of the conv window ending at each request's
+    last chunk-aligned tracked position (reference
+    inkling_track_conv_indices, InklingSconv.cpp:1348-1392): per request,
+    the tracked length is max(mamba_track_seqlens - extend_prefix_lens, 0)
+    rounded DOWN to chunk_size, and the window covers the W-1 tokens
+    before that offset within the request's segment; indices clamp to
+    [0, total_tokens - 1]."""
+    if total_tokens is None:
+        total_tokens = int(query_start_loc[-1])
+    b = mamba_track_seqlens.shape[0]
+    lens = jnp.maximum(
+        mamba_track_seqlens.astype(jnp.int32) - extend_prefix_lens.astype(jnp.int32)[:b], 0)
+    aligned = (lens // chunk_size) * chunk_size
+    base = query_start_loc.astype(jnp.int32)[:b] + aligned - width_minus_one
+    idx = base[:, None] + jnp.arange(width_minus_one, dtype=jnp.int32)[None, :]
+    return jnp.clip(idx, 0, max(0, total_tokens - 1)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("activation", "use_residual"))
+def fused_causal_conv1d_update_decode(
+    x, weight, sconv_cache, cache_indices, cache_mask,
+    activation: Optional[str] = None, use_residual: bool = True,
+    track_mask=None, track_indices=None,
+):
+    """One decode step of the depthwise causal conv WITH the cache update
+    fused (reference inkling_fused_decode_update_sconv,
+    InklingSconv.cpp:484-582): per token t,
+
+        y[t] = x[t] * w[:, W-1] + sum_p mask[t] * cache[ci[t], p] * w[:, p]
+
+    (optional silu, optional +x residual), then the cache window shifts
+    x in: cache[ci[t]] = [masked cache rows 1..W-2, x[t]]. When
+    track_mask[t], the same new window is ALSO written at slot
+    track_indices[t] (spec-decode draft tracking).
+
+    x [T, D]; weight [D, W]; sconv_cache [S, W-1, D]; cache_indices /
+    cache_mask [T]. Returns (y [T, D], new_cache) — functional form of the
+    reference's in-place update.
+    """
+    ci = cache_indices.astype(jnp.int32)
+    valid = ci != PAD_SLOT_ID
+    safe = jnp.maximum(ci, 0)
+    # the helion metadata contract pre-gates cache_mask on validity
+    # (precompute_helion_decode_metadata); gate here too so a raw
+    # has_initial_state mask cannot read slot 0 through a PAD index
+    mask = cache_mask.reshape(-1) & valid
+    prefix = sconv_cache[safe] * mask[:, None, None].astype(sconv_cache.dtype)
+    xp = jnp.concatenate(
+        [prefix.astype(jnp.float32), x.astype(jnp.float32)[:, None, :]], axis=1
+    )  # [T, W, D]; column W-1 of the weight taps the current token
+    acc = jnp.einsum("twd,dw->td", xp, weight.astype(jnp.float32))
+    if activation == "silu":
+        acc = acc * jax.nn.sigmoid(acc)
+    if use_residual:
+        acc = acc + x.astype(jnp.float32)
+    y = acc.astype(x.dtype)
+
+    tail = xp[:, 1:].astype(sconv_cache.dtype)  # [T, W-1, D] shifted window
+    s = sconv_cache.shape[0]
+    new_cache = sconv_cache.at[jnp.where(valid, ci, s)].set(tail, mode="drop")
+    if track_indices is not None:
+        tm = valid if track_mask is None else (valid & track_mask.reshape(-1))
+        tdst = jnp.where(tm, track_indices.astype(jnp.int32), s)
+        new_cache = new_cache.at[tdst].set(tail, mode="drop")
+    return y, new_cache

@@ -46,6 +46,109 @@ class TestHc:
         np.testing.assert_allclose(o[0, 1], ref, rtol=2e-2, atol=2e-2)
 
 
+class TestHcSplitOps:
+    def test_gemm_sqr_sum_partials_reduce(self, rng):
+        """The n_splits>1 partials sum to the full GEMM / square-sum
+        (reference hc_pre_gemm_sqr_sum writes per-split partials that
+        hc_pre_big_fuse reduces, HCPreGemmSqrSum.cpp)."""
+        t, h, d = 6, 4, 32
+        a = rng.standard_normal((t, h * d)).astype(np.float32)
+        fn = (rng.standard_normal(((2 + h) * h, h * d)) * 0.05).astype(np.float32)
+        for s in (1, 4):
+            mul, sqr = hc.hc_pre_gemm_sqr_sum(jnp.asarray(a), jnp.asarray(fn), n_splits=s)
+            assert mul.shape == (s, t, (2 + h) * h) and sqr.shape == (s, t)
+            np.testing.assert_allclose(
+                np.asarray(mul).sum(0), a @ fn.T, rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(
+                np.asarray(sqr).sum(0), (a ** 2).sum(-1), rtol=1e-5)
+
+    def test_split_pipeline_matches_mhc_pre(self, rng):
+        """gemm_sqr_sum -> big_fuse == mhc_pre for any split count (the
+        reference composition, mhc.py:176-252)."""
+        t, h, d = 5, 4, 32
+        residual = rng.standard_normal((t, h, d)).astype(np.float32)
+        fn = (rng.standard_normal(((2 + h) * h, h * d)) * 0.05).astype(np.float32)
+        scale = np.ones(3, np.float32)
+        base = np.zeros(((2 + h) * h,), np.float32)
+        nw = (rng.random(d) + 0.5).astype(np.float32)
+        want = hc.mhc_pre(
+            jnp.asarray(residual), jnp.asarray(fn), jnp.asarray(scale),
+            jnp.asarray(base), jnp.asarray(nw))
+        mul, sqr = hc.hc_pre_gemm_sqr_sum(
+            jnp.asarray(residual.reshape(t, h * d)), jnp.asarray(fn), n_splits=8)
+        got = hc.hc_pre_big_fuse(
+            mul, sqr, jnp.asarray(scale), jnp.asarray(base),
+            jnp.asarray(residual), rms_eps=1e-6, norm_weight=jnp.asarray(nw))
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g, np.float32), np.asarray(w, np.float32),
+                rtol=2e-3, atol=2e-3)
+
+    def test_post_mult_value(self, rng):
+        t, h, d = 3, 4, 16
+        residual = rng.standard_normal((t, h, d)).astype(np.float32)
+        fn = (rng.standard_normal(((2 + h) * h, h * d)) * 0.05).astype(np.float32)
+        scale = np.ones(3, np.float32)
+        base = np.zeros(((2 + h) * h,), np.float32)
+        mul, sqr = hc.hc_pre_gemm_sqr_sum(
+            jnp.asarray(residual.reshape(t, h * d)), jnp.asarray(fn))
+        p2, _, _ = hc.hc_pre_big_fuse(
+            mul, sqr, jnp.asarray(scale), jnp.asarray(base), jnp.asarray(residual))
+        p3, _, _ = hc.hc_pre_big_fuse(
+            mul, sqr, jnp.asarray(scale), jnp.asarray(base), jnp.asarray(residual),
+            hc_post_mult_value=3.0)
+        np.testing.assert_allclose(
+            np.asarray(p3), np.asarray(p2) * 1.5, rtol=1e-6)
+
+
+class TestLegacyCompressPlans:
+    def test_decode_legacy_c4(self):
+        """Oracle: compress_plan.py:237-246 — c4 double-buffers two 4-slot
+        pages per request (page = rid*2 + ((pos//4)&1))."""
+        from sgl_kernel_tpu.ops import compression
+
+        rid = jnp.asarray([0, 3], jnp.int32)
+        seq = jnp.asarray([9, 4], jnp.int32)
+        out = np.asarray(compression.plan_compress_decode_legacy(rid, seq, 4))
+        # req 0: pos1=8 -> page 0*2+((8//4)&1)=0, loc 0*4+0=0; pos0=4 -> page 1
+        np.testing.assert_array_equal(out[0], [9, 0, 1, 0])
+        # req 1: pos1=3 -> page 3*2+0=6, loc 27; pos0=max(-1,0)=0 -> page 6
+        np.testing.assert_array_equal(out[1], [4, 27, 6, 6])
+
+    def test_decode_legacy_c128(self):
+        from sgl_kernel_tpu.ops import compression
+
+        out = np.asarray(compression.plan_compress_decode_legacy(
+            jnp.asarray([2], jnp.int32), jnp.asarray([300], jnp.int32), 128))
+        # pos1=299: page=rid=2, loc=2*128 + 299%128 = 256+43
+        np.testing.assert_array_equal(out[0], [300, 299, 2, 2])
+
+    def test_prefill_legacy_rows(self):
+        """One request, prefix 2, extend 6 (seq 8), ratio 4: compress
+        events at positions 3 and 7; window region starts at
+        first_w_pos = 8 - 4 = 4 (c4 overlap)."""
+        from sgl_kernel_tpu.ops import compression
+
+        plan_c, plan_w = compression.plan_compress_prefill_legacy(
+            jnp.asarray([1], jnp.int32), jnp.asarray([8], jnp.int32),
+            jnp.asarray([6], jnp.int32), num_q_tokens=6, compress_ratio=4)
+        c = np.asarray(plan_c)
+        assert c.shape == (2, 4)
+        # event at pos 3 (j=1): buffer_len = 8 - 2 = 6, ragged_id 1
+        assert c[0, 0] == 4 and c[0, 1] == ((6 << 16) | 1)
+        # pages: pos0 = 0 -> page 1*2+0=2; pos1 = 3 -> page 2
+        assert c[0, 2] == 2 and c[0, 3] == 2
+        # event at pos 7 (j=5): buffer_len = 8 - 6 = 2, ragged_id 5
+        assert c[1, 0] == 8 and c[1, 1] == ((2 << 16) | 5)
+        # pos0 = 3 -> page 2; pos1 = 7 -> page 3
+        assert c[1, 2] == 2 and c[1, 3] == 3
+        w = np.asarray(plan_w)
+        # window tokens: positions 4..7 (ragged ids 2..5), legacy locs
+        assert w.shape == (4, 2)
+        np.testing.assert_array_equal(w[:, 0], [2, 3, 4, 5])
+        np.testing.assert_array_equal(w[:, 1], [12, 13, 14, 15])
+
+
 class TestMisc:
     def test_timestep_embedding(self):
         emb = misc.timestep_embedding(jnp.asarray([0.0, 10.0]), 64)

@@ -104,10 +104,101 @@ class TestSconvCacheOps:
         exp = np.concatenate([windows[0, 2, 1:], x[0, 2:3]], 0)
         np.testing.assert_allclose(np.asarray(out)[1], exp, rtol=1e-6)
 
-    def test_gather_scatter(self, rng):
+    def test_migrate(self, rng):
         cache = jnp.asarray(rng.standard_normal((4, 2, 3)).astype(np.float32))
-        out = inkling.fused_gather_scatter_to_sconv_cache(cache, jnp.asarray([0]), jnp.asarray([3]))
+        out = inkling.migrate_sconv_cache(cache, jnp.asarray([0]), jnp.asarray([3]))
         np.testing.assert_allclose(np.asarray(out)[3], np.asarray(cache)[0])
+
+    def test_gather_scatter(self, rng):
+        """Oracle: reference tests/sconv_reference.py:157-168 —
+        cache[dst[b], w] = hidden[track_idx[b, w]] where mask[b]."""
+        hidden = rng.standard_normal((10, 3)).astype(np.float32)
+        cache = rng.standard_normal((4, 2, 3)).astype(np.float32)
+        track = np.asarray([[5, 6], [1, 2]], np.int32)
+        mask = np.asarray([True, False])
+        dst = np.asarray([3, 0], np.int32)
+        out = np.asarray(inkling.fused_gather_scatter_to_sconv_cache(
+            jnp.asarray(hidden), jnp.asarray(cache), jnp.asarray(track),
+            jnp.asarray(mask), jnp.asarray(dst)))
+        exp = cache.copy()
+        exp[3] = hidden[[5, 6]]
+        np.testing.assert_allclose(out, exp, rtol=1e-6)
+
+
+class TestTrackAndFusedDecode:
+    def test_track_conv_indices(self):
+        """Oracle: InklingSconv.cpp:1360-1380 — idx = qsl[b] +
+        floor(max(track - prefix, 0) / chunk) * chunk - W1 + w, clamped."""
+        qsl = np.asarray([0, 100, 250], np.int32)
+        track = np.asarray([130, 70], np.int32)
+        prefix = np.asarray([2, 0], np.int32)
+        w1, chunk, total = 3, 64, 250
+        out = np.asarray(inkling.track_conv_indices(
+            jnp.asarray(qsl), jnp.asarray(track), jnp.asarray(prefix),
+            w1, chunk, total))
+        exp = np.zeros((2, w1), np.int64)
+        for b in range(2):
+            lens = max(int(track[b]) - int(prefix[b]), 0)
+            aligned = (lens // chunk) * chunk
+            for w in range(w1):
+                exp[b, w] = min(max(int(qsl[b]) + aligned - w1 + w, 0), total - 1)
+        np.testing.assert_array_equal(out, exp)
+
+    def test_track_clamps_to_zero(self):
+        out = np.asarray(inkling.track_conv_indices(
+            jnp.asarray([0, 1], jnp.int32), jnp.asarray([0], jnp.int32),
+            jnp.asarray([5], jnp.int32), 3, 64, 1))
+        np.testing.assert_array_equal(out, np.zeros((1, 3)))
+
+    @pytest.mark.parametrize("silu,residual", [(False, False), (True, True)])
+    def test_fused_decode_update(self, rng, silu, residual):
+        t, w, d, s = 3, 4, 8, 6
+        x = rng.standard_normal((t, d)).astype(np.float32)
+        weight = (rng.standard_normal((d, w)) * 0.3).astype(np.float32)
+        cache = rng.standard_normal((s, w - 1, d)).astype(np.float32)
+        ci = np.asarray([2, -1, 4], np.int32)
+        cm = np.asarray([True, True, False])
+        y, nc = inkling.fused_causal_conv1d_update_decode(
+            jnp.asarray(x), jnp.asarray(weight), jnp.asarray(cache),
+            jnp.asarray(ci), jnp.asarray(cm),
+            activation="silu" if silu else None, use_residual=residual)
+        y, nc = np.asarray(y), np.asarray(nc)
+        for tt in range(t):
+            pre = cache[ci[tt]] if (ci[tt] >= 0 and cm[tt]) else np.zeros((w - 1, d))
+            exp = np_conv(x[tt : tt + 1], pre, weight, silu, residual)
+            np.testing.assert_allclose(y[tt], exp[0], rtol=2e-5, atol=2e-5)
+            if ci[tt] >= 0:  # cache shifts x in (zeros when unmasked)
+                np.testing.assert_allclose(
+                    nc[ci[tt]], np.concatenate([pre[1:], x[tt : tt + 1]], 0), rtol=1e-6)
+        np.testing.assert_allclose(nc[0], cache[0], rtol=1e-6)  # untouched slot
+
+    def test_fused_decode_update_tracks(self, rng):
+        t, w, d, s = 2, 3, 4, 8
+        x = rng.standard_normal((t, d)).astype(np.float32)
+        weight = np.ones((d, w), np.float32)
+        cache = rng.standard_normal((s, w - 1, d)).astype(np.float32)
+        ci = np.asarray([0, 1], np.int32)
+        _, nc = inkling.fused_causal_conv1d_update_decode(
+            jnp.asarray(x), jnp.asarray(weight), jnp.asarray(cache),
+            jnp.asarray(ci), jnp.asarray([True, True]),
+            track_mask=jnp.asarray([True, False]),
+            track_indices=jnp.asarray([5, 6]))
+        nc = np.asarray(nc)
+        np.testing.assert_allclose(nc[5], nc[0], rtol=1e-6)  # tracked copy
+        np.testing.assert_allclose(nc[6], cache[6], rtol=1e-6)  # masked off
+
+    def test_helion_metadata(self):
+        ci = jnp.asarray([2, -1, 0], jnp.int32)
+        his = jnp.asarray([True, True, False])
+        md = inkling.precompute_helion_decode_metadata(ci, his)
+        np.testing.assert_array_equal(
+            np.asarray(md.cache_mask)[:, 0, 0], [True, False, False])
+        np.testing.assert_array_equal(np.asarray(md.safe_idx), [2, 0, 0])
+        np.testing.assert_array_equal(np.asarray(md.cu), [0, 1, 2, 3])
+        qsl = jnp.asarray([0, 3, 5, 9], jnp.int32)
+        me = inkling.precompute_helion_extend_metadata(ci, his, qsl, total_tokens=9)
+        np.testing.assert_array_equal(
+            np.asarray(me.si), [0, 0, 0, 1, 1, 2, 2, 2, 2])
 
     def test_windows_consistent_with_conv(self, rng):
         b, t, w, dkv = 1, 4, 3, HD

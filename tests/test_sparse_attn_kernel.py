@@ -11,33 +11,43 @@ from sgl_kernel_tpu.ops.attention.sparse_vs import (
     build_vertical_slash_indexes,
     convert_vertical_slash_indexes,
     sparse_attn_func,
+    sparse_attn_varlen_func,
 )
 
 
-def oracle_from_schedule(q, k, v, bc, bo, cc, ci, bm, bn, causal, sm_scale):
+def oracle_from_schedule(q, k, v, bc, bo, cc, ci, bm, bn, causal, sm_scale,
+                         softcap=0.0, with_lse=False):
     """fp64 dense attention restricted to the schedule-defined mask."""
     b, s, h, d = q.shape
+    sk = k.shape[1]
     r = (s + bm - 1) // bm
     out = np.zeros((b, s, h, d))
+    lse = np.full((b, h, s), -np.inf)
     for bb in range(b):
         for hh in range(h):
-            mask = np.zeros((s, s), bool)
+            mask = np.zeros((s, sk), bool)
             for rr in range(r):
                 rows = slice(rr * bm, min((rr + 1) * bm, s))
                 for i in range(bc[bb, hh, rr]):
                     st = bo[bb, hh, rr, i]
-                    mask[rows, st : min(st + bn, s)] = True
+                    mask[rows, st : min(st + bn, sk)] = True
                 for i in range(cc[bb, hh, rr]):
                     mask[rows, ci[bb, hh, rr, i]] = True
             if causal:
-                mask &= np.tril(np.ones((s, s), bool))
+                mask &= np.tril(np.ones((s, sk), bool))
             sc = (q[bb, :, hh].astype(np.float64) @ k[bb, :, hh].astype(np.float64).T) * sm_scale
+            if softcap > 0.0:
+                sc = softcap * np.tanh(sc / softcap)
             sc = np.where(mask, sc, -np.inf)
             m = np.maximum(sc.max(-1, keepdims=True), -1e30)
             p = np.exp(sc - m)
             l = p.sum(-1, keepdims=True)
             o = p @ v[bb, :, hh].astype(np.float64)
             out[bb, :, hh] = np.where(l > 0, o / np.maximum(l, 1e-300), 0.0)
+            lse[bb, hh] = np.where(
+                l[:, 0] > 0, m[:, 0] + np.log(np.maximum(l[:, 0], 1e-300)), -np.inf)
+    if with_lse:
+        return out, lse
     return out
 
 
@@ -118,6 +128,135 @@ def test_vs_bf16_and_end_to_end_estimator(rng):
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
     ref = oracle_from_schedule(q, k, v, bc, bo, cc, ci, 64, 64, True, 1.0 / d**0.5)
     np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=0.1, atol=0.1)
+
+
+def test_softcap_and_lse_vs_oracle(rng):
+    """softcap folds into the schedule mask math; lse matches the fp64
+    oracle's m + log(l) (natural log) and is -inf on empty rows."""
+    b, s, h, d = 1, 256, 2, 128
+    bm = bn = 64
+    q = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    v_idx = np.sort(rng.choice(s, (b, h, 16), replace=False), axis=-1)
+    s_idx = np.sort(rng.choice(s, (b, h, 4), replace=False), axis=-1)[..., ::-1]
+    bc, bo, cc, ci = convert_vertical_slash_indexes(
+        [s], [s], v_idx, np.ascontiguousarray(s_idx), s, bm, bn)
+    sm = 1.0 / d**0.5
+    ref, ref_lse = oracle_from_schedule(
+        q, k, v, bc, bo, cc, ci, bm, bn, True, sm, softcap=20.0, with_lse=True)
+    got, got_lse = sparse_attn_func(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(bc), jnp.asarray(bo), jnp.asarray(cc), jnp.asarray(ci),
+        block_size_M=bm, block_size_N=bn, softcap=20.0, return_lse=True)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
+    fin = np.isfinite(ref_lse)
+    assert got_lse.shape == (b, h, s)
+    np.testing.assert_allclose(
+        np.asarray(got_lse)[fin], ref_lse[fin], rtol=2e-3, atol=2e-3)
+    assert np.all(np.asarray(got_lse)[~fin] == -np.inf)
+
+
+class TestVarlen:
+    """sparse_attn_varlen_func (reference sparse_flash_attn.py:851-935):
+    ragged token streams + per-sequence schedules."""
+
+    def _schedule(self, rng, q_lens, k_lens, h, bm, bn, nv=12, nsl=4, causal=True):
+        smax = ((max(max(q_lens), max(k_lens)) + bm - 1) // bm) * bm
+        b = len(q_lens)
+        # vertical columns must be UNIQUE per head (MInference topk
+        # contract) — the kernel sums duplicate columns twice by design
+        v_idx = np.stack([
+            np.stack([np.sort(rng.choice(max(kl, 1), min(nv, max(kl, 1)),
+                                         replace=False)) for _ in range(h)])
+            for kl in k_lens])
+        s_idx = np.stack([
+            np.sort(rng.choice(max(kl, 1), (h, nsl), replace=True), axis=-1)[..., ::-1]
+            for kl in k_lens])
+        return convert_vertical_slash_indexes(
+            q_lens, k_lens, v_idx, np.ascontiguousarray(s_idx), smax, bm, bn,
+            causal=causal)
+
+    def test_varlen_vs_per_sequence_oracle(self, rng):
+        h, d, bm, bn = 2, 128, 64, 64
+        lens = [192, 256, 100]
+        bc, bo, cc, ci = self._schedule(rng, lens, lens, h, bm, bn)
+        total = sum(lens)
+        q = rng.standard_normal((total, h, d)).astype(np.float32)
+        k = rng.standard_normal((total, h, d)).astype(np.float32)
+        v = rng.standard_normal((total, h, d)).astype(np.float32)
+        cu = np.concatenate([[0], np.cumsum(lens)])
+        sm = 1.0 / d**0.5
+        got, got_lse = sparse_attn_varlen_func(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(bc), jnp.asarray(bo), jnp.asarray(cc), jnp.asarray(ci),
+            cu, cu, max(lens), max(lens), causal=True,
+            block_size_M=bm, block_size_N=bn, return_softmax_lse=True)
+        assert got.shape == (total, h, d)
+        assert got_lse.shape == (h, total)
+        for b_, l in enumerate(lens):
+            sl = slice(cu[b_], cu[b_ + 1])
+            ref, ref_lse = oracle_from_schedule(
+                q[None, sl], k[None, sl], v[None, sl],
+                bc[b_ : b_ + 1], bo[b_ : b_ + 1], cc[b_ : b_ + 1], ci[b_ : b_ + 1],
+                bm, bn, True, sm, with_lse=True)
+            np.testing.assert_allclose(np.asarray(got)[sl], ref[0], rtol=2e-3, atol=2e-3)
+            fin = np.isfinite(ref_lse[0])
+            np.testing.assert_allclose(
+                np.asarray(got_lse)[:, sl][fin], ref_lse[0][fin], rtol=2e-3, atol=2e-3)
+
+    def test_varlen_gqa_noncausal_ragged_kv(self, rng):
+        """GQA head expansion + kv_len != q_len (non-causal cross form)."""
+        h, hk, d, bm, bn = 4, 2, 128, 64, 64
+        q_lens, k_lens = [64, 130], [200, 96]
+        bc, bo, cc, ci = self._schedule(
+            rng, q_lens, k_lens, h, bm, bn, causal=False)
+        tq, tk = sum(q_lens), sum(k_lens)
+        q = rng.standard_normal((tq, h, d)).astype(np.float32)
+        k = rng.standard_normal((tk, hk, d)).astype(np.float32)
+        v = rng.standard_normal((tk, hk, d)).astype(np.float32)
+        cu_q = np.concatenate([[0], np.cumsum(q_lens)])
+        cu_k = np.concatenate([[0], np.cumsum(k_lens)])
+        got = sparse_attn_varlen_func(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(bc), jnp.asarray(bo), jnp.asarray(cc), jnp.asarray(ci),
+            cu_q, cu_k, max(q_lens), max(k_lens), causal=False,
+            block_size_M=bm, block_size_N=bn)
+        sm = 1.0 / d**0.5
+        kx = np.repeat(k, h // hk, axis=1)
+        vx = np.repeat(v, h // hk, axis=1)
+        for b_, (lq, lk) in enumerate(zip(q_lens, k_lens)):
+            qb = q[cu_q[b_] : cu_q[b_ + 1]][None]
+            kb = kx[cu_k[b_] : cu_k[b_ + 1]][None]
+            vb = vx[cu_k[b_] : cu_k[b_ + 1]][None]
+            ref = oracle_from_schedule(
+                qb, kb, vb, bc[b_ : b_ + 1], bo[b_ : b_ + 1],
+                cc[b_ : b_ + 1], ci[b_ : b_ + 1], bm, bn, False, sm)
+            np.testing.assert_allclose(
+                np.asarray(got)[cu_q[b_] : cu_q[b_ + 1]], ref[0],
+                rtol=2e-3, atol=2e-3)
+
+    def test_varlen_equal_lengths_matches_batched(self, rng):
+        """Uniform lengths: the ragged path must reproduce the batched
+        kernel exactly (same rectangle, same schedule)."""
+        b, s, h, d = 2, 128, 2, 128
+        bm = bn = 64
+        bc, bo, cc, ci = self._schedule(rng, [s] * b, [s] * b, h, bm, bn)
+        q = rng.standard_normal((b * s, h, d)).astype(np.float32)
+        k = rng.standard_normal((b * s, h, d)).astype(np.float32)
+        v = rng.standard_normal((b * s, h, d)).astype(np.float32)
+        cu = np.arange(b + 1) * s
+        got = sparse_attn_varlen_func(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(bc), jnp.asarray(bo), jnp.asarray(cc), jnp.asarray(ci),
+            cu, cu, s, s, causal=True, block_size_M=bm, block_size_N=bn)
+        ref = sparse_attn_func(
+            jnp.asarray(q.reshape(b, s, h, d)), jnp.asarray(k.reshape(b, s, h, d)),
+            jnp.asarray(v.reshape(b, s, h, d)),
+            jnp.asarray(bc), jnp.asarray(bo), jnp.asarray(cc), jnp.asarray(ci),
+            block_size_M=bm, block_size_N=bn)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(ref).reshape(b * s, h, d))
 
 
 class TestScheduleRegressions:
