@@ -20,14 +20,20 @@ from sgl_kernel_tpu.ops.gemm.w4a16 import w4a16_gemm
 rng = np.random.default_rng(0)
 G, M = 128, 16
 
-# (n, k, L, bn, bk) at each shape's winning tiles
+# (n, k, L, bn, bk) at each shape's winning tiles. Round-4 focus: the two
+# headline laggards (gate_up 664 GB/s at 128 dots, down 666 at 112) where
+# the blockwise-fp8 sweep showed inner2 breaks the scale-accumulate
+# dependency chain (652->918 GB/s); bk=2048 rows retry the region that
+# HTTP-500ed the remote Mosaic compiler in round 3.
 SWEEPS = [
-    (4096, 14336, 32, 4096, 1024),
-    (4096, 4096, 32, 2048, 1024),
+    (28672, 4096, 16, 7168, 1024),   # gate_up decode (current table tile)
+    (4096, 14336, 32, 4096, 1024),   # down decode (current table tile)
+    (28672, 4096, 16, 7168, 2048),   # bk=2048 retry
+    (4096, 14336, 32, 4096, 2048),
 ]
 # interleaved repeats: the relay's between-run jitter is +-20%, so a
 # single-pass ordering can invert (one pass read -4.1us for o/inner2)
-GMODES = ["inner", "inner2", "inner", "inner2", "inner", "inner2"]
+GMODES = ["inner", "inner2", "inner4", "inner", "inner2", "inner4"]
 
 
 def bench(a, pk, sc, n, k, L, bn, bk, gmode):
