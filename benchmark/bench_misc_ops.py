@@ -227,6 +227,26 @@ def bench_lora():
     sec = bench_chain(bstep, xr, reps=32)
     add(f"lora_sgemm_b:{t}-{k}-{rank}", sec)
 
+    # multi-adapter prefill scale (VERDICT r3 #6): 8-64 adapters x ragged
+    # segments, grouped (block-aligned Pallas, stacked bank) vs ragged
+    # (per-segment weight gather + ragged_dot) — the cutover evidence
+    for nl2, nseg, t2 in [(8, 8, 4096), (32, 32, 8192), (64, 64, 8192)]:
+        rng2 = np.random.default_rng(nl2)
+        cuts = np.sort(rng2.choice(np.arange(1, t2), nseg - 1, replace=False))
+        seg2 = jnp.asarray(np.concatenate([[0], cuts, [t2]]), jnp.int32)
+        widx2 = jnp.asarray(rng2.permutation(nl2)[:nseg] % nl2, jnp.int32)
+        ranks2 = jnp.full((nl2,), rank, jnp.int32)
+        wa2 = jnp.asarray(rng2.standard_normal((nl2, rank, k)) * 0.02, jnp.bfloat16)
+        x2 = jnp.asarray(rng2.standard_normal((t2, k)), jnp.bfloat16)
+        for impl in ("ragged", "grouped"):
+            def astep2(c, impl=impl):
+                o = sgemm_lora_a_fwd(c, wa2, seg2, widx2, ranks2, impl=impl)
+                return feed(o, c)
+
+            sec = bench_chain(astep2, x2, reps=16)
+            add(f"lora_sgemm_a_{impl}:{t2}-{k}-{rank}-{nl2}", sec)
+        del wa2, x2
+
 
 def bench_spec_grammar_merge():
     from sgl_kernel_tpu.ops.attention.merge_state import merge_states

@@ -172,6 +172,55 @@ class TestLoraSegmentSweep:
             np.testing.assert_allclose(out[t0:t0 + size], ref, rtol=2e-2, atol=2e-2)
             t0 += size
 
+    @pytest.mark.parametrize("seg_sizes", [[300, 111, 200], [517], [128, 0, 333]])
+    @pytest.mark.parametrize("stack", [1, 3])
+    def test_grouped_matches_ragged(self, rng, seg_sizes, stack):
+        """The block-aligned Pallas grouped path (stacked adapter bank,
+        scalar-prefetched block->adapter ids — no per-segment weight
+        gather) must match the ragged_dot path on both shrink and expand,
+        including zero-size segments and non-128-multiple lengths."""
+        k, num_loras, max_rank, out_dim = 256, 8, 16, 384
+        x, wa, seg_indptr, widx, ranks = self._mk(rng, seg_sizes, num_loras, max_rank, k, stack)
+        args = (jnp.asarray(x), jnp.asarray(wa), jnp.asarray(seg_indptr),
+                jnp.asarray(widx), jnp.asarray(ranks))
+        a_r = np.asarray(lora.sgemm_lora_a_fwd(*args, stack_num=stack, impl="ragged"))
+        a_g = np.asarray(lora.sgemm_lora_a_fwd(*args, stack_num=stack, impl="grouped"))
+        np.testing.assert_allclose(a_g, a_r, rtol=1e-5, atol=1e-5)
+        t = int(np.sum(seg_sizes))
+        xb = rng.standard_normal((t, max_rank)).astype(np.float32)
+        wb = rng.standard_normal((num_loras, out_dim, max_rank)).astype(np.float32) * 0.1
+        scal = (rng.random(num_loras) + 0.5).astype(np.float32)
+        base = rng.standard_normal((t, out_dim)).astype(np.float32)
+        bargs = (jnp.asarray(xb), jnp.asarray(wb), jnp.asarray(seg_indptr),
+                 jnp.asarray(widx), jnp.asarray(ranks), jnp.asarray(scal),
+                 jnp.asarray(base))
+        b_r = np.asarray(lora.sgemm_lora_b_fwd(*bargs, impl="ragged"))
+        b_g = np.asarray(lora.sgemm_lora_b_fwd(*bargs, impl="grouped"))
+        np.testing.assert_allclose(b_g, b_r, rtol=1e-4, atol=1e-4)
+
+    def test_align_block_size(self, rng):
+        """Every row-block of the aligned layout maps to exactly one
+        adapter; dst rows are unique and land inside the owning segment's
+        padded span."""
+        seg_sizes = [5, 130, 0, 64]
+        seg_indptr = np.concatenate([[0], np.cumsum(seg_sizes)]).astype(np.int32)
+        widx = np.asarray([2, 0, 1, 2], np.int32)
+        t = int(np.sum(seg_sizes))
+        al = lora.lora_align_block_size(
+            jnp.asarray(seg_indptr), jnp.asarray(widx), t, 128)
+        dst = np.asarray(al.dst)
+        assert len(np.unique(dst)) == t and al.cap % 128 == 0
+        ba = np.asarray(al.block_adapter)
+        padded = ((np.asarray(seg_sizes) + 127) // 128) * 128
+        starts = np.concatenate([[0], np.cumsum(padded)[:-1]])
+        t0 = 0
+        for s, size in enumerate(seg_sizes):
+            rows = dst[t0:t0 + size]
+            assert (rows >= starts[s]).all() and (rows < starts[s] + padded[s]).all()
+            for b in range(starts[s] // 128, (starts[s] + padded[s]) // 128):
+                assert ba[b] == widx[s]
+            t0 += size
+
 
 class TestSamplingPipelineSweep:
     """sample_tokens filter-stack semantics: with a delta-like residual
