@@ -62,6 +62,26 @@ def bench_chain(step_fn, carry_init, *, reps: int = 64, spinup: int = 1, args=()
     return sec
 
 
+def bench_chain_banks(step_fn, carry_init, banks, *, reps: int = 16, spinup: int = 1):
+    """bench_chain with HONEST WEIGHT RESIDENCY: ``banks`` is a list of L
+    same-structure operand tuples; each chain rep runs step_fn once per
+    bank, so L distinct weight sets stream through the cache hierarchy and
+    a single weight can never go resident across reps (the docs/PERF.md
+    round-2 trap — single-weight chains at M=16 measured 4.3 TB/s, >5x the
+    HBM peak, and poisoned baseline.json until the round-4 regen).
+    Returns seconds per single step (already divided by L)."""
+    L = len(banks)
+    width = len(banks[0])
+    flat = tuple(x for b in banks for x in b)
+
+    def rep(c, *flat_args):
+        for i in range(L):
+            c = step_fn(c, *flat_args[i * width : (i + 1) * width])
+        return c
+
+    return bench_chain(rep, carry_init, reps=reps, spinup=spinup, args=flat) / L
+
+
 def report(name: str, seconds: float, **extra):
     rec = {"name": name, "ms": round(seconds * 1e3, 4), **extra}
     print(json.dumps(rec), flush=True)
