@@ -82,6 +82,32 @@ def build_weights(cfg):
     return params
 
 
+def main_deepseek():
+    """BENCH_MODEL=deepseek: the BASELINE.json flagship config family
+    (DSv3-architecture MLA decode + low-bit latent pool + fused W4A16 MoE)
+    as a first-class headline metric (VERDICT r3 #5). Reuses the e2e
+    harness benchmark/bench_deepseek_e2e.py (V2-Lite scale: the biggest
+    DSv3-architecture geometry whose W4A16 weights fit one v5e)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmark"))
+    import bench_deepseek_e2e as dse
+
+    kv_env = os.environ.get("BENCH_KV_DTYPE", "int8")
+    kv_kw = {
+        "fp8": dict(kv_dtype=jnp.float8_e4m3fn),
+        "int8": dict(kv_dtype=jnp.int8, kv_scale=1 / 16),
+        "bf16": {},
+    }[kv_env]
+    records = []
+    dse.run_one(records, f"{kv_env}kv", **kv_kw)
+    rec = records[0]
+    print(json.dumps({
+        "metric": f"decode_tokens_per_s_dsv2lite_w4a16_{kv_env}kv_b16_ctx1024",
+        "value": rec["tokens_per_s"],
+        "unit": "tokens/s/chip",
+        "vs_baseline": rec["vs_roofline"],
+    }))
+
+
 def main():
     # BENCH_KV_DTYPE=fp8 measures the fp8-e4m3 KV-cache variant (the
     # reference treats fp8 KV as a first-class decode win,
@@ -186,4 +212,7 @@ if __name__ == "__main__":
                 raise
             print(f"# TPU backend unavailable ({str(e)[:80]}), retry {attempt + 1}/5", file=sys.stderr)
             time.sleep(120)
-    main()
+    if os.environ.get("BENCH_MODEL", "") == "deepseek":
+        main_deepseek()
+    else:
+        main()

@@ -186,6 +186,9 @@ def main():
     # MLA
     bench_mla(rng, 16, 1024, 16, records)
     bench_mla(rng, 4, 8192, 16, records)
+    # real DSv3 geometry: 128 q heads over the single latent head
+    bench_mla(rng, 16, 1024, 128, records)
+    bench_mla(rng, 4, 8192, 128, records)
     compare_to_baseline(records, load_baseline())
 
 

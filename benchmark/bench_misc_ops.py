@@ -325,10 +325,181 @@ def bench_store():
     add(f"store_cache:{t}-{h}-{d}", sec, us=round(sec * 1e6, 1))
 
 
+def bench_compression():
+    """DSv4 flash_compress family (FlashCompress4/128.cpp analogs)."""
+    from sgl_kernel_tpu.ops.compression import (
+        flash_compress4_decode, flash_compress128_prefill)
+
+    b, ctx, page, d, ring = 16, 1024, 128, 512, 64
+    n_pages = b * (ctx // page) + 1
+    kv = jnp.asarray(rng.standard_normal((n_pages * page, d)), jnp.bfloat16)
+    sc = jnp.asarray(rng.standard_normal((n_pages * page, d)), jnp.bfloat16)
+    ape = jnp.asarray(rng.standard_normal((8, d)), jnp.bfloat16)
+    comp = jnp.zeros((b, ring, d), jnp.bfloat16)
+    lengths = jnp.full((b,), ctx, jnp.int32)
+    pt = jnp.asarray(rng.integers(1, n_pages, (b, ctx // page)), jnp.int32)
+
+    def step(c):
+        pool, _ = flash_compress4_decode(kv, sc, ape, c, lengths, pt, page_size=page)
+        return pool
+
+    sec = bench_chain(step, comp, reps=64)
+    add(f"flash_compress4_decode:{b}-{ctx}-{d}", sec)
+
+    s = 4096
+    kvs = jnp.asarray(rng.standard_normal((s, d)), jnp.bfloat16)
+    scs = jnp.asarray(rng.standard_normal((s, d)), jnp.bfloat16)
+    ape128 = jnp.asarray(rng.standard_normal((128, d)), jnp.bfloat16)
+
+    def pstep(c):
+        o = flash_compress128_prefill(c, scs, ape128)
+        return c.at[: o.shape[0]].add(o * jnp.bfloat16(1e-8))
+
+    sec = bench_chain(pstep, kvs, reps=32)
+    add(f"flash_compress128_prefill:{s}-{d}", sec)
+
+
+def bench_hc():
+    """mHC sinkhorn hyper-connections (HCPreFuse.cpp / HCPost.cpp)."""
+    from sgl_kernel_tpu.ops import hc
+
+    t, h, d = 1024, 4, 512
+    residual = jnp.asarray(rng.standard_normal((t, h, d)), jnp.bfloat16)
+    fn = jnp.asarray(rng.standard_normal(((2 + h) * h, h * d)) * 0.05, jnp.bfloat16)
+    scale = jnp.ones((3,), jnp.float32)
+    base = jnp.zeros(((2 + h) * h,), jnp.float32)
+
+    def pre_step(c):
+        post, comb, layer_in = hc.mhc_pre(c, fn, scale, base)
+        return c.at[:, 0].add(layer_in * jnp.bfloat16(1e-8))
+
+    sec = bench_chain(pre_step, residual, reps=32)
+    add(f"mhc_pre:{t}-{h}-{d}", sec)
+
+    x = jnp.asarray(rng.standard_normal((t, d)), jnp.bfloat16)
+    post = jnp.asarray(rng.random((t, h)), jnp.float32)
+    comb = jnp.asarray(rng.random((t, h, h)), jnp.float32)
+
+    def post_step(c):
+        o = hc.hc_post(c, residual, post, comb)
+        return c + o[:, 0] * jnp.bfloat16(1e-8)
+
+    sec = bench_chain(post_step, x, reps=64)
+    add(f"hc_post:{t}-{h}-{d}", sec)
+
+
+def bench_inkling():
+    """Inkling fused attention prologue (decode sub-batch, InklingSconv.cpp)."""
+    from sgl_kernel_tpu.ops import inkling
+
+    b, hq, hkv, hd, w = 16, 32, 8, 128, 4
+    dq, dkv = hq * hd, hkv * hd
+    qkvr = jnp.asarray(rng.standard_normal((b, dq + 2 * dkv)), jnp.bfloat16)
+    kc = jnp.asarray(rng.standard_normal((b, w - 1, dkv)), jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((b, w - 1, dkv)), jnp.bfloat16)
+    kw = jnp.asarray(rng.standard_normal((dkv, w)) * 0.3, jnp.bfloat16)
+    vw = jnp.asarray(rng.standard_normal((dkv, w)) * 0.3, jnp.bfloat16)
+    qg = jnp.asarray(rng.random(hd) + 0.5, jnp.float32)
+    kg = jnp.asarray(rng.random(hd) + 0.5, jnp.float32)
+    ci = jnp.arange(b, dtype=jnp.int32)
+    cm = jnp.ones((b,), bool)
+    loc = jnp.arange(b, dtype=jnp.int32)
+    kbuf = jnp.zeros((b * 2, dkv), jnp.bfloat16)
+    vbuf = jnp.zeros((b * 2, dkv), jnp.bfloat16)
+
+    def step(c):
+        q, k, v, kb, vb, kc2, vc2 = inkling.inkling_attn_prologue(
+            c, kc, vc, ci, cm, kw, vw, qg, kg, loc, kbuf, vbuf,
+            q_off=0, k_off=dq, v_off=dq + dkv, dq=dq, dkv=dkv,
+            activation="silu", use_residual=True)
+        return c.at[:, :dq].add(q.astype(c.dtype) * jnp.bfloat16(1e-8))
+
+    sec = bench_chain(step, qkvr, reps=64)
+    add(f"inkling_prologue_decode:{b}-{dq}-{dkv}", sec)
+
+
+def bench_sparse_vs():
+    """MInference vertical-slash block-sparse prefill (sparse_flash_attn.py)."""
+    from sgl_kernel_tpu.ops.attention.sparse_vs import (
+        convert_vertical_slash_indexes, sparse_attn_func)
+
+    b, s, h, d = 1, 4096, 8, 128
+    nv, ns = 256, 64
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+    vert = jnp.asarray(np.sort(rng.choice(s, (b, h, nv), replace=False), -1), jnp.int32)
+    slash = jnp.asarray(np.sort(rng.choice(s, (b, h, ns), replace=False), -1)[..., ::-1].copy(), jnp.int32)
+    qlen = jnp.full((b,), s, jnp.int32)
+    bc, bo, cc, cix = convert_vertical_slash_indexes(qlen, qlen, vert, slash, s, 64, 128)
+
+    def step(c):
+        o = sparse_attn_func(c, k, v, bc, bo, cc, cix)
+        return c + o * jnp.bfloat16(1e-8)
+
+    sec = bench_chain(step, q, reps=16)
+    add(f"sparse_attn_vs:{b}-{s}-{h}-{d}", sec)
+
+
+def bench_linear_attn_misc():
+    from sgl_kernel_tpu.ops.linear_attn import causal_conv1d_fwd
+    from sgl_kernel_tpu.ops.linear_attn.lightning import lightning_attention_decode
+
+    b, s, d, w = 8, 2048, 2048, 4
+    x = jnp.asarray(rng.standard_normal((b, s, d)), jnp.bfloat16)
+    wgt = jnp.asarray(rng.standard_normal((d, w)) * 0.3, jnp.bfloat16)
+
+    def cstep(c):
+        y, _ = causal_conv1d_fwd(c, wgt, None, None, None, activation="silu")
+        return c + y * jnp.bfloat16(1e-8)
+
+    sec = bench_chain(cstep, x, reps=16)
+    add(f"causal_conv1d_fwd:{b}-{s}-{d}-{w}", sec,
+        gbs=round(2 * b * s * d * 2 / sec / 1e9, 1))
+
+    bb, hh, dk, dv = 16, 32, 128, 128
+    qd = jnp.asarray(rng.standard_normal((bb, hh, 1, dk)), jnp.bfloat16)
+    kd = jnp.asarray(rng.standard_normal((bb, hh, 1, dk)), jnp.bfloat16)
+    vd = jnp.asarray(rng.standard_normal((bb, hh, 1, dv)), jnp.bfloat16)
+    past = jnp.zeros((bb, hh, dk, dv), jnp.float32)
+    slope = jnp.asarray(rng.random((hh, 1, 1)), jnp.float32)
+
+    def lstep(c):
+        o, nkv = lightning_attention_decode(qd, kd, vd, c, slope)
+        return nkv
+
+    sec = bench_chain(lstep, past, reps=64)
+    add(f"lightning_decode:{bb}-{hh}-{dk}", sec)
+
+
+def bench_fp4_mm():
+    from sgl_kernel_tpu.ops.gemm.fp4 import fp4_scaled_mm, scaled_fp4_quant
+
+    m, n, k = 16, 4096, 4096
+    gs = jnp.float32(1.0)
+    a = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    ap, sa = scaled_fp4_quant(a, gs)
+    banks = []
+    for _ in range(8):
+        w = jnp.asarray(rng.standard_normal((n, k)) * 0.02, jnp.float32)
+        banks.append(scaled_fp4_quant(w, gs))
+
+    from benchmark.bench_lib import bench_chain_banks
+
+    def step(c, bp, sb):
+        o = fp4_scaled_mm(ap, bp, sa, sb, jnp.float32(1.0))
+        return c + o[:, : c.shape[1]] * jnp.bfloat16(1e-8)
+
+    sec = bench_chain_banks(step, jnp.zeros((m, n), jnp.bfloat16), banks, reps=8)
+    add(f"fp4_scaled_mm:{m}-{n}-{k}", sec, gbs=round(n * k // 2 / sec / 1e9, 1))
+
+
 def main():
     for fn in (bench_norm, bench_rope, bench_activation, bench_sampling,
                bench_nsa, bench_gdn, bench_lora, bench_spec_grammar_merge,
-               bench_hadamard, bench_store):
+               bench_hadamard, bench_store, bench_compression, bench_hc,
+               bench_inkling, bench_sparse_vs, bench_linear_attn_misc,
+               bench_fp4_mm):
         try:
             fn()
         except Exception as e:  # keep the grid going; missing entries show in diff
