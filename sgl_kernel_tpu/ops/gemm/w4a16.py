@@ -88,7 +88,7 @@ _TILE_TABLE = {
     (6144, 4096, 0): (16, 2048, 2048),     # qkv decode: 789 GB/s in-model
     (4096, 4096, 0): (16, 2048, 1024),     # o decode: 779 GB/s
     (28672, 4096, 0): (16, 7168, 1024),    # gate_up decode: 664 GB/s (128 dots)
-    (4096, 14336, 0): (16, 4096, 1024),    # down decode: 666 GB/s (112 dots)
+    (4096, 14336, 0): (16, 4096, 2048),    # down decode: inner4/bk2048 719 GB/s (confirm pass r4; was inner/bk1024 at 666)
     (129024, 4096, 0): (16, 8064, 1024),   # llama3 lm_head decode: 762 GB/s
     (4096, 4096, 2): (256, 512, 2048),    # 195 TFLOP/s (MXU-bound)
     (4096, 14336, 1): (128, 4096, 1024),
@@ -102,7 +102,14 @@ _TILE_TABLE = {
 # per-shape decode gmode overrides, (N, K, m_bucket) -> gmode. Populated
 # from the interleaved-repeat on-chip sweep (sweep_w4a16_nacc.py) where a
 # multi-accumulator epilogue beats plain "inner" beyond noise.
-_GMODE_TABLE = {}
+# Round-4 confirm pass (/tmp/confirm_nacc 2026-08-20, min over 4
+# interleaved passes): down-proj (4096, 14336) inner4 + bk=2048 at 719
+# GB/s vs inner/bk=1024 at 648 — the K=14336 accumulate chain is long
+# enough for 4 accumulators to pay (same mechanism as blockwise-fp8's
+# inner2 win at K=7168); gate_up (28672, 4096) keeps inner (inner2
+# measured below it on every pass). Final arbiter: the in-model headline
+# A/B (bench.py) recorded alongside in docs/PERF.md round 4.
+_GMODE_TABLE = {(4096, 14336, 0): "inner4"}
 
 
 def _m_bucket(m: int) -> int:
