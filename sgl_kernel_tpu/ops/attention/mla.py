@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...utils import pallas_interpret, round_up
+from ...utils import cdiv, pallas_interpret, round_up
 from .flash_prefill import flash_attention
 from .paged_decode_dma import _upcast
 
@@ -103,6 +103,202 @@ def _decode_kernel(
             lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
 
 
+def _dma_kernel(
+    lens_ref,   # [B] scalar prefetch
+    pt_ref,     # [B, n_blocks] scalar prefetch
+    layer_ref,  # [1] scalar prefetch
+    q_ref,      # [bb, gp, 576] VMEM
+    kv_hbm,     # ANY [L, P, page, 576]
+    o_ref,      # [bb, 1, gp, 512]
+    lse_ref,    # [bb, 1, 8, gp] or None
+    kb,         # VMEM [2, cpp, page, 576]
+    sem,        # DMA sems [2]
+    m_scr, l_scr,  # VMEM [bb, gp, 128] f32
+    acc_scr,       # VMEM [bb, gp, 512] f32
+    *,
+    sm_scale: float,
+    page: int,
+    cpp: int,
+    n_chunks: int,
+    gp: int,
+    bb: int,
+    batch: int,
+    has_lse: bool,
+):
+    """MLA decode on the manual-DMA engine (paged_decode_dma's design
+    applied to the latent cache): many sequences fold into one grid step
+    and their pages stream through a double-buffered VMEM window with
+    explicit DMAs, buffer parity carried across sequence boundaries. MLA's
+    MQA structure makes this STRICTLY cheaper than the GQA engine — the
+    576-wide latent row is both K and V, so there is ONE pool buffer and
+    half the DMA traffic. Replaces the BlockSpec-pipelined form that
+    measured 224-280 GB/s vs the engine's ~850 (benchmark/ab_mla_decode.py,
+    2026-08-20)."""
+    blk = pl.program_id(0)
+    span = page * cpp
+    lid = layer_ref[0]
+
+    def seq_of(t):
+        return t // n_chunks
+
+    def chunk_of(t):
+        return jax.lax.rem(t, n_chunks)
+
+    def length_of(i_local):
+        bg = jnp.minimum(blk * bb + i_local, batch - 1)
+        return lens_ref[bg]
+
+    def valid(t):
+        in_batch = (blk * bb + seq_of(t)) < batch
+        return jnp.logical_and(in_batch, chunk_of(t) * span < length_of(seq_of(t)))
+
+    def dmas(t, slot):
+        i, c = seq_of(t), chunk_of(t)
+        bg = jnp.minimum(blk * bb + i, batch - 1)
+        return [
+            pltpu.make_async_copy(
+                kv_hbm.at[lid, pt_ref[bg, c * cpp + j]], kb.at[slot, j], sem.at[slot])
+            for j in range(cpp)
+        ]
+
+    def start(t, slot):
+        for d in dmas(t, slot):
+            d.start()
+
+    def wait(t, slot):
+        for d in dmas(t, slot):
+            d.wait()
+
+    m_scr[...] = jnp.full_like(m_scr, -1e30)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    T = bb * n_chunks
+
+    @pl.when(valid(0))
+    def _warm():
+        start(0, 0)
+
+    def compute(t, slot):
+        i, c = seq_of(t), chunk_of(t)
+        q = q_ref[i]  # [gp, 576]
+        kv = _upcast(kb[slot].reshape(span, D_CKV), q.dtype)
+        sc = jax.lax.dot_general(q, kv, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        sc = sc * sm_scale
+        pos = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1) + c * span
+        sc = jnp.where(pos < length_of(i), sc, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[i, :, :1]
+        l_prev = l_scr[i, :, :1]
+        m_curr = jnp.max(sc, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(sc - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[i, :, :] = jnp.broadcast_to(m_next, (gp, 128))
+        l_scr[i, :, :] = jnp.broadcast_to(l_next, (gp, 128))
+        v = kv[:, :D_LATENT]  # latent doubles as V — no second read
+        acc_scr[i, :, :] = acc_scr[i, :, :] * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+    def body(t, carry):
+        m_issued, w_done = carry
+
+        @pl.when(jnp.logical_and(t + 1 < T, valid(t + 1)))
+        def _next():
+            start(t + 1, jax.lax.rem(m_issued, 2))
+        m_issued = m_issued + jnp.where(jnp.logical_and(t + 1 < T, valid(t + 1)), 1, 0)
+
+        @pl.when(valid(t))
+        def _this():
+            slot = jax.lax.rem(w_done, 2)
+            wait(t, slot)
+            compute(t, slot)
+        w_done = w_done + jnp.where(valid(t), 1, 0)
+        return (m_issued, w_done)
+
+    jax.lax.fori_loop(0, T, body, (jnp.where(valid(0), 1, 0), 0))
+
+    for i in range(bb):
+        m = m_scr[i, :, :1]
+        l = l_scr[i, :, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[i, 0] = (acc_scr[i] * l_inv).astype(o_ref.dtype)
+        if has_lse:
+            lse = ((m + jnp.log(jnp.maximum(l, 1e-38))) * LOG2E)[:, 0]
+            lse = jnp.where(l[:, 0] == 0.0, -jnp.inf, lse)
+            lse_ref[i, 0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[2:])
+
+
+def _dma_entry(lens_ref, pt_ref, layer_ref, *refs, has_lse, **kw):
+    q_ref, kv_hbm, o_ref = refs[0], refs[1], refs[2]
+    lse_ref = refs[3] if has_lse else None
+    scr = refs[4 if has_lse else 3 :]
+    _dma_kernel(lens_ref, pt_ref, layer_ref, q_ref, kv_hbm, o_ref, lse_ref,
+                *scr, has_lse=has_lse, **kw)
+
+
+def _mla_decode_dma(q, kv_cache, lengths, page_table, layer_id, *,
+                    sm_scale: float, return_lse: bool, chunk_pages: int = 8):
+    """DMA-engine body for mla_decode: q [B, gp-padded H, 576] pre-padded,
+    kv_cache [L, P, page, 576] (layer-stacked; callers without stacking
+    pass L=1 + layer 0)."""
+    b, gp, _ = q.shape
+    _, n_pages, page, dck = kv_cache.shape
+    n_blocks = page_table.shape[1]
+    cpp = min(chunk_pages, n_blocks, max(1, 1024 // page))
+    if n_blocks % cpp:
+        pad = cpp - n_blocks % cpp
+        page_table = jnp.pad(page_table, ((0, 0), (0, pad)))
+        n_blocks += pad
+    n_chunks = n_blocks // cpp
+    # VMEM budget: acc (gp x 512 f32) dominates per folded sequence
+    bb = min(b, 32, max(1, 2048 // gp))
+
+    out_shapes = [jax.ShapeDtypeStruct((b, 1, gp, D_LATENT), q.dtype)]
+    out_specs = [pl.BlockSpec((bb, 1, gp, D_LATENT), lambda blk, lens, pt, lid: (blk, 0, 0, 0))]
+    if return_lse:
+        out_shapes.append(jax.ShapeDtypeStruct((b, 1, 8, gp), jnp.float32))
+        out_specs.append(pl.BlockSpec((bb, 1, 8, gp), lambda blk, lens, pt, lid: (blk, 0, 0, 0)))
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _dma_entry, sm_scale=sm_scale, page=page, cpp=cpp,
+            n_chunks=n_chunks, gp=gp, bb=bb, batch=b, has_lse=return_lse),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(cdiv(b, bb),),
+            in_specs=[
+                pl.BlockSpec((bb, gp, D_CKV), lambda blk, lens, pt, lid: (blk, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((2, cpp, page, D_CKV), kv_cache.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((bb, gp, 128), jnp.float32),
+                pltpu.VMEM((bb, gp, 128), jnp.float32),
+                pltpu.VMEM((bb, gp, D_LATENT), jnp.float32),
+            ],
+        ),
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * gp * n_blocks * page * (D_CKV + D_LATENT),
+            bytes_accessed=b * n_blocks * page * D_CKV * kv_cache.dtype.itemsize,
+            transcendentals=b * gp * n_blocks * page,
+        ),
+        interpret=pallas_interpret(),
+    )(lengths.astype(jnp.int32), page_table.astype(jnp.int32),
+      jnp.asarray(layer_id, jnp.int32).reshape(1), q, kv_cache)
+    if return_lse:
+        return outs[0][:, 0], outs[1][:, 0, 0]
+    return outs[0][:, 0], None
+
+
 def _decode_entry(lens_ref, pt_ref, *refs, sm_scale, page, n_blocks, has_lse, has_lid=False):
     if has_lid:
         refs = refs[1:]  # layer-id scalar ref consumed by the BlockSpecs
@@ -117,7 +313,7 @@ def _decode_entry(lens_ref, pt_ref, *refs, sm_scale, page, n_blocks, has_lse, ha
     )
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "return_lse", "num_splits"))
+@functools.partial(jax.jit, static_argnames=("sm_scale", "return_lse", "num_splits", "engine"))
 def mla_decode(
     q_nope,
     q_pe,
@@ -129,6 +325,7 @@ def mla_decode(
     sm_scale: Optional[float] = None,
     return_lse: bool = False,
     num_splits: int = 1,
+    engine: str = "dma",
 ):
     """MLA paged decode (flash_mla_decode semantics, attention.py:54-132).
 
@@ -163,7 +360,7 @@ def mla_decode(
         rep = lambda x: jnp.repeat(x, s, axis=0)
         o, lse = mla_decode(
             rep(q_nope), rep(q_pe), kv_cache, len_s, pt_s, layer_id,
-            sm_scale=sm_scale, return_lse=True, num_splits=1,
+            sm_scale=sm_scale, return_lse=True, num_splits=1, engine=engine,
         )
         o_st = o.reshape(b, s, h, D_LATENT).swapaxes(0, 1)  # [S, B, H, D]
         l_st = lse.reshape(b, s, h).swapaxes(0, 1)
@@ -180,6 +377,17 @@ def mla_decode(
     q = jnp.concatenate([q_nope, q_pe], axis=-1)  # [B, H, 576]
     if hp != h:
         q = jnp.pad(q, ((0, 0), (0, hp - h), (0, 0)))
+
+    if engine == "dma":
+        cache4 = kv_cache if stacked else kv_cache[None]
+        out, lse = _mla_decode_dma(
+            q, cache4, lengths, page_table,
+            layer_id if stacked else jnp.zeros((1,), jnp.int32),
+            sm_scale=sm_scale, return_lse=return_lse)
+        out = out[:, :h]
+        if return_lse:
+            return out, lse[:, :h]
+        return out
 
     out_shapes = [jax.ShapeDtypeStruct((b, hp, D_LATENT), q_nope.dtype)]
     if stacked:

@@ -100,8 +100,8 @@ class TestMlaSplit:
         lengths = jnp.asarray([ctx, max(ctx - 9, 1)], jnp.int32)
         table = jnp.asarray(
             rng.permutation(np.arange(1, n_pages))[: b * nb].reshape(b, nb), jnp.int32)
-        ref = mla_decode(qn, qp, kv, lengths, table)
-        got = mla_decode(qn, qp, kv, lengths, table, num_splits=num_splits)
+        ref = mla.mla_decode(qn, qp, kv, lengths, table)
+        got = mla.mla_decode(qn, qp, kv, lengths, table, num_splits=num_splits)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
     def test_split_stacked_layer(self, rng):
@@ -115,6 +115,58 @@ class TestMlaSplit:
         lengths = jnp.asarray([37], jnp.int32)
         table = jnp.asarray(np.arange(1, nb + 1)[None], jnp.int32)
         for lid in range(l):
-            ref = mla_decode(qn, qp, kv, lengths, table, layer_id=lid)
-            got = mla_decode(qn, qp, kv, lengths, table, layer_id=lid, num_splits=2)
+            ref = mla.mla_decode(qn, qp, kv, lengths, table, layer_id=lid)
+            got = mla.mla_decode(qn, qp, kv, lengths, table, layer_id=lid, num_splits=2)
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+class TestDmaEngineParity:
+    """Round-4 DMA-engine rewrite: the manual-DMA body must match the
+    BlockSpec-pipelined form bit-for-bit-in-f32-tolerance on every path."""
+
+    def test_engines_match(self):
+        rng = np.random.default_rng(7)
+        b, h, page, blocks = 5, 16, 16, 4
+        n_pages = b * blocks + 1
+        cache = jnp.asarray(rng.standard_normal((n_pages, page, 576)) / 8, jnp.bfloat16)
+        qn = jnp.asarray(rng.standard_normal((b, h, 512)) / 8, jnp.bfloat16)
+        qp = jnp.asarray(rng.standard_normal((b, h, 64)) / 8, jnp.bfloat16)
+        lens = jnp.asarray([64, 17, 1, 33, 64], jnp.int32)  # ragged
+        pt = jnp.asarray(rng.integers(1, n_pages, (b, blocks)), jnp.int32)
+        o_d, l_d = mla.mla_decode(qn, qp, cache, lens, pt, sm_scale=0.12,
+                              return_lse=True, engine="dma")
+        o_b, l_b = mla.mla_decode(qn, qp, cache, lens, pt, sm_scale=0.12,
+                              return_lse=True, engine="blockspec")
+        np.testing.assert_allclose(np.asarray(o_d, np.float32),
+                                   np.asarray(o_b, np.float32), atol=2e-2, rtol=2e-2)
+        np.testing.assert_allclose(np.asarray(l_d), np.asarray(l_b), atol=1e-4, rtol=1e-5)
+
+    def test_engines_match_stacked_fp8(self):
+        rng = np.random.default_rng(8)
+        b, h, page, blocks, L = 3, 8, 16, 3, 2
+        n_pages = b * blocks + 1
+        cache = jnp.asarray(rng.standard_normal((L, n_pages, page, 576)) / 8,
+                            jnp.float32).astype(jnp.float8_e4m3fn)
+        qn = jnp.asarray(rng.standard_normal((b, h, 512)) / 8, jnp.bfloat16)
+        qp = jnp.asarray(rng.standard_normal((b, h, 64)) / 8, jnp.bfloat16)
+        lens = jnp.asarray([40, 9, 25], jnp.int32)
+        pt = jnp.asarray(rng.integers(1, n_pages, (b, blocks)), jnp.int32)
+        lid = jnp.asarray([1], jnp.int32)
+        o_d = mla.mla_decode(qn, qp, cache, lens, pt, lid, sm_scale=0.1, engine="dma")
+        o_b = mla.mla_decode(qn, qp, cache, lens, pt, lid, sm_scale=0.1, engine="blockspec")
+        np.testing.assert_allclose(np.asarray(o_d, np.float32),
+                                   np.asarray(o_b, np.float32), atol=2e-2, rtol=2e-2)
+
+    def test_engines_match_splits(self):
+        rng = np.random.default_rng(9)
+        b, h, page, blocks = 2, 16, 16, 8
+        n_pages = b * blocks + 1
+        cache = jnp.asarray(rng.standard_normal((n_pages, page, 576)) / 8, jnp.bfloat16)
+        qn = jnp.asarray(rng.standard_normal((b, h, 512)) / 8, jnp.bfloat16)
+        qp = jnp.asarray(rng.standard_normal((b, h, 64)) / 8, jnp.bfloat16)
+        lens = jnp.asarray([128, 70], jnp.int32)
+        pt = jnp.asarray(rng.integers(1, n_pages, (b, blocks)), jnp.int32)
+        o1 = mla.mla_decode(qn, qp, cache, lens, pt, sm_scale=0.1, engine="dma")
+        o4 = mla.mla_decode(qn, qp, cache, lens, pt, sm_scale=0.1, num_splits=4, engine="dma")
+        np.testing.assert_allclose(np.asarray(o1, np.float32),
+                                   np.asarray(o4, np.float32), atol=2e-2, rtol=2e-2)
