@@ -170,3 +170,19 @@ class TestDmaEngineParity:
         o4 = mla.mla_decode(qn, qp, cache, lens, pt, sm_scale=0.1, num_splits=4, engine="dma")
         np.testing.assert_allclose(np.asarray(o1, np.float32),
                                    np.asarray(o4, np.float32), atol=2e-2, rtol=2e-2)
+
+
+    def test_engines_match_dsv3_heads(self):
+        """H=128 (real DSv3): gp=128 drops the per-step fold to bb=16."""
+        rng = np.random.default_rng(10)
+        b, h, page, blocks = 3, 128, 16, 2
+        n_pages = b * blocks + 1
+        cache = jnp.asarray(rng.standard_normal((n_pages, page, 576)) / 8, jnp.bfloat16)
+        qn = jnp.asarray(rng.standard_normal((b, h, 512)) / 8, jnp.bfloat16)
+        qp = jnp.asarray(rng.standard_normal((b, h, 64)) / 8, jnp.bfloat16)
+        lens = jnp.asarray([32, 5, 20], jnp.int32)
+        pt = jnp.asarray(rng.integers(1, n_pages, (b, blocks)), jnp.int32)
+        o_d = mla.mla_decode(qn, qp, cache, lens, pt, sm_scale=0.1, engine="dma")
+        o_b = mla.mla_decode(qn, qp, cache, lens, pt, sm_scale=0.1, engine="blockspec")
+        np.testing.assert_allclose(np.asarray(o_d, np.float32),
+                                   np.asarray(o_b, np.float32), atol=2e-2, rtol=2e-2)
