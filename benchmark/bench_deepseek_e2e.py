@@ -138,6 +138,9 @@ def main():
     # int8 latent: ONE hardware upcast + folded kv_scale — the TPU-native
     # low-bit pool (docs/PERF.md round 3)
     run_one(records, "int8kv", kv_dtype=jnp.int8, kv_scale=1 / 16)
+    # bf16 latent: the round-4 manual-DMA mla_decode path (2-byte pools
+    # stream through the u8-view DMA engine; 1-byte pools stay BlockSpec)
+    run_one(records, "bf16kv", kv_dtype=jnp.bfloat16)
     compare_to_baseline(records, load_baseline())
 
 

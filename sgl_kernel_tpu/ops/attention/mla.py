@@ -103,15 +103,41 @@ def _decode_kernel(
             lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
 
 
+_DMA_DECODE_FORM = "A"  # byte-pair decode form; see _rows_from_bytes
+
+
+def _rows_from_bytes(raw, dtype, d):
+    """u8-view buffer rows -> typed rows: raw [..., d*itemsize] u8.
+
+    Manual DMA cannot slice a 576-lane memref (Mosaic: "slice shape along
+    dim 3 must be aligned to tiling (128)"), so the pool is streamed
+    through its uint8 VIEW — 1152 lanes for bf16 (9x128, aligned), 2304
+    for f32 — and the byte groups fold back to the element dtype here.
+    Form A: lax.bitcast collapse of the [.., itemsize] minor dim.
+    Form B: i32 widen + shift-or (the blockwise_fp8 pair-decode shape)."""
+    it = jnp.dtype(dtype).itemsize
+    wide_t = {2: jnp.uint16, 4: jnp.uint32}[it]
+    grp = raw.reshape(*raw.shape[:-1], d, it)
+    if _DMA_DECODE_FORM == "A":
+        wide = jax.lax.bitcast_convert_type(grp, wide_t)
+    else:
+        u = grp.astype(jnp.int32)
+        wide = u[..., 0]
+        for byte in range(1, it):
+            wide = wide | (u[..., byte] << (8 * byte))
+        wide = wide.astype(wide_t)
+    return jax.lax.bitcast_convert_type(wide, dtype)
+
+
 def _dma_kernel(
     lens_ref,   # [B] scalar prefetch
     pt_ref,     # [B, n_blocks] scalar prefetch
     layer_ref,  # [1] scalar prefetch
     q_ref,      # [bb, gp, 576] VMEM
-    kv_hbm,     # ANY [L, P, page, 576]
+    kv_hbm,     # ANY [L, P, page, 576*itemsize] uint8 view
     o_ref,      # [bb, 1, gp, 512]
     lse_ref,    # [bb, 1, 8, gp] or None
-    kb,         # VMEM [2, cpp, page, 576]
+    kb,         # VMEM [2, cpp, page, 576*itemsize] u8
     sem,        # DMA sems [2]
     m_scr, l_scr,  # VMEM [bb, gp, 128] f32
     acc_scr,       # VMEM [bb, gp, 512] f32
@@ -124,6 +150,7 @@ def _dma_kernel(
     bb: int,
     batch: int,
     has_lse: bool,
+    kv_dtype,
 ):
     """MLA decode on the manual-DMA engine (paged_decode_dma's design
     applied to the latent cache): many sequences fold into one grid step
@@ -133,7 +160,7 @@ def _dma_kernel(
     576-wide latent row is both K and V, so there is ONE pool buffer and
     half the DMA traffic. Replaces the BlockSpec-pipelined form that
     measured 224-280 GB/s vs the engine's ~850 (benchmark/ab_mla_decode.py,
-    2026-08-20)."""
+    2026-08-20). The pool rides as its uint8 view (_rows_from_bytes)."""
     blk = pl.program_id(0)
     span = page * cpp
     lid = layer_ref[0]
@@ -182,7 +209,9 @@ def _dma_kernel(
     def compute(t, slot):
         i, c = seq_of(t), chunk_of(t)
         q = q_ref[i]  # [gp, 576]
-        kv = _upcast(kb[slot].reshape(span, D_CKV), q.dtype)
+        it = jnp.dtype(kv_dtype).itemsize
+        kv = _rows_from_bytes(kb[slot].reshape(span, D_CKV * it),
+                              kv_dtype, D_CKV).astype(q.dtype)
         sc = jax.lax.dot_general(q, kv, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         sc = sc * sm_scale
@@ -243,9 +272,14 @@ def _mla_decode_dma(q, kv_cache, lengths, page_table, layer_id, *,
                     sm_scale: float, return_lse: bool, chunk_pages: int = 8):
     """DMA-engine body for mla_decode: q [B, gp-padded H, 576] pre-padded,
     kv_cache [L, P, page, 576] (layer-stacked; callers without stacking
-    pass L=1 + layer 0)."""
+    pass L=1 + layer 0). Requires itemsize >= 2 (the u8 view of a 1-byte
+    pool is 576 lanes — unaligned for manual DMA; those pools take the
+    BlockSpec engine, see mla_decode)."""
     b, gp, _ = q.shape
-    _, n_pages, page, dck = kv_cache.shape
+    nl, n_pages, page, dck = kv_cache.shape
+    it = kv_cache.dtype.itemsize
+    kv_u8 = jax.lax.bitcast_convert_type(kv_cache, jnp.uint8).reshape(
+        nl, n_pages, page, dck * it)
     n_blocks = page_table.shape[1]
     cpp = min(chunk_pages, n_blocks, max(1, 1024 // page))
     if n_blocks % cpp:
@@ -265,7 +299,8 @@ def _mla_decode_dma(q, kv_cache, lengths, page_table, layer_id, *,
     outs = pl.pallas_call(
         functools.partial(
             _dma_entry, sm_scale=sm_scale, page=page, cpp=cpp,
-            n_chunks=n_chunks, gp=gp, bb=bb, batch=b, has_lse=return_lse),
+            n_chunks=n_chunks, gp=gp, bb=bb, batch=b, has_lse=return_lse,
+            kv_dtype=kv_cache.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(cdiv(b, bb),),
@@ -275,7 +310,7 @@ def _mla_decode_dma(q, kv_cache, lengths, page_table, layer_id, *,
             ],
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((2, cpp, page, D_CKV), kv_cache.dtype),
+                pltpu.VMEM((2, cpp, page, D_CKV * it), jnp.uint8),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((bb, gp, 128), jnp.float32),
                 pltpu.VMEM((bb, gp, 128), jnp.float32),
@@ -293,7 +328,7 @@ def _mla_decode_dma(q, kv_cache, lengths, page_table, layer_id, *,
         ),
         interpret=pallas_interpret(),
     )(lengths.astype(jnp.int32), page_table.astype(jnp.int32),
-      jnp.asarray(layer_id, jnp.int32).reshape(1), q, kv_cache)
+      jnp.asarray(layer_id, jnp.int32).reshape(1), q, kv_u8)
     if return_lse:
         return outs[0][:, 0], outs[1][:, 0, 0]
     return outs[0][:, 0], None
@@ -325,7 +360,7 @@ def mla_decode(
     sm_scale: Optional[float] = None,
     return_lse: bool = False,
     num_splits: int = 1,
-    engine: str = "dma",
+    engine: str = "blockspec",
 ):
     """MLA paged decode (flash_mla_decode semantics, attention.py:54-132).
 
@@ -378,7 +413,16 @@ def mla_decode(
     if hp != h:
         q = jnp.pad(q, ((0, 0), (0, hp - h), (0, 0)))
 
-    if engine == "dma":
+    # The manual-DMA engine is gated OFF by default: Mosaic rejects DMA
+    # slices of a 576-lane memref ("slice shape along dim 3 must be
+    # aligned to tiling (128)") and every byte-pair decode of a legal u8
+    # view fails lowering ("changing bitwidths not supported") — probed
+    # on-chip 2026-08-20. The production fix is BIG PAGES: the BlockSpec
+    # pipeline is per-step-overhead-bound (224-280 GB/s at page=128), and
+    # page=1024/2048 amortizes it with zero kernel changes (Pallas
+    # pipelined copies handle 576 lanes fine). mla_decode is page-size
+    # agnostic; serving configures the MLA pool page size.
+    if engine == "dma" and kv_cache.dtype.itemsize >= 2:
         cache4 = kv_cache if stacked else kv_cache[None]
         out, lse = _mla_decode_dma(
             q, cache4, lengths, page_table,
