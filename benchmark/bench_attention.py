@@ -50,10 +50,11 @@ def bench_prefill(rng, b, s, hq, hkv, d, records):
     records.append(report(f"flash_prefill:{b}-{s}-{hq}-{hkv}-{d}", sec, tflops=round(flops / sec / 1e12, 1)))
 
 
-def bench_mla(rng, b, ctx, h, records):
-    blocks = ctx // PAGE
+def bench_mla(rng, b, ctx, h, records, page=None):
+    page = page or PAGE
+    blocks = ctx // page
     n_pages = b * blocks + 1
-    pool = jnp.asarray(rng.standard_normal((n_pages, PAGE, 576)) * 0.3, jnp.bfloat16)
+    pool = jnp.asarray(rng.standard_normal((n_pages, page, 576)) * 0.3, jnp.bfloat16)
     lengths = jnp.full((b,), ctx, jnp.int32)
     table = jnp.asarray(rng.integers(1, n_pages, (b, blocks)), jnp.int32)
     qn = jnp.asarray(rng.standard_normal((b, h, 512)), jnp.bfloat16)
@@ -65,7 +66,7 @@ def bench_mla(rng, b, ctx, h, records):
 
     sec = bench_chain(step, qn, reps=32)
     kv_gb = b * ctx * 576 * 2 / 1e9
-    records.append(report(f"mla_decode:{b}-{ctx}-{h}-{PAGE}", sec, kv_gbs=round(kv_gb / sec, 1)))
+    records.append(report(f"mla_decode:{b}-{ctx}-{h}-{page}", sec, kv_gbs=round(kv_gb / sec, 1)))
 
 
 def bench_decode_dma(rng, b, ctx, hq, hkv, d, records, kv_dtype=jnp.bfloat16,
@@ -189,6 +190,10 @@ def main():
     # real DSv3 geometry: 128 q heads over the single latent head
     bench_mla(rng, 16, 1024, 128, records)
     bench_mla(rng, 4, 8192, 128, records)
+    # BIG pages: the per-step-overhead fix (602-647 GB/s vs 206-262 at
+    # page=128, benchmark/ab_mla_pages.py) — the recommended serving config
+    bench_mla(rng, 16, 8192, 16, records, page=1024)
+    bench_mla(rng, 16, 8192, 128, records, page=1024)
     compare_to_baseline(records, load_baseline())
 
 

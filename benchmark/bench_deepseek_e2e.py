@@ -26,7 +26,10 @@ from sgl_kernel_tpu.ops.gemm.w4a16 import quantize_w4
 
 BATCH = 16
 CTX = 1024
-PAGE = 128
+# MLA pools want BIG pages: the BlockSpec decode pipeline is per-step-
+# overhead-bound and page=1024 measures 602-647 GB/s vs 206-262 at
+# page=128 (benchmark/ab_mla_pages.py, 2026-08-20)
+PAGE = 1024
 
 
 def v2_lite_cfg(**kv_kw):
@@ -138,8 +141,7 @@ def main():
     # int8 latent: ONE hardware upcast + folded kv_scale — the TPU-native
     # low-bit pool (docs/PERF.md round 3)
     run_one(records, "int8kv", kv_dtype=jnp.int8, kv_scale=1 / 16)
-    # bf16 latent: the round-4 manual-DMA mla_decode path (2-byte pools
-    # stream through the u8-view DMA engine; 1-byte pools stay BlockSpec)
+    # bf16 latent baseline (all latent dtypes ride the big-page pipeline)
     run_one(records, "bf16kv", kv_dtype=jnp.bfloat16)
     compare_to_baseline(records, load_baseline())
 
