@@ -253,9 +253,16 @@ class HybridGdnAdapter(LlamaAdapter):
 class DeepseekAdapter:
     """DeepSeek-V3/V4 MLA families (models/deepseek.py): single latent pool
     [L, P, page, 576]; optional DSv4 NSA sparse decode (per-layer fp8
-    indexer caches + fast_topk + sparse MLA gather) via ``use_nsa``."""
+    indexer caches + fast_topk + sparse MLA gather) via ``use_nsa``.
+
+    MLA pools want BIG pages: the decode pipeline is per-step-overhead-
+    bound, and page=1024 streams 602-647 GB/s vs 206-262 at page=128
+    (docs/PERF.md round 4; an MLA page=1024 is ~1.15 MB — the same byte
+    class as a GQA [Hkv=8, 128, 128] page block). ``recommended_page_size``
+    reports it; Engine callers pass it as page_size."""
 
     name = "deepseek"
+    recommended_page_size = 1024
     supports_spec = True  # chain spec via prefill_extend(num_logits) —
     # latent-pool target caches splat through spec_decode_round; a
     # llama-family draft proposes (models/spec.py)
