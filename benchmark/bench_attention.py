@@ -177,9 +177,14 @@ def main():
     bench_decode_dma(rng, 16, 1024, 32, 32, 128, records)  # MHA
     bench_decode_dma(rng, 16, 1024, 64, 8, 64, records)
     # prefill
-    bench_prefill(rng, 1, 2048, 32, 8, 128, records)
-    bench_prefill(rng, 1, 8192, 32, 8, 128, records)
-    bench_prefill(rng, 8, 2048, 32, 8, 128, records)
+    # prefill grid (reference tracks flash_attn across a 672-config grid,
+    # update_baseline_from_log.py:40-95 — cover the b x s x head classes)
+    for b, s in [(1, 1024), (1, 2048), (1, 4096), (1, 8192), (1, 16384),
+                 (2, 4096), (4, 4096), (8, 2048), (16, 1024)]:
+        bench_prefill(rng, b, s, 32, 8, 128, records)
+    bench_prefill(rng, 1, 4096, 32, 32, 128, records)   # MHA
+    bench_prefill(rng, 1, 4096, 64, 8, 128, records)    # wide GQA
+    bench_prefill(rng, 1, 4096, 16, 16, 64, records)    # small-head MHA
     bench_prefill_features(rng, records)
     # packed ragged prefill (mixed batch; padded rectangle would be 8x4096)
     bench_packed(rng, [4096, 512, 1024, 256, 2048, 300, 600, 150], 32, 8, 128, records)
