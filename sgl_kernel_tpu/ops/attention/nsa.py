@@ -320,7 +320,7 @@ def sparse_mla_decode(q_nope, q_pe, kv_pool_flat, slot_indices, *,
                       extra_topk_length=None,
                       attn_sink=None,
                       return_lse: bool = False,
-                      page: int = 128):
+                      page: int = 1024):
     """Sparse MLA decode over top-k selected latent rows — 2-stage
     gather->dense (the reference's default scheme, mla_sparse_decode.cpp +
     src/CMakeLists.txt:19-23), TPU-native:
@@ -352,7 +352,10 @@ def sparse_mla_decode(q_nope, q_pe, kv_pool_flat, slot_indices, *,
 
     def one_pool(pool, idx, tl):
         kk = idx.shape[1]
-        pg = page
+        # the gathered pseudo-pool is contiguous, so the page size is free
+        # to choose: BIG pages amortize the decode pipeline's per-step cost
+        # (602-647 vs 206-262 GB/s at page=128 — docs/PERF.md round 4)
+        pg = min(page, kk)
         while kk % pg:
             pg //= 2
         if tl is None:
