@@ -167,11 +167,11 @@ def main():
         return time.perf_counter() - t0
 
     _ = run(1)
-    # min over 4 attempts per point: the shared chip's co-tenant load swings
+    # min over 6 attempts per point: the shared chip's co-tenant load swings
     # identical programs +-25% between windows (sweep_w4a16_nacc denoise,
     # 2026-08-19); the min is the hardware's capability, the rest is noise
-    t_small = min(run(1) for _ in range(4))
-    t_big = min(run(1 + STEPS) for _ in range(4))
+    t_small = min(run(1) for _ in range(6))
+    t_big = min(run(1 + STEPS) for _ in range(6))
     dt = t_big - t_small  # overhead-free time for STEPS steps
     toks_per_s = BATCH * STEPS / dt
 
