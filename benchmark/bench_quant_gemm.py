@@ -57,7 +57,7 @@ def main():
             o = int8_scaled_mm(carry.astype(jnp.int8), b8, sa, sb, out_dtype=jnp.bfloat16)
             return (carry + (o[:, :1] * 0).astype(carry.dtype) + 1).astype(carry.dtype)
 
-        sec = bench_chain_banks(int8_chain, a8.astype(jnp.int32), ibanks, reps=8)
+        sec = bench_chain_banks(int8_chain, a8.astype(jnp.int32), ibanks, reps=16 if m <= 128 else 8)
         records.append(report(f"int8_scaled_mm:{m}-{n}-{k}", sec,
                               gbs=round((m * k + k * n) / sec / 1e9, 1)))
 
@@ -71,7 +71,7 @@ def main():
                               jnp.float32(0.01), jnp.float32(0.01), out_dtype=jnp.bfloat16)
             return carry + (o[:, :1] * 0 + 1e-6).astype(carry.dtype)
 
-        sec = bench_chain_banks(fp8_chain, af.astype(jnp.bfloat16), fbanks, reps=8)
+        sec = bench_chain_banks(fp8_chain, af.astype(jnp.bfloat16), fbanks, reps=16 if m <= 128 else 8)
         records.append(report(f"fp8_scaled_mm:{m}-{n}-{k}", sec,
                               gbs=round((m * k + k * n) / sec / 1e9, 1)))
 
@@ -87,7 +87,7 @@ def main():
                                         out_dtype=jnp.bfloat16)
             return carry + (o[:, :1] * 0 + 1e-6).astype(carry.dtype)
 
-        sec = bench_chain_banks(blk_chain, af.astype(jnp.bfloat16), bbanks, reps=8)
+        sec = bench_chain_banks(blk_chain, af.astype(jnp.bfloat16), bbanks, reps=16 if m <= 128 else 8)
         name = f"fp8_blockwise_scaled_mm:{m}-{n}-{k}"
         gbs = (m * k + k * n) / sec / 1e9
         tf = 2 * m * n * k / sec / 1e12

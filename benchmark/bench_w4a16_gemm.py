@@ -44,7 +44,11 @@ def main():
             w_ = min(n, k)
             return carry.at[:, :w_].add(o[:m, :w_] * jnp.bfloat16(1e-8))
 
-        sec = bench_chain_banks(step, a, banks, reps=8 if m <= 128 else 4)
+        # small-M rows are ~20-90us/step: the differenced window must dwarf
+        # the relay's ~ms-scale call jitter or the gate records noise
+        # (a 16-4096-14336 row read 1278 GB/s > HBM peak on the first
+        # round-4 regen pass with reps=8)
+        sec = bench_chain_banks(step, a, banks, reps=32 if m <= 128 else 4)
         gbs = (n * k // 2 + (k // 128) * n * 4) / sec / 1e9
         records.append(report(f"w4a16_gemm:{m}-{n}-{k}-128", sec, gbs=round(gbs, 1)))
 
