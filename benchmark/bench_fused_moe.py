@@ -50,13 +50,26 @@ def main():
             p2, s2 = jax.vmap(lambda w: quantize_w4(w, group_size=128)[:2])(w2f)
             weights = moe.MoeWeights(w1=p1, w2=p2, w1_scales=s1, w2_scales=s2, fmt="int4", group_size=128)
 
-        def step(carry, weights, tw=tw, tids=tids):
-            o = moe.fused_experts(carry, weights, tw, tids, block_size=64)
-            return carry + o * jnp.bfloat16(1e-8)
-
         # expert banks ride as chain ARGS: GB-scale closure constants embed
-        # in the shipped HLO and kill the relay transport (broken pipe)
-        sec = bench_chain(step, x, reps=16, args=(weights,))
+        # in the shipped HLO and kill the relay transport (broken pipe).
+        # Only the ARRAY leaves may ride args — MoeWeights.fmt is a str and
+        # jit rejects it (round-4 regen TypeError); rebuild inside the step.
+        if fmt == "bf16":
+            def step(carry, w1, w2, tw=tw, tids=tids):
+                ws = moe.MoeWeights(w1=w1, w2=w2, fmt="bf16")
+                o = moe.fused_experts(carry, ws, tw, tids, block_size=64)
+                return carry + o * jnp.bfloat16(1e-8)
+
+            args = (weights.w1, weights.w2)
+        else:
+            def step(carry, p1, p2, s1, s2, tw=tw, tids=tids):
+                ws = moe.MoeWeights(w1=p1, w2=p2, w1_scales=s1, w2_scales=s2,
+                                    fmt="int4", group_size=128)
+                o = moe.fused_experts(carry, ws, tw, tids, block_size=64)
+                return carry + o * jnp.bfloat16(1e-8)
+
+            args = (weights.w1, weights.w2, weights.w1_scales, weights.w2_scales)
+        sec = bench_chain(step, x, reps=16, args=args)
         records.append(report(f"fused_moe:{t}-{e}-{k}-{h}-{inter}-{fmt}", sec))
     compare_to_baseline(records, load_baseline())
 

@@ -355,10 +355,13 @@ def paged_attention_decode_dma(
         # rides fresh_k/v) — keep one padded block; valid() masks it out
         page_table = jnp.zeros((b, 1), jnp.int32)
         n_blocks = 1
-    # cap the streamed span at 1024 tokens so the double buffers stay
-    # within a VMEM budget independent of page size (16 pages x 64 tok
-    # and 8 x 128 both = 4 MB per K/V buffer at Llama-8B head count)
-    cpp = min(chunk_pages, n_blocks, max(1, 1024 // page))
+    # cap the streamed span so the double buffers stay within a VMEM
+    # budget independent of page size AND head count: the budget is
+    # ~4 MB per K/V buffer (8 KV heads x 1024 tokens at Llama-8B dims);
+    # hkv=32 pools with the flat 1024-token cap allocated 2x16.8 MB and
+    # OOM'd the 16 MB scoped limit on-chip (round-4 regen)
+    span_tokens = max(page, 1024 * 8 // max(hkv, 1))
+    cpp = min(chunk_pages, n_blocks, max(1, span_tokens // page))
     if n_blocks % cpp:
         pad = cpp - n_blocks % cpp
         page_table = jnp.pad(page_table, ((0, 0), (0, pad)))
