@@ -1,5 +1,14 @@
 #!/usr/bin/env python
-"""Quantized-GEMM family latency grid (reference analogs:
+"""Quantized-GEMM family latency grid.
+
+ZERO-MULTIPLY TRAP (round 4): feeding the output back as ``o * 0 + eps``
+lets XLA's algebraic simplifier fold the product to a constant and
+DEAD-CODE the entire GEMM — the round-3 rows measured the empty chain
+(fp8 16-4096-4096 "ran" at 2.8 TB/s). Every feedback below multiplies by
+a small NONZERO constant (or adds the raw column) so the kernel stays in
+the dependency chain.
+
+Original docstring: Quantized-GEMM family latency grid (reference analogs:
 bench_fp8_gemm.py, bench_fp8_blockwise_gemm.py, bench_int8_gemm.py,
 bench_qserve_w4a8_gemm.py — all declared-only on XPU; the TPU build
 implements and tracks them, SURVEY.md §2.6).
@@ -55,7 +64,7 @@ def main():
 
         def int8_chain(carry, b8, sb, sa=sa):
             o = int8_scaled_mm(carry.astype(jnp.int8), b8, sa, sb, out_dtype=jnp.bfloat16)
-            return (carry + (o[:, :1] * 0).astype(carry.dtype) + 1).astype(carry.dtype)
+            return (carry + o[:, :1].astype(carry.dtype)).astype(carry.dtype)
 
         sec = bench_chain_banks(int8_chain, a8.astype(jnp.int32), ibanks, reps=16 if m <= 128 else 8)
         records.append(report(f"int8_scaled_mm:{m}-{n}-{k}", sec,
@@ -69,7 +78,7 @@ def main():
         def fp8_chain(carry, bf, k=k):
             o = fp8_scaled_mm(carry.astype(jnp.float8_e4m3fn), bf,
                               jnp.float32(0.01), jnp.float32(0.01), out_dtype=jnp.bfloat16)
-            return carry + (o[:, :1] * 0 + 1e-6).astype(carry.dtype)
+            return carry + (o[:, :1] * 1e-6).astype(carry.dtype)
 
         sec = bench_chain_banks(fp8_chain, af.astype(jnp.bfloat16), fbanks, reps=16 if m <= 128 else 8)
         records.append(report(f"fp8_scaled_mm:{m}-{n}-{k}", sec,
@@ -85,7 +94,7 @@ def main():
         def blk_chain(carry, bf, sbb, sab=sab):
             o = fp8_blockwise_scaled_mm(carry.astype(jnp.float8_e4m3fn), bf, sab, sbb,
                                         out_dtype=jnp.bfloat16)
-            return carry + (o[:, :1] * 0 + 1e-6).astype(carry.dtype)
+            return carry + (o[:, :1] * 1e-6).astype(carry.dtype)
 
         sec = bench_chain_banks(blk_chain, af.astype(jnp.bfloat16), bbanks, reps=16 if m <= 128 else 8)
         name = f"fp8_blockwise_scaled_mm:{m}-{n}-{k}"
@@ -106,7 +115,7 @@ def main():
 
     def qserve_chain(carry, wq, s1=s1, z1=z1, sa_tok=sa_tok, asums=asums):
         o = qserve_w4a8_per_chn_gemm(carry.astype(jnp.int8), wq, s1, sa_tok, z1, asums)
-        return carry + (o[:, :1] * 0 + 1).astype(carry.dtype)
+        return carry + o[:, :1].astype(carry.dtype)
 
     sec = bench_chain_banks(qserve_chain, aq.astype(jnp.int32), qbanks, reps=8)
     records.append(report(f"qserve_w4a8_per_chn:{M}-{N}-{K}", sec,
@@ -120,7 +129,7 @@ def main():
 
     def qserve_g_chain(carry, wq, s2=s2, zx=zx, s1=s1, sa_tok=sa_tok):
         o = qserve_w4a8_per_group_gemm(carry.astype(jnp.int8), wq, zx, s2, s1, sa_tok, group_size=g)
-        return carry + (o[:, :1] * 0 + 1).astype(carry.dtype)
+        return carry + o[:, :1].astype(carry.dtype)
 
     sec = bench_chain_banks(qserve_g_chain, aq.astype(jnp.int32), qbanks, reps=8)
     records.append(report(f"qserve_w4a8_per_group:{M}-{N}-{K}-{g}", sec,
@@ -137,7 +146,7 @@ def main():
     def bmm_chain(carry, bbm):
         o = bmm_fp8(carry.astype(jnp.float8_e4m3fn), bbm, jnp.float32(0.01),
                     jnp.float32(0.01), out_dtype=jnp.bfloat16)
-        return carry.at[:, :, : o.shape[-1]].add((o * 0 + 1e-6).astype(carry.dtype))
+        return carry.at[:, :, : o.shape[-1]].add((o * 1e-6).astype(carry.dtype))
 
     sec = bench_chain_banks(bmm_chain, ab.astype(jnp.bfloat16), mbanks, reps=8)
     records.append(report(f"bmm_fp8:{bb}-{mm}-{nn2}-{kk2}", sec))
@@ -157,7 +166,7 @@ def main():
     def grp_chain(carry, wg, sbg, sag=sag, eids=eids):
         o = fp8_blockwise_scaled_grouped_mm(
             carry.astype(jnp.float8_e4m3fn), wg, sag, sbg, eids, out_dtype=jnp.bfloat16)
-        return carry + (o[:, :1] * 0 + 1e-6).astype(carry.dtype)
+        return carry + (o[:, :1] * 1e-6).astype(carry.dtype)
 
     sec = bench_chain_banks(grp_chain, ag.astype(jnp.bfloat16), grbanks, reps=4)
     records.append(report(f"fp8_blockwise_grouped_mm:{cap}-{e}-{ng}-{kg}", sec,

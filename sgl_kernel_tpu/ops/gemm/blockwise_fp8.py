@@ -77,7 +77,10 @@ _TILE_TABLE = {
     (4096, 4096, 0): (16, 4096, 1024),   # 909 GB/s weight stream (inner2)
     (4096, 7168, 0): (16, 4096, 1024),   # 660 GB/s (inner2; inner was 504)
     (7168, 4096, 0): (16, 7168, 1024),   # 765-790 GB/s
-    (4096, 4096, 2): (256, 4096, 1024),  # 138.5 TF = 1.02x the per-tensor
+    # bn=4096 measured 138.5 TF with an fp8 out tile (sweep) but OOMs the
+    # 16MB scoped VMEM with a bf16 out (18.8MB, round-4 regen) — the
+    # production default must compile for any out_dtype; bn=2048 fits
+    (4096, 4096, 2): (256, 2048, 1024),  # bn=4096/fp8-out: 138.5 TF = 1.02x the per-tensor
     # fp8_scaled_mm at the same shape (136.4 TF) and 0.78x the same-shape
     # bf16 matmul (178.6 TF): the fp8->bf16 VPU decode chain is the v5e
     # family ceiling (no fp8 MXU input); blockwise scaling itself is free.
