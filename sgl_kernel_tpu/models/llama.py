@@ -186,15 +186,28 @@ def _w4_kernel_for(cfg, m: int):
     return w4a16_gemm
 
 
-def _linear(x, w, cfg: LlamaConfig, residual=None, layer_id=None):
+def _linear(x, w, cfg: LlamaConfig, residual=None, layer_id=None, norm=None):
     """layer_id: when given, w is the FULL layer-stacked weight ([L, ...])
     and the quantized kernel selects the layer via scalar-prefetch — a
     pre-sliced Pallas operand would materialize a per-layer HBM copy
-    (~4GB/step across an 8B model's scan; docs/PERF.md)."""
+    (~4GB/step across an 8B model's scan; docs/PERF.md).
+
+    ``norm``: optional rmsnorm weight ([K], or stacked [L, K] with
+    layer_id) applied to x BEFORE the matmul. On the quantized fast path
+    the norm fuses into the GEMM prologue (w4a16_gemm norm_weight — one
+    Pallas launch instead of two, round 4); every other path applies the
+    standalone rmsnorm, so callers can pass the raw residual stream
+    unconditionally."""
+    kern = _w4_kernel_for(cfg, x.shape[0]) if isinstance(w, dict) else None
+    if norm is not None and kern is not w4a16_gemm:
+        nw = norm[layer_id] if layer_id is not None else norm
+        x = rmsnorm(x, nw, cfg.rms_eps)
+        norm = None
     if isinstance(w, dict):
-        return _w4_kernel_for(cfg, x.shape[0])(
+        kw = {} if norm is None else {"norm_weight": norm, "norm_eps": cfg.rms_eps}
+        return kern(
             x, w["packed"], w["scales"], residual=residual, layer_id=layer_id,
-            group_size=cfg.group_size, out_dtype=cfg.dtype,
+            group_size=cfg.group_size, out_dtype=cfg.dtype, **kw,
         )
     if layer_id is not None:
         w = w[layer_id]  # dense bf16: XLA fuses the slice into the dot
@@ -241,10 +254,14 @@ def _qkv(h, weights, cfg, n_tokens, layer_id=None):
     return q, k, v
 
 
-def _mlp(h2, weights, cfg, residual=None, layer_id=None):
+def _mlp(h2, weights, cfg, residual=None, layer_id=None, norm=None):
+    """``norm``: optional post-norm weight — h2 is then the RAW residual
+    stream and the norm fuses into the gate_up GEMM (or applies standalone
+    on the non-fused/dense paths)."""
     w = weights["down"]
     if cfg.fused:
-        gu = _linear(h2, weights["gate_up"], cfg, layer_id=layer_id)
+        gu = _linear(h2, weights["gate_up"], cfg, layer_id=layer_id, norm=norm)
+        norm = None
         # fused_gate_up requires the down proj's packed K to equal the true
         # intermediate size: quantize_w4 zero-pads non-group-multiple K, and
         # the fused path cannot pad the interleaved [M, 2K] activation
@@ -264,6 +281,9 @@ def _mlp(h2, weights, cfg, residual=None, layer_id=None):
         inter = gu.shape[-1] // 2
         gate, up = gu[:, :inter], gu[:, inter:]
     else:
+        if norm is not None:
+            nw = norm[layer_id] if layer_id is not None else norm
+            h2 = rmsnorm(h2, nw, cfg.rms_eps)
         gate = _linear(h2, weights["gate"], cfg, layer_id=layer_id)
         up = _linear(h2, weights["up"], cfg, layer_id=layer_id)
     if isinstance(w, dict):
@@ -325,8 +345,9 @@ def decode_step(params, cfg: LlamaConfig, k_cache, v_cache, tokens, positions, p
         params["layers"], cfg, k_cache, v_cache, x, positions, page_tables,
         lengths, slot_loc, rope_cache, tp_axis=tp_axis,
     )
-    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
-    logits = _linear(x, params["lm_head"], cfg).astype(jnp.float32)[:, : cfg.vocab_size]
+    # final_norm fuses into the lm_head GEMM prologue (quantized path)
+    logits = _linear(x, params["lm_head"], cfg,
+                     norm=params["final_norm"]).astype(jnp.float32)[:, : cfg.vocab_size]
     return logits, k_cache, v_cache
 
 
@@ -350,16 +371,19 @@ def decode_layers(lw, cfg: LlamaConfig, k_cache, v_cache, x, positions, page_tab
         # ~7 ms/step of pool copies on the headline decode).
         x = carry
         weights = lw
-        h = rmsnorm(x, weights["input_norm"][lidx], cfg.rms_eps)
         if cfg.fused and not cfg.qkv_bias and not cfg.qk_norm:
+            # input_norm fuses into the qkv GEMM prologue (round 4:
+            # norm_weight — one Pallas launch instead of two), then
             # GEMM -> split+rope in ONE Pallas call (three BlockSpecs over
             # the unsplit qkv output): the q/k/v slices were standalone XLA
             # fusion kernels between two Pallas calls (docs/PERF.md)
-            qkv = _linear(h, weights["qkv"], cfg, layer_id=lidx)
+            qkv = _linear(x, weights["qkv"], cfg, layer_id=lidx,
+                          norm=weights["input_norm"])
             q, k, v = rope_decode_fused_qkv(
                 positions, qkv, rope_cache, num_q=cfg.num_heads,
                 num_kv=cfg.num_kv_heads, head_dim=cfg.head_dim)
         else:
+            h = rmsnorm(x, weights["input_norm"][lidx], cfg.rms_eps)
             q, k, v = _qkv(h, weights, cfg, b, layer_id=lidx)
             q, k = rope_decode_fused(positions, q, k, rope_cache)
         attn = paged_attention_decode_dma(
@@ -368,12 +392,13 @@ def decode_layers(lw, cfg: LlamaConfig, k_cache, v_cache, x, positions, page_tab
         )
         if tp_axis is None:
             x = _linear(attn.reshape(b, -1), weights["o"], cfg, residual=x, layer_id=lidx)
-            h2 = rmsnorm(x, weights["post_norm"][lidx], cfg.rms_eps)
-            x = _mlp(h2, weights, cfg, residual=x, layer_id=lidx)
+            # post_norm fuses into the gate_up GEMM the same way
+            x = _mlp(x, weights, cfg, residual=x, layer_id=lidx,
+                     norm=weights["post_norm"])
         else:
             x = x + _maybe_psum(_linear(attn.reshape(b, -1), weights["o"], cfg, layer_id=lidx), tp_axis)
-            h2 = rmsnorm(x, weights["post_norm"][lidx], cfg.rms_eps)
-            x = x + _maybe_psum(_mlp(h2, weights, cfg, layer_id=lidx), tp_axis)
+            x = x + _maybe_psum(_mlp(x, weights, cfg, layer_id=lidx,
+                                     norm=weights["post_norm"]), tp_axis)
         return x, (k, v)
 
     x, (k_all, v_all) = jax.lax.scan(layer_fn, x, jnp.arange(n_stack))

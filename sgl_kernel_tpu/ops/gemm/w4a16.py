@@ -165,7 +165,30 @@ def _decode_tile(w_ref, fmt: str):
     return (sign * val).astype(jnp.bfloat16)
 
 
-def _kernel(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *, fmt, group_size, ngb, n_k, has_bias, prologue, gmode="loop"):
+def _load_a(a_ref, a2_ref, nw_ref, *, prologue, norm_eps, bk):
+    """Activation-tile prologue shared by the kernel bodies.
+
+    ``nw_ref`` set = fused decode rmsnorm (round 4): the a block is the
+    FULL [bm, K] row (tiny at decode M — 16x4096 bf16 = 128 KB, fetched
+    once per m-tile since its index map is constant over j/k), the rsqrt
+    row factor recomputes per grid step (a 64K-element VPU reduce,
+    negligible), and the k-slice loads via a dynamic ref slice. Replaces
+    the standalone rmsnorm Pallas launch before the qkv / gate_up /
+    lm_head decode GEMMs (~2.2us each, 65 calls/step — docs/PERF.md)."""
+    if nw_ref is not None:
+        k_idx = pl.program_id(2)
+        x = a_ref[...].astype(jnp.float32)  # [bm, K]
+        r = jax.lax.rsqrt(jnp.mean(x * x, axis=1, keepdims=True) + norm_eps)
+        a_sl = a_ref[:, pl.ds(k_idx * bk, bk)].astype(jnp.float32)
+        nw = nw_ref[0, pl.ds(k_idx * bk, bk)].astype(jnp.float32)
+        return (a_sl * nw[None, :] * r).astype(a_ref.dtype)
+    if prologue == "silu_mul":
+        g = a_ref[...].astype(jnp.float32)
+        return (g * jax.nn.sigmoid(g) * a2_ref[...].astype(jnp.float32)).astype(a_ref.dtype)
+    return a_ref[...]
+
+
+def _kernel(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *, fmt, group_size, ngb, n_k, has_bias, prologue, gmode="loop", nw_ref=None, norm_eps=1e-5):
     k_idx = pl.program_id(2)
     g0 = group_size
 
@@ -174,11 +197,8 @@ def _kernel(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     wf = _decode_tile(w_ref, fmt)  # [bk, bn] bf16 codes (MXU rhs orientation)
-    if prologue == "silu_mul":
-        g = a_ref[...].astype(jnp.float32)
-        a = (g * jax.nn.sigmoid(g) * a2_ref[...].astype(jnp.float32)).astype(a_ref.dtype)
-    else:
-        a = a_ref[...]
+    a = _load_a(a_ref, a2_ref, nw_ref, prologue=prologue, norm_eps=norm_eps,
+                bk=ngb * g0)
     acc = acc_ref[...]
     if gmode == "batched":
         # one BATCHED dot over all scale groups + a single scale-reduce
@@ -223,7 +243,7 @@ def _kernel(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *,
         o_ref[...] = out.astype(o_ref.dtype)
 
 
-def _kernel_inner(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *, fmt, group_size, ngb, n_k, has_bias, prologue, nacc: int = 1):
+def _kernel_inner(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *, fmt, group_size, ngb, n_k, has_bias, prologue, nacc: int = 1, nw_ref=None, norm_eps=1e-5):
     """gmode="inner": decode each scale group's [g0, bn] weight slice right
     before its MXU dot instead of materializing the whole decoded [bk, bn]
     tile in VMEM first. The per-group VPU decode (astype) software-pipelines
@@ -241,11 +261,8 @@ def _kernel_inner(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_r
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    if prologue == "silu_mul":
-        g = a_ref[...].astype(jnp.float32)
-        a = (g * jax.nn.sigmoid(g) * a2_ref[...].astype(jnp.float32)).astype(a_ref.dtype)
-    else:
-        a = a_ref[...]
+    a = _load_a(a_ref, a2_ref, nw_ref, prologue=prologue, norm_eps=norm_eps,
+                bk=ngb * g0)
     accs = [acc_ref[...]] + [jnp.zeros_like(acc_ref) for _ in range(nacc - 1)]
     for g in range(ngb):
         wf_g = _decode_tile(w_ref.at[pl.ds(g * g0 // 2, g0 // 2), :], fmt)  # [g0, bn]
@@ -276,7 +293,7 @@ def _kernel_inner(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_r
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group_size", "fmt", "out_dtype", "bm", "bn", "bk", "prologue", "gmode", "fused_gate_up"),
+    static_argnames=("group_size", "fmt", "out_dtype", "bm", "bn", "bk", "prologue", "gmode", "fused_gate_up", "norm_eps"),
 )
 def w4a16_gemm(
     a,
@@ -287,7 +304,9 @@ def w4a16_gemm(
     a2=None,
     residual=None,
     layer_id=None,
+    norm_weight=None,
     *,
+    norm_eps: float = 1e-5,
     group_size: int = 128,
     fmt: str = "int4",
     out_dtype=None,
@@ -317,6 +336,12 @@ def w4a16_gemm(
          so slicing per-layer weights out of the stacked arrays before the
          call would copy ~4GB/step for an 8B model — the same dynamic-slice
          trap the stacked KV pools avoid (docs/PERF.md).
+      norm_weight: optional [K] (or stacked [L, K]) rmsnorm weight — the
+         round-4 fused decode-norm prologue: a arrives UN-normed, the
+         kernel computes x * rsqrt(mean(x^2) + norm_eps) * norm_weight
+         per tile (full-row a block; decode-bucket M only — callers gate).
+         Mutually exclusive with prologue/a2/fused_gate_up; requires K a
+         group multiple (no quantize_w4 zero padding).
       fmt: "int4" | "mxfp4".
     Returns [M, N] in out_dtype (defaults to a.dtype).
 
@@ -350,9 +375,17 @@ def w4a16_gemm(
     assert gmode in ("loop", "batched") or (
         gmode.startswith("inner") and (gmode[5:] == "" or gmode[5:].isdigit())
     ), f"gmode must be 'loop', 'batched', or 'inner[N]', got {gmode!r}"
+    has_norm = norm_weight is not None
+    if has_norm:
+        assert prologue is None and a2 is None and not fused_gate_up, (
+            "norm_weight is its own prologue")
     k_pad = w.shape[-2] * 2  # packed layout [.., K/2, N]
     if fused_gate_up:
         assert k_pad == k, (k_pad, k)
+    if has_norm:
+        # the in-kernel mean runs over the full a row — zero padding would
+        # deflate it
+        assert k_pad == k, ("norm_weight requires a group-multiple K", k, k_pad)
     if k_pad != k:
         # quantize_w4 zero-padded a non-group-multiple K; pad the
         # activations to match (the padded tail multiplies zero codes)
@@ -417,19 +450,28 @@ def w4a16_gemm(
     # shape squeezes the dim so the kernel body is identical either way.
     if stacked:
         a_spec = pl.BlockSpec((bm, bk), lambda j, i, kk, lid: (i, kk))
+        afull_spec = pl.BlockSpec((bm, k), lambda j, i, kk, lid: (i, 0))
+        nw_spec = pl.BlockSpec((1, k), lambda j, i, kk, lid: (lid[0], 0))
         w_spec = pl.BlockSpec((None, bk // 2, bn), lambda j, i, kk, lid: (lid[0], kk, j))
         s_spec = pl.BlockSpec((None, ngb, bn), lambda j, i, kk, lid: (lid[0], kk, j))
         b_spec = pl.BlockSpec((None, bn), lambda j, i, kk, lid: (lid[0], j))
         mn_spec = pl.BlockSpec((bm, bn), lambda j, i, kk, lid: (i, j))
     else:
         a_spec = pl.BlockSpec((bm, bk), lambda j, i, kk: (i, kk))
+        afull_spec = pl.BlockSpec((bm, k), lambda j, i, kk: (i, 0))
+        nw_spec = pl.BlockSpec((1, k), lambda j, i, kk: (0, 0))
         w_spec = pl.BlockSpec((bk // 2, bn), lambda j, i, kk: (kk, j))
         s_spec = pl.BlockSpec((ngb, bn), lambda j, i, kk: (kk, j))
         b_spec = pl.BlockSpec((1, bn), lambda j, i, kk: (0, j))
         mn_spec = pl.BlockSpec((bm, bn), lambda j, i, kk: (i, j))
 
-    in_specs = [a_spec]
+    in_specs = [afull_spec if has_norm else a_spec]
     inputs = [a]
+    if has_norm:
+        nw = norm_weight if stacked else norm_weight.reshape(1, k)
+        assert nw.shape[-1] == k, (nw.shape, k)
+        in_specs.append(nw_spec)
+        inputs.append(nw)
     has_a2 = a2 is not None or fused_gate_up
     if fused_gate_up:
         koff = k // bk
@@ -460,6 +502,7 @@ def w4a16_gemm(
     kernel = functools.partial(
         _kernel_entry,
         has_lid=stacked,
+        has_norm=has_norm,
         has_a2=has_a2,
         has_zeros=zeros is not None,
         has_bias=has_bias,
@@ -470,6 +513,7 @@ def w4a16_gemm(
         n_k=k // bk,
         prologue=prologue,
         gmode=gmode,
+        norm_eps=norm_eps,
     )
 
     common = dict(
@@ -508,10 +552,12 @@ def w4a16_gemm(
     return out[:m] if mp != m else out
 
 
-def _kernel_entry(*refs, has_lid=False, has_a2, has_zeros, has_bias, has_res, fmt, group_size, ngb, n_k, prologue, gmode="loop"):
-    # refs layout: [lid], a, [a2], w, s, [z], [bias], [residual], o, acc
+def _kernel_entry(*refs, has_lid=False, has_norm=False, has_a2, has_zeros, has_bias, has_res, fmt, group_size, ngb, n_k, prologue, gmode="loop", norm_eps=1e-5):
+    # refs layout: [lid], a, [nw], [a2], w, s, [z], [bias], [residual], o, acc
     idx = int(has_lid)  # scalar-prefetch ref consumed by the BlockSpecs
     a_ref = refs[idx]; idx += 1
+    nw_ref = refs[idx] if has_norm else None
+    idx += int(has_norm)
     a2_ref = refs[idx] if has_a2 else None
     idx += int(has_a2)
     w_ref, s_ref = refs[idx], refs[idx + 1]
@@ -529,12 +575,13 @@ def _kernel_entry(*refs, has_lid=False, has_a2, has_zeros, has_bias, has_res, fm
             a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref,
             fmt=fmt, group_size=group_size, ngb=ngb, n_k=n_k, has_bias=has_bias,
             prologue=prologue, nacc=int(gmode[5:] or 1),
+            nw_ref=nw_ref, norm_eps=norm_eps,
         )
         return
     _kernel(
         a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref,
         fmt=fmt, group_size=group_size, ngb=ngb, n_k=n_k, has_bias=has_bias, prologue=prologue,
-        gmode=gmode,
+        gmode=gmode, nw_ref=nw_ref, norm_eps=norm_eps,
     )
 
 

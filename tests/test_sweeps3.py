@@ -243,3 +243,64 @@ class TestW4A16Dma:
             return eng.finished[rid].output
 
         assert run("dma") == run("pipeline")
+
+
+class TestNormPrologue:
+    """Round-4 fused decode rmsnorm (w4a16_gemm norm_weight)."""
+
+    # local aliases (this file imports the module as `gemm`)
+
+    @pytest.mark.parametrize("gmode", ["loop", "inner", "inner2"])
+    def test_matches_separate_norm(self, gmode):
+        from sgl_kernel_tpu.ops.norm import rmsnorm
+
+        rng = np.random.default_rng(11)
+        m, n, k, g = 16, 256, 512, 128
+        a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        wf = jnp.asarray(rng.standard_normal((n, k)) * 0.02, jnp.bfloat16)
+        nw = jnp.asarray(rng.random(k) + 0.5, jnp.bfloat16)
+        packed, scales, _ = gemm.quantize_w4(wf, group_size=g)
+        fused = gemm.w4a16_gemm(a, packed, scales, norm_weight=nw, norm_eps=1e-5,
+                           group_size=g, gmode=gmode)
+        ref = gemm.w4a16_gemm(rmsnorm(a, nw, 1e-5), packed, scales, group_size=g,
+                         gmode=gmode)
+        np.testing.assert_array_equal(np.asarray(fused, np.float32),
+                                      np.asarray(ref, np.float32))
+
+    def test_stacked_with_residual(self):
+        from sgl_kernel_tpu.ops.norm import rmsnorm
+
+        rng = np.random.default_rng(12)
+        m, n, k, g, L = 16, 256, 512, 128, 3
+        a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        res = jnp.asarray(rng.standard_normal((m, n)), jnp.bfloat16)
+        pks, scs, nws = [], [], []
+        for _ in range(L):
+            wf = jnp.asarray(rng.standard_normal((n, k)) * 0.02, jnp.bfloat16)
+            pk, sc, _ = gemm.quantize_w4(wf, group_size=g)
+            pks.append(pk); scs.append(sc)
+            nws.append(jnp.asarray(rng.random(k) + 0.5, jnp.bfloat16))
+        pk, sc, nw = jnp.stack(pks), jnp.stack(scs), jnp.stack(nws)
+        for lid in (0, 2):
+            fused = gemm.w4a16_gemm(a, pk, sc, residual=res, layer_id=jnp.int32(lid),
+                               norm_weight=nw, group_size=g)
+            ref = gemm.w4a16_gemm(rmsnorm(a, nw[lid], 1e-5), pk, sc, residual=res,
+                             layer_id=jnp.int32(lid), group_size=g)
+            np.testing.assert_array_equal(np.asarray(fused, np.float32),
+                                          np.asarray(ref, np.float32))
+
+    def test_bucket1_shapes(self):
+        """B=64 decode lands in m-bucket 1 (bm=128): the full-row a block
+        is (128, K) — the norm prologue must hold there too."""
+        from sgl_kernel_tpu.ops.norm import rmsnorm
+
+        rng = np.random.default_rng(13)
+        m, n, k, g = 64, 256, 512, 128
+        a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        wf = jnp.asarray(rng.standard_normal((n, k)) * 0.02, jnp.bfloat16)
+        nw = jnp.asarray(rng.random(k) + 0.5, jnp.bfloat16)
+        packed, scales, _ = gemm.quantize_w4(wf, group_size=g)
+        fused = gemm.w4a16_gemm(a, packed, scales, norm_weight=nw, group_size=g)
+        ref = gemm.w4a16_gemm(rmsnorm(a, nw, 1e-5), packed, scales, group_size=g)
+        np.testing.assert_array_equal(np.asarray(fused, np.float32),
+                                      np.asarray(ref, np.float32))
