@@ -146,7 +146,14 @@ def bench_nsa():
     b, ctx = 4, 8192
     logits = jnp.asarray(rng.standard_normal((b, ctx)), jnp.float32)
     lengths = jnp.full((b,), ctx, jnp.int32)
-    sec = bench_chain(lambda c: c + fast_topk(c, lengths, 2048).astype(jnp.float32) * 0, logits, reps=16)
+    def tk_step(c):
+        idx = fast_topk(c, lengths, 2048)
+        # real (non-zero) feedback into the first topk columns so the op
+        # stays in the dependency chain (the *0 form both dead-codes AND
+        # broadcast-crashes at ctx != topk)
+        return c.at[:, : idx.shape[1]].add(idx.astype(jnp.float32) * 1e-9)
+
+    sec = bench_chain(tk_step, logits, reps=16)
     add(f"nsa_fast_topk:{b}-{ctx}-2048", sec)
 
     # DSv3 decode scale (VERDICT r2 #5): topk=2048, H=128, B in {4, 64}
