@@ -113,13 +113,19 @@ def run_one(records, tag, **kv_kw):
     slots = jnp.asarray(tables[:, -1] * PAGE + (CTX - 1) % PAGE, jnp.int32)
     tables = jnp.asarray(tables)
 
-    def step(carry):
+    # params ride as chain ARGS, not closure constants: the captured
+    # weights (9.6 GB) embed in the shipped HLO and kill the relay
+    # transport with a broken pipe (the fused_moe round-3 lesson — this
+    # script was never fixed, which is why no deepseek_decode_e2e row
+    # ever landed in baseline.json)
+    def step(carry, params):
         tokens, cache = carry
         logits, cache = deepseek.decode_step(
             params, cfg, cache, tokens, positions, tables, lengths, slots, rope)
         return (jnp.argmax(logits, axis=-1).astype(jnp.int32), cache)
 
-    sec = bench_chain(step, (jnp.zeros((BATCH,), jnp.int32), cache), reps=32)
+    sec = bench_chain(step, (jnp.zeros((BATCH,), jnp.int32), cache), reps=32,
+                      args=(params,))
     tps = BATCH / sec
 
     # roofline: all weight bytes + latent-pool reads per step (expert banks
