@@ -451,7 +451,10 @@ def w4a16_gemm(
     if stacked:
         a_spec = pl.BlockSpec((bm, bk), lambda j, i, kk, lid: (i, kk))
         afull_spec = pl.BlockSpec((bm, k), lambda j, i, kk, lid: (i, 0))
-        nw_spec = pl.BlockSpec((1, k), lambda j, i, kk, lid: (lid[0], 0))
+        # nw rides as [L, 1, K] so the squeezed (1, K) block EQUALS the
+        # array's last two dims — a (1, K) block over [L, K] fails the
+        # sublane-divisibility rule on real TPU (interpret never checks)
+        nw_spec = pl.BlockSpec((None, 1, k), lambda j, i, kk, lid: (lid[0], 0, 0))
         w_spec = pl.BlockSpec((None, bk // 2, bn), lambda j, i, kk, lid: (lid[0], kk, j))
         s_spec = pl.BlockSpec((None, ngb, bn), lambda j, i, kk, lid: (lid[0], kk, j))
         b_spec = pl.BlockSpec((None, bn), lambda j, i, kk, lid: (lid[0], j))
@@ -459,7 +462,7 @@ def w4a16_gemm(
     else:
         a_spec = pl.BlockSpec((bm, bk), lambda j, i, kk: (i, kk))
         afull_spec = pl.BlockSpec((bm, k), lambda j, i, kk: (i, 0))
-        nw_spec = pl.BlockSpec((1, k), lambda j, i, kk: (0, 0))
+        nw_spec = pl.BlockSpec((None, 1, k), lambda j, i, kk: (0, 0, 0))
         w_spec = pl.BlockSpec((bk // 2, bn), lambda j, i, kk: (kk, j))
         s_spec = pl.BlockSpec((ngb, bn), lambda j, i, kk: (kk, j))
         b_spec = pl.BlockSpec((1, bn), lambda j, i, kk: (0, j))
@@ -468,7 +471,8 @@ def w4a16_gemm(
     in_specs = [afull_spec if has_norm else a_spec]
     inputs = [a]
     if has_norm:
-        nw = norm_weight if stacked else norm_weight.reshape(1, k)
+        nw = (norm_weight.reshape(-1, 1, k) if stacked
+              else norm_weight.reshape(1, 1, k))
         assert nw.shape[-1] == k, (nw.shape, k)
         in_specs.append(nw_spec)
         inputs.append(nw)
