@@ -371,9 +371,10 @@ def paged_attention_decode_dma(
     chunks_per_split = cdiv(n_chunks, num_splits)
     span = page * cpp
     # fold at most 32 sequences per grid step: the per-block scratch
-    # (q/m/l/acc/out rows) scales with bb and b=64 exceeded the 16 MB
-    # scoped-VMEM limit on-chip (grid dim 0 already covers b > bb)
-    bb = min(b, 32)
+    # (q/m/l/acc/out rows) scales with bb x hkv and b=64 (and hkv=32 MHA
+    # at bb=16) exceeded the 16 MB scoped-VMEM limit on-chip (grid dim 0
+    # already covers b > bb)
+    bb = min(b, 32, max(1, 256 // hkv))
 
     qh = q.reshape(b, hkv, group, d).astype(jnp.float32)
     if k_scale is not None:
