@@ -334,6 +334,19 @@ def paged_attention_decode_dma(
               "head" = [L, Hkv, P, page, D]
     """
     b, hq, d = q.shape
+    if d % 128 and not pallas_interpret():
+        # manual DMA cannot slice sub-128-lane rows ON REAL TPU (Mosaic:
+        # "slice shape along dimension 4 must be aligned to tiling (128)",
+        # hit at head_dim=64 in the round-4 regen) — gather the used pages
+        # via XLA and run the flash kernel, whose full-extent blocks are
+        # legal at any head dim. ~2x the optimal KV traffic; small-head
+        # models carry half-size KV rows so the absolute cost is modest.
+        # Interpret mode (CPU tests) keeps the DMA kernel: no Mosaic.
+        return _decode_gather_fallback(
+            q, k_pages, v_pages, lengths, page_table, sinks, k_scale,
+            v_scale, layer_id, fresh_k, fresh_v, sm_scale=sm_scale,
+            sliding_window=sliding_window, logit_soft_cap=logit_soft_cap,
+            return_lse=return_lse)
     if k_pages.ndim == 4:
         k_pages = k_pages[None]
         v_pages = v_pages[None]
@@ -509,3 +522,48 @@ def _kernel_entry(lens_ref, pt_ref, layer_ref, *refs, has_fresh, has_sink, has_l
         o_ref, lse_ref, kb, vb, sem, m_scr, l_scr, acc_scr,
         has_fresh=has_fresh, has_sink=has_sink, has_lse=has_lse, **kw,
     )
+
+
+def _decode_gather_fallback(q, k_pages, v_pages, lengths, page_table, sinks,
+                            k_scale, v_scale, layer_id, fresh_k, fresh_v, *,
+                            sm_scale, sliding_window, logit_soft_cap,
+                            return_lse):
+    """head_dim % 128 != 0 decode: gather used pages + flash (see caller)."""
+    from .flash_prefill import flash_attention
+
+    b, hq, d = q.shape
+    if k_pages.ndim == 4:
+        k_pages = k_pages[None]
+        v_pages = v_pages[None]
+    lid = 0 if layer_id is None else jnp.asarray(layer_id, jnp.int32).reshape(())
+    kp = jax.lax.dynamic_index_in_dim(k_pages, lid, 0, keepdims=False)
+    vp = jax.lax.dynamic_index_in_dim(v_pages, lid, 0, keepdims=False)
+    n_pages, hkv, page, _ = kp.shape
+    nb = page_table.shape[1]
+    pt = jnp.clip(page_table, 0, n_pages - 1)
+    # [B, nb, Hkv, page, D] -> [B, nb*page, Hkv, D]
+    kg = kp[pt].swapaxes(2, 3).reshape(b, nb * page, hkv, d)
+    vg = vp[pt].swapaxes(2, 3).reshape(b, nb * page, hkv, d)
+    kg = _upcast(kg, q.dtype)
+    vg = _upcast(vg, q.dtype)
+    if k_scale is not None:
+        kg = (kg.astype(jnp.float32) * jnp.asarray(k_scale, jnp.float32)).astype(q.dtype)
+    if v_scale is not None:
+        vg = (vg.astype(jnp.float32) * jnp.asarray(v_scale, jnp.float32)).astype(q.dtype)
+    kv_lens = lengths.astype(jnp.int32)
+    if fresh_k is not None:
+        # the current token's row rides appended; its pool slot (length-1)
+        # is masked off by writing the fresh row OVER position length-1
+        fk = fresh_k.reshape(b, 1, hkv, d).astype(q.dtype)
+        fv = fresh_v.reshape(b, 1, hkv, d).astype(q.dtype)
+        pos = jnp.clip(kv_lens - 1, 0, nb * page - 1)
+        kg = kg.at[jnp.arange(b), pos].set(fk[:, 0])
+        vg = vg.at[jnp.arange(b), pos].set(fv[:, 0])
+    out = flash_attention(
+        q[:, None], kg, vg, jnp.ones((b,), jnp.int32), kv_lens, sinks,
+        causal=False, sm_scale=sm_scale, sliding_window=sliding_window,
+        logit_soft_cap=logit_soft_cap, return_lse=return_lse)
+    if return_lse:
+        o, lse = out
+        return o[:, 0], lse[:, :, 0]
+    return out[:, 0]

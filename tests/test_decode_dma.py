@@ -228,3 +228,57 @@ class TestFp8FreshCombination:
                 k_scale=jnp.float32(k_scale), v_scale=jnp.float32(v_scale),
             )
         np.testing.assert_allclose(np.asarray(out), out_ref, rtol=4e-2, atol=4e-2)
+
+
+class TestGatherFallback:
+    """head_dim % 128 != 0 on REAL TPU routes through the gather+flash
+    fallback (manual DMA can't slice sub-128-lane rows); parity vs the
+    interpret-mode DMA kernel here."""
+
+    def test_matches_dma_kernel(self):
+        from sgl_kernel_tpu.ops.attention.paged_decode_dma import (
+            _decode_gather_fallback, paged_attention_decode_dma)
+
+        rng = np.random.default_rng(21)
+        b, hq, hkv, d, page, blocks = 3, 8, 2, 64, 16, 3
+        n_pages = b * blocks + 1
+        kp = jnp.asarray(rng.standard_normal((n_pages, hkv, page, d)) / 8, jnp.bfloat16)
+        vp = jnp.asarray(rng.standard_normal((n_pages, hkv, page, d)) / 8, jnp.bfloat16)
+        q = jnp.asarray(rng.standard_normal((b, hq, d)) / 8, jnp.bfloat16)
+        lens = jnp.asarray([30, 7, 44], jnp.int32)
+        pt = jnp.asarray(rng.integers(1, n_pages, (b, blocks)), jnp.int32)
+        fk = jnp.asarray(rng.standard_normal((b, hkv, d)) / 8, jnp.bfloat16)
+        fv = jnp.asarray(rng.standard_normal((b, hkv, d)) / 8, jnp.bfloat16)
+
+        ref = paged_attention_decode_dma(q, kp, vp, lens, pt, fresh_k=fk, fresh_v=fv)
+        got = _decode_gather_fallback(
+            q, kp, vp, lens, pt, None, None, None, None, fk, fv,
+            sm_scale=None, sliding_window=None, logit_soft_cap=None,
+            return_lse=False)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2)
+
+    def test_fallback_scales_and_window(self):
+        from sgl_kernel_tpu.ops.attention.paged_decode_dma import (
+            _decode_gather_fallback, paged_attention_decode_dma)
+
+        rng = np.random.default_rng(22)
+        b, hq, hkv, d, page, blocks = 2, 4, 2, 64, 16, 4
+        n_pages = b * blocks + 1
+        kf = rng.standard_normal((n_pages, hkv, page, d)) / 8
+        kp = jnp.asarray(kf * 16, jnp.float32).astype(jnp.int8)
+        vp = jnp.asarray(kf * 16, jnp.float32).astype(jnp.int8)
+        q = jnp.asarray(rng.standard_normal((b, hq, d)) / 8, jnp.bfloat16)
+        lens = jnp.asarray([50, 33], jnp.int32)
+        pt = jnp.asarray(rng.integers(1, n_pages, (b, blocks)), jnp.int32)
+        fk = jnp.asarray(rng.standard_normal((b, hkv, d)) / 8, jnp.bfloat16)
+
+        ref = paged_attention_decode_dma(
+            q, kp, vp, lens, pt, fresh_k=fk, fresh_v=fk,
+            k_scale=1 / 16, v_scale=1 / 16, sliding_window=24)
+        got = _decode_gather_fallback(
+            q, kp, vp, lens, pt, None, 1 / 16, 1 / 16, None, fk, fk,
+            sm_scale=None, sliding_window=24, logit_soft_cap=None,
+            return_lse=False)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32), atol=3e-2, rtol=3e-2)
