@@ -41,7 +41,7 @@ def run(name, b, ctx, hq, hkv, d, kernel, records, reps=512, kv_dtype=jnp.bfloat
 
     sec = bench_chain(step, q, reps=reps)
     kv_gb = 2 * b * ctx * hkv * d * jnp.dtype(kv_dtype).itemsize / 1e9
-    records.append(report(name, sec, kv_gbs=round(kv_gb / sec, 1)))
+    records.append(report(f"paged_dma_variant:{name}", sec, kv_gbs=round(kv_gb / sec, 1)))
 
 
 CONFIGS = {
@@ -72,10 +72,16 @@ CONFIGS = {
 }
 
 
+DEFAULT = ["head16c4", "head16c8", "page16c4", "page16c8", "page16c16"]
+
+
 def main():
     records = []
-    for name in sys.argv[1:]:
+    names = sys.argv[1:] or [n for n in DEFAULT if n in CONFIGS]
+    for name in names:
         CONFIGS[name](records)
+    from benchmark.bench_lib import compare_to_baseline, load_baseline
+    compare_to_baseline(records, load_baseline())
 
 
 if __name__ == "__main__":
