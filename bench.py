@@ -212,7 +212,16 @@ if __name__ == "__main__":
                 raise
             print(f"# TPU backend unavailable ({str(e)[:80]}), retry {attempt + 1}/5", file=sys.stderr)
             time.sleep(120)
-    if os.environ.get("BENCH_MODEL", "") == "deepseek":
-        main_deepseek()
-    else:
+    # default: BOTH driver-visible headlines (VERDICT r4 #2 — BASELINE.json's
+    # flagship is the DSv3 config; the DSv3 vs_roofline must land in
+    # BENCH_r* next to the llama number). BENCH_MODEL selects one.
+    model = os.environ.get("BENCH_MODEL", "both")
+    if model in ("llama", "both"):
         main()
+    if model in ("deepseek", "both"):
+        try:
+            main_deepseek()
+        except Exception as e:  # never lose the llama line to a DSv3 crash
+            print(f"# deepseek headline failed: {type(e).__name__}: {e}", file=sys.stderr)
+            if model == "deepseek":
+                raise

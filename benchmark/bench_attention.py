@@ -31,8 +31,8 @@ def bench_decode(rng, b, ctx, hq, hkv, d, records):
         o = paged_attention_decode(carry, kp, vp, lengths, table)
         return carry + o * jnp.bfloat16(1e-8)
 
-    sec = bench_chain(step, q, reps=64, args=(kp, vp))
     kv_gb = 2 * b * ctx * hkv * d * 2 / 1e9
+    sec = bench_chain(step, q, reps=64, args=(kp, vp), bytes_per_step=kv_gb * 1e9)
     records.append(report(f"paged_decode:{b}-{ctx}-{hq}-{hkv}-{d}-{PAGE}", sec, kv_gbs=round(kv_gb / sec, 1)))
 
 
@@ -64,8 +64,12 @@ def bench_mla(rng, b, ctx, h, records, page=None):
         o = mla_decode(carry, qp, pool, lengths, table)
         return carry + o * jnp.bfloat16(1e-8)
 
-    sec = bench_chain(step, qn, reps=32)
+    # >=256-rep differencing at short ctx (the round-2 rule: relay jitter
+    # is ms-scale; 32 reps of a ~100us kernel recorded 860 GB/s rows —
+    # above the builder's own 602-647 measurement, VERDICT r4 weak #4c)
     kv_gb = b * ctx * 576 * 2 / 1e9
+    sec = bench_chain(step, qn, reps=256 if ctx <= 2048 else 64,
+                      bytes_per_step=kv_gb * 1e9)
     records.append(report(f"mla_decode:{b}-{ctx}-{h}-{page}", sec, kv_gbs=round(kv_gb / sec, 1)))
 
 
@@ -104,8 +108,13 @@ def bench_decode_dma(rng, b, ctx, hq, hkv, d, records, kv_dtype=jnp.bfloat16,
         )
         return carry + o * jnp.bfloat16(1e-8)
 
-    sec = bench_chain(step, q, reps=128 if ctx <= 2048 else 32, args=(kp, vp))
+    # long-ctx rows ran reps=32 in round 4 and landed a 1.03 TB/s row
+    # (VERDICT r4 weak #4b) — keep every point >=64 reps AND physics-
+    # guarded (bench_chain re-measures at 4x reps when the differenced
+    # time implies > the HBM peak)
     kv_gb = 2 * b * ctx * hkv * d * jnp.dtype(kv_dtype).itemsize / 1e9
+    sec = bench_chain(step, q, reps=256 if ctx <= 2048 else 64, args=(kp, vp),
+                      bytes_per_step=kv_gb * 1e9)
     tag = {jnp.bfloat16: "", jnp.int8: "-int8"}.get(kv_dtype, "-fp8")
     stag = "" if num_splits == 1 else f"-s{num_splits}"
     records.append(report(

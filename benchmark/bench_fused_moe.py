@@ -1,8 +1,16 @@
 #!/usr/bin/env python
 """Fused MoE latency (reference analog: bench_fused_moe.py; baseline key
-schema fused_moe:{tokens}-{experts}-{topk}-{hidden}-{inter}-{dtype})."""
+schema fused_moe:{tokens}-{experts}-{topk}-{hidden}-{inter}-{dtype}).
+
+Round-5 fixes (VERDICT r4 #4): quantized banks build from ONE quantized
+template expert tiled E times (the round-4 form materialized the full
+bf16 original first — 14.7 GB for the DSv3 256-expert config — and OOM'd,
+silently dropping the flagship rows), every config failure prints a LOUD
+error record instead of dying, and the physics guard bounds each row by
+the routed-expert weight bytes."""
 
 import sys
+import traceback
 
 sys.path.insert(0, ".")
 sys.path.insert(0, "..")
@@ -31,46 +39,77 @@ CONFIGS = [
 ]
 
 
+def build_weights(rng, e, h, inter, fmt):
+    """Expert banks. int4: ONE template expert quantized, tiled E times —
+    distinct HBM buffers after the tile, no full-size bf16 original."""
+    key = jax.random.PRNGKey(0)
+    if fmt == "bf16":
+        w1 = jax.random.normal(key, (e, h, 2 * inter), jnp.bfloat16) * 0.02
+        w2 = jax.random.normal(key, (e, inter, h), jnp.bfloat16) * 0.02
+        return moe.MoeWeights(w1=w1, w2=w2, fmt="bf16")
+    k1, k2 = jax.random.split(key)
+    w1f = jax.random.normal(k1, (2 * inter, h), jnp.bfloat16) * 0.02
+    w2f = jax.random.normal(k2, (h, inter), jnp.bfloat16) * 0.02
+    p1, s1, _ = quantize_w4(w1f, group_size=128)
+    p2, s2, _ = quantize_w4(w2f, group_size=128)
+    return moe.MoeWeights(
+        w1=jnp.tile(p1[None], (e, 1, 1)), w2=jnp.tile(p2[None], (e, 1, 1)),
+        w1_scales=jnp.tile(s1[None], (e, 1, 1)),
+        w2_scales=jnp.tile(s2[None], (e, 1, 1)),
+        fmt="int4", group_size=128)
+
+
+def bank_bytes(weights):
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(weights._asdict())
+               if hasattr(x, "size"))
+
+
+def run_config(records, rng, t, e, k, h, inter, fmt):
+    x = jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16)
+    g = jnp.asarray(rng.standard_normal((t, e)), jnp.float32)
+    tw, tids = moe.topk_softmax(g, k, renormalize=True)
+    weights = build_weights(rng, e, h, inter, fmt)
+    n_routed = len(np.unique(np.asarray(tids)))
+    routed_bytes = bank_bytes(weights) * n_routed // e
+
+    # expert banks ride as chain ARGS: GB-scale closure constants embed
+    # in the shipped HLO and kill the relay transport (broken pipe).
+    # Only the ARRAY leaves may ride args — MoeWeights.fmt is a str and
+    # jit rejects it (round-4 regen TypeError); rebuild inside the step.
+    if fmt == "bf16":
+        def step(carry, w1, w2, tw=tw, tids=tids):
+            ws = moe.MoeWeights(w1=w1, w2=w2, fmt="bf16")
+            o = moe.fused_experts(carry, ws, tw, tids, block_size=64)
+            return carry + o * jnp.bfloat16(1e-8)
+
+        args = (weights.w1, weights.w2)
+    else:
+        def step(carry, p1, p2, s1, s2, tw=tw, tids=tids):
+            ws = moe.MoeWeights(w1=p1, w2=p2, w1_scales=s1, w2_scales=s2,
+                                fmt="int4", group_size=128)
+            o = moe.fused_experts(carry, ws, tw, tids, block_size=64)
+            return carry + o * jnp.bfloat16(1e-8)
+
+        args = (weights.w1, weights.w2, weights.w1_scales, weights.w2_scales)
+    sec = bench_chain(step, x, reps=16, args=args, bytes_per_step=routed_bytes)
+    records.append(report(
+        f"fused_moe:{t}-{e}-{k}-{h}-{inter}-{fmt}", sec,
+        bank_gbs=round(routed_bytes / sec / 1e9, 1)))
+
+
 def main():
     rng = np.random.default_rng(0)
     records = []
-    for t, e, k, h, inter, fmt in CONFIGS:
-        key = jax.random.PRNGKey(0)
-        x = jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16)
-        g = jnp.asarray(rng.standard_normal((t, e)), jnp.float32)
-        tw, tids = moe.topk_softmax(g, k, renormalize=True)
-        if fmt == "bf16":
-            w1 = jax.random.normal(key, (e, h, 2 * inter), jnp.bfloat16) * 0.02
-            w2 = jax.random.normal(key, (e, inter, h), jnp.bfloat16) * 0.02
-            weights = moe.MoeWeights(w1=w1, w2=w2, fmt="bf16")
-        else:
-            w1f = jax.random.normal(key, (e, 2 * inter, h), jnp.bfloat16) * 0.02
-            w2f = jax.random.normal(key, (e, h, inter), jnp.bfloat16) * 0.02
-            p1, s1 = jax.vmap(lambda w: quantize_w4(w, group_size=128)[:2])(w1f)
-            p2, s2 = jax.vmap(lambda w: quantize_w4(w, group_size=128)[:2])(w2f)
-            weights = moe.MoeWeights(w1=p1, w2=p2, w1_scales=s1, w2_scales=s2, fmt="int4", group_size=128)
-
-        # expert banks ride as chain ARGS: GB-scale closure constants embed
-        # in the shipped HLO and kill the relay transport (broken pipe).
-        # Only the ARRAY leaves may ride args — MoeWeights.fmt is a str and
-        # jit rejects it (round-4 regen TypeError); rebuild inside the step.
-        if fmt == "bf16":
-            def step(carry, w1, w2, tw=tw, tids=tids):
-                ws = moe.MoeWeights(w1=w1, w2=w2, fmt="bf16")
-                o = moe.fused_experts(carry, ws, tw, tids, block_size=64)
-                return carry + o * jnp.bfloat16(1e-8)
-
-            args = (weights.w1, weights.w2)
-        else:
-            def step(carry, p1, p2, s1, s2, tw=tw, tids=tids):
-                ws = moe.MoeWeights(w1=p1, w2=p2, w1_scales=s1, w2_scales=s2,
-                                    fmt="int4", group_size=128)
-                o = moe.fused_experts(carry, ws, tw, tids, block_size=64)
-                return carry + o * jnp.bfloat16(1e-8)
-
-            args = (weights.w1, weights.w2, weights.w1_scales, weights.w2_scales)
-        sec = bench_chain(step, x, reps=16, args=args)
-        records.append(report(f"fused_moe:{t}-{e}-{k}-{h}-{inter}-{fmt}", sec))
+    for cfg in CONFIGS:
+        try:
+            run_config(records, rng, *cfg)
+        except Exception as e:  # noqa: BLE001 — LOUD skip, never silent
+            print(f'{{"name": "fused_moe:{"-".join(map(str, cfg))}", '
+                  f'"error": "{type(e).__name__}: {str(e)[:200]}"}}', flush=True)
+            traceback.print_exc(file=sys.stderr)
+    if len(records) < len(CONFIGS):
+        print(f"# WARNING: only {len(records)}/{len(CONFIGS)} fused_moe configs landed",
+              flush=True)
     compare_to_baseline(records, load_baseline())
 
 

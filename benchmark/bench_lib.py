@@ -25,13 +25,43 @@ except Exception:
     pass
 
 
-def bench_chain(step_fn, carry_init, *, reps: int = 64, spinup: int = 1, args=()):
+# Physics guard (VERDICT r4 #3): rows implying more than the chip's spec
+# peaks are differencing jitter, not measurements — v5e: 819 GB/s HBM,
+# ~197 TF bf16, ~394 int8 TOPS (docs/PERF.md measured 730 GB/s stream /
+# 196 TF; guard at spec + 5% so legitimately DMA-optimal kernels that beat
+# the naive stream probe, e.g. the 812 GB/s decode attention, still pass).
+PEAK_GBS = 819.0 * 1.05
+PEAK_TFLOPS = 197.0 * 1.05
+PEAK_TOPS_INT8 = 394.0 * 1.05
+
+
+def physics_ok(seconds, *, bytes_per_step=None, flops_per_step=None, int_ops=False):
+    """False when the timing implies a rate above the hardware peak."""
+    if seconds is None or seconds <= 0:
+        return False
+    if bytes_per_step and bytes_per_step / seconds / 1e9 > PEAK_GBS:
+        return False
+    if flops_per_step:
+        peak = PEAK_TOPS_INT8 if int_ops else PEAK_TFLOPS
+        if flops_per_step / seconds / 1e12 > peak:
+            return False
+    return True
+
+
+def bench_chain(step_fn, carry_init, *, reps: int = 64, spinup: int = 1, args=(),
+                bytes_per_step=None, flops_per_step=None, int_ops=False):
     """step_fn(carry, *args) -> carry (device-only). Returns seconds/step.
 
     Pass multi-hundred-MB operands (KV pools, weight banks) via ``args``,
     NOT as closure constants: closed-over arrays embed in the shipped HLO
     and the relay's remote-compile endpoint rejects large bodies with
-    HTTP 413 (hit at the B=16 ctx-8192 decode pool, regen 2026-08-19)."""
+    HTTP 413 (hit at the B=16 ctx-8192 decode pool, regen 2026-08-19).
+
+    bytes_per_step / flops_per_step: optional physics guard — when the
+    differenced timing implies a rate above the chip peak (relay jitter
+    smaller than the signal, the round-2 reps=32 trap), the rep count is
+    quadrupled and the point re-measured instead of recording an
+    impossible row (VERDICT r4: three such rows poisoned baseline.json)."""
 
     @jax.jit
     def chain(n, carry, *a):
@@ -53,16 +83,18 @@ def bench_chain(step_fn, carry_init, *, reps: int = 64, spinup: int = 1, args=()
         t1 = min(run(spinup) for _ in range(2 + attempt))
         t2 = min(run(spinup + reps) for _ in range(2 + attempt))
         sec = (t2 - t1) / reps
-        if sec > 0:
+        if physics_ok(sec, bytes_per_step=bytes_per_step,
+                      flops_per_step=flops_per_step, int_ops=int_ops):
             return sec
         # relay dispatch jitter (~ms) swamped the differencing for this
-        # tiny op — quadruple the rep count and try again (negative
-        # "timings" were landing in baseline.json, regen 2026-08-19)
+        # op — quadruple the rep count and try again (negative OR
+        # physically impossible "timings" were landing in baseline.json)
         reps *= 4
     return sec
 
 
-def bench_chain_banks(step_fn, carry_init, banks, *, reps: int = 16, spinup: int = 1):
+def bench_chain_banks(step_fn, carry_init, banks, *, reps: int = 16, spinup: int = 1,
+                      bytes_per_step=None, flops_per_step=None, int_ops=False):
     """bench_chain with HONEST WEIGHT RESIDENCY: ``banks`` is a list of L
     same-structure operand tuples; each chain rep runs step_fn once per
     bank, so L distinct weight sets stream through the cache hierarchy and
@@ -79,11 +111,27 @@ def bench_chain_banks(step_fn, carry_init, banks, *, reps: int = 16, spinup: int
             c = step_fn(c, *flat_args[i * width : (i + 1) * width])
         return c
 
-    return bench_chain(rep, carry_init, reps=reps, spinup=spinup, args=flat) / L
+    return bench_chain(
+        rep, carry_init, reps=reps, spinup=spinup, args=flat,
+        bytes_per_step=None if bytes_per_step is None else bytes_per_step * L,
+        flops_per_step=None if flops_per_step is None else flops_per_step * L,
+        int_ops=int_ops,
+    ) / L
 
 
 def report(name: str, seconds: float, **extra):
     rec = {"name": name, "ms": round(seconds * 1e3, 4), **extra}
+    # physics guard on the caller-computed rates: a row implying > peak is
+    # marked suspect and excluded from the regression baseline (an
+    # unbeatable jitter row in the gate is worse than a missing row)
+    gbs = extra.get("gbs") or extra.get("kv_gbs")
+    if (
+        seconds <= 0
+        or (gbs is not None and gbs > PEAK_GBS)
+        or (extra.get("tflops") is not None and extra["tflops"] > PEAK_TFLOPS)
+        or (extra.get("tops") is not None and extra["tops"] > PEAK_TOPS_INT8)
+    ):
+        rec["suspect"] = True
     print(json.dumps(rec), flush=True)
     return rec
 
@@ -126,9 +174,9 @@ def update_baseline(records, path=None):
     path = path or os.path.join(os.path.dirname(__file__), "baseline.json")
     baseline = load_baseline(path)
     for rec in records:
-        # a non-positive "latency" is relay jitter, not a measurement —
-        # never let it poison the regression gate
-        if rec["ms"] > 0:
+        # a non-positive "latency" or physics-guard-flagged row is relay
+        # jitter, not a measurement — never let it poison the gate
+        if rec["ms"] > 0 and not rec.get("suspect"):
             baseline[rec["name"]] = rec["ms"]
     baseline = {k: v for k, v in baseline.items() if v > 0}
     with open(path, "w") as f:

@@ -66,7 +66,9 @@ def main():
             o = int8_scaled_mm(carry.astype(jnp.int8), b8, sa, sb, out_dtype=jnp.bfloat16)
             return (carry + o[:, :1].astype(carry.dtype)).astype(carry.dtype)
 
-        sec = bench_chain_banks(int8_chain, a8.astype(jnp.int32), ibanks, reps=16 if m <= 128 else 8)
+        sec = bench_chain_banks(int8_chain, a8.astype(jnp.int32), ibanks, reps=16 if m <= 128 else 8,
+                                bytes_per_step=m * k + k * n,
+                                flops_per_step=2 * m * n * k, int_ops=True)
         records.append(report(f"int8_scaled_mm:{m}-{n}-{k}", sec,
                               gbs=round((m * k + k * n) / sec / 1e9, 1)))
 
@@ -80,7 +82,9 @@ def main():
                               jnp.float32(0.01), jnp.float32(0.01), out_dtype=jnp.bfloat16)
             return carry + (o[:, :1] * 1e-6).astype(carry.dtype)
 
-        sec = bench_chain_banks(fp8_chain, af.astype(jnp.bfloat16), fbanks, reps=16 if m <= 128 else 8)
+        sec = bench_chain_banks(fp8_chain, af.astype(jnp.bfloat16), fbanks, reps=16 if m <= 128 else 8,
+                                bytes_per_step=m * k + k * n,
+                                flops_per_step=2 * m * n * k)
         records.append(report(f"fp8_scaled_mm:{m}-{n}-{k}", sec,
                               gbs=round((m * k + k * n) / sec / 1e9, 1)))
 
@@ -96,7 +100,9 @@ def main():
                                         out_dtype=jnp.bfloat16)
             return carry + (o[:, :1] * 1e-6).astype(carry.dtype)
 
-        sec = bench_chain_banks(blk_chain, af.astype(jnp.bfloat16), bbanks, reps=16 if m <= 128 else 8)
+        sec = bench_chain_banks(blk_chain, af.astype(jnp.bfloat16), bbanks, reps=16 if m <= 128 else 8,
+                                bytes_per_step=m * k + k * n,
+                                flops_per_step=2 * m * n * k)
         name = f"fp8_blockwise_scaled_mm:{m}-{n}-{k}"
         gbs = (m * k + k * n) / sec / 1e9
         tf = 2 * m * n * k / sec / 1e12
@@ -117,7 +123,8 @@ def main():
         o = qserve_w4a8_per_chn_gemm(carry.astype(jnp.int8), wq, s1, sa_tok, z1, asums)
         return carry + o[:, :1].astype(carry.dtype)
 
-    sec = bench_chain_banks(qserve_chain, aq.astype(jnp.int32), qbanks, reps=8)
+    sec = bench_chain_banks(qserve_chain, aq.astype(jnp.int32), qbanks, reps=8,
+                            bytes_per_step=N * K)
     records.append(report(f"qserve_w4a8_per_chn:{M}-{N}-{K}", sec,
                           gbs=round((N * K) / sec / 1e9, 1)))
 
@@ -131,7 +138,8 @@ def main():
         o = qserve_w4a8_per_group_gemm(carry.astype(jnp.int8), wq, zx, s2, s1, sa_tok, group_size=g)
         return carry + o[:, :1].astype(carry.dtype)
 
-    sec = bench_chain_banks(qserve_g_chain, aq.astype(jnp.int32), qbanks, reps=8)
+    sec = bench_chain_banks(qserve_g_chain, aq.astype(jnp.int32), qbanks, reps=8,
+                            bytes_per_step=N * K)
     records.append(report(f"qserve_w4a8_per_group:{M}-{N}-{K}-{g}", sec,
                           gbs=round((N * K) / sec / 1e9, 1)))
 
@@ -168,7 +176,8 @@ def main():
             carry.astype(jnp.float8_e4m3fn), wg, sag, sbg, eids, out_dtype=jnp.bfloat16)
         return carry + (o[:, :1] * 1e-6).astype(carry.dtype)
 
-    sec = bench_chain_banks(grp_chain, ag.astype(jnp.bfloat16), grbanks, reps=4)
+    sec = bench_chain_banks(grp_chain, ag.astype(jnp.bfloat16), grbanks, reps=4,
+                            bytes_per_step=cap * kg + e * kg * ng)
     records.append(report(f"fp8_blockwise_grouped_mm:{cap}-{e}-{ng}-{kg}", sec,
                           gbs=round((cap * kg + e * kg * ng) / sec / 1e9, 1)))
 

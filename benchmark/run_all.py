@@ -36,6 +36,7 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(here)
     records = []
+    failures = []
     for script in SCRIPTS:
         if only and only not in script:
             continue
@@ -48,13 +49,22 @@ def main():
         if proc.returncode != 0:
             # keep any records the script emitted before failing — a
             # partial grid is still a measurement
+            failures.append(script)
             print(proc.stderr[-2000:], file=sys.stderr)
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
                 try:
-                    records.append(json.loads(line))
+                    rec = json.loads(line)
                 except json.JSONDecodeError:
-                    pass
+                    continue
+                if "ms" in rec:
+                    records.append(rec)
+                else:
+                    # per-config error record (e.g. fused_moe loud skip)
+                    failures.append(rec.get("name", line[:80]))
+    if failures:
+        # the repo's "no silent caps" rule: a dropped family must be LOUD
+        print(f"!! {len(failures)} bench failures/skips: {failures}", flush=True)
     sys.path.insert(0, here)
     from bench_lib import check_regressions, load_baseline, update_baseline
 

@@ -409,9 +409,13 @@ def flash_mla_with_kvcache(q, k_cache, block_table=None, cache_seqlens=None,
         extra_pool = None
         if extra_k_cache is not None:
             extra_pool = extra_k_cache.reshape(-1, extra_k_cache.shape[-1])
-        tl = None if topk_length is None else jnp.asarray(topk_length).reshape(b * s_q)
+        # topk_length is [B] per the reference contract regardless of s_q
+        # (attention.py:250-354) — repeat per query position, don't reshape
+        # (a reshape to (b*s_q,) crashes any s_q>1 MTP call; advisor r4)
+        tl = (None if topk_length is None
+              else jnp.repeat(jnp.asarray(topk_length).reshape(b), s_q))
         etl = (None if extra_topk_length is None
-               else jnp.asarray(extra_topk_length).reshape(b * s_q))
+               else jnp.repeat(jnp.asarray(extra_topk_length).reshape(b), s_q))
         ei = (None if extra_indices_in_kvcache is None
               else jnp.asarray(extra_indices_in_kvcache).reshape(b * s_q, -1))
         idx, tl = _compact_valid_indices(idx, pool.shape[0], tl)

@@ -346,7 +346,7 @@ def paged_attention_decode_dma(
             q, k_pages, v_pages, lengths, page_table, sinks, k_scale,
             v_scale, layer_id, fresh_k, fresh_v, sm_scale=sm_scale,
             sliding_window=sliding_window, logit_soft_cap=logit_soft_cap,
-            return_lse=return_lse)
+            return_lse=return_lse, layout=layout)
     if k_pages.ndim == 4:
         k_pages = k_pages[None]
         v_pages = v_pages[None]
@@ -527,7 +527,7 @@ def _kernel_entry(lens_ref, pt_ref, layer_ref, *refs, has_fresh, has_sink, has_l
 def _decode_gather_fallback(q, k_pages, v_pages, lengths, page_table, sinks,
                             k_scale, v_scale, layer_id, fresh_k, fresh_v, *,
                             sm_scale, sliding_window, logit_soft_cap,
-                            return_lse):
+                            return_lse, layout="page"):
     """head_dim % 128 != 0 decode: gather used pages + flash (see caller)."""
     from .flash_prefill import flash_attention
 
@@ -538,6 +538,11 @@ def _decode_gather_fallback(q, k_pages, v_pages, lengths, page_table, sinks,
     lid = 0 if layer_id is None else jnp.asarray(layer_id, jnp.int32).reshape(())
     kp = jax.lax.dynamic_index_in_dim(k_pages, lid, 0, keepdims=False)
     vp = jax.lax.dynamic_index_in_dim(v_pages, lid, 0, keepdims=False)
+    if layout == "head":
+        # legacy head-major pools [Hkv, P, page, D]: reading the head axis
+        # as pages would gather the WRONG rows (advisor r4 medium finding)
+        kp = jnp.swapaxes(kp, 0, 1)
+        vp = jnp.swapaxes(vp, 0, 1)
     n_pages, hkv, page, _ = kp.shape
     nb = page_table.shape[1]
     pt = jnp.clip(page_table, 0, n_pages - 1)

@@ -474,18 +474,24 @@ def sparse_attn_varlen_func(
     softcap: float = 0.0,
     return_softmax_lse: bool = False,
     block_size_M: int = 64,
-    block_size_N: int = 128,
+    block_size_N: int = 64,
 ):
     """Variable-length vertical+slash sparse attention (reference
-    sparse_attn_varlen_func, sparse_flash_attn.py:851-935).
+    sparse_attn_varlen_func, sparse_flash_attn.py:851-935; block_size_N
+    defaults to the reference's 64 — block_offset entries are
+    block_size_N-granular, so the default must match the schedules
+    ``convert_vertical_slash_indexes`` emits for reference callers).
 
     q [total_q, H, D]; k/v [total_k, Hk, D] (GQA: Hk divides H); schedule
     arrays [B, H, R(, NNZ)] from ``convert_vertical_slash_indexes`` with
-    R = ceil(max_seqlen_q / block_size_M); cu_seqlens host int arrays
-    [B+1]. The ragged stream is scattered into the [B, S] rectangle once
-    (S = max(max_seqlen_q, max_seqlen_k)), runs the tile-skipping kernel
-    (per-sequence schedules already stop at each sequence's length —
-    skipped padding tiles cost nothing), and gathers the ragged rows back.
+    R >= ceil(max_seqlen_q / block_size_M) (the reference contract; when
+    the kernel's rectangle S = round_up(max(max_seqlen_q, max_seqlen_k),
+    block_size_M) needs more rows, the schedules are zero-padded here —
+    padded query tiles schedule no work); cu_seqlens host int arrays
+    [B+1]. The ragged stream is scattered into the [B, S] rectangle once,
+    runs the tile-skipping kernel (per-sequence schedules already stop at
+    each sequence's length — skipped padding tiles cost nothing), and
+    gathers the ragged rows back.
     With ``causal`` each sequence must have q_len == kv_len (the
     MInference prefill contract this schedule encodes; the top-left-
     aligned extend form is not defined for vertical/slash schedules).
@@ -516,6 +522,24 @@ def sparse_attn_varlen_func(
         pos = np.where(pad, x.shape[0], pos)
         xz = jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
         return xz[jnp.asarray(pos, jnp.int32)]
+
+    # zero-pad the schedule arrays' R dim up to the kernel rectangle's
+    # row count (max_seqlen_k > max_seqlen_q makes S/bm exceed the
+    # documented ceil(max_q/bm) — advisor r4: callers following the
+    # reference contract crashed on a BlockSpec shape mismatch)
+    r_rect = s // block_size_M
+
+    def pad_r(x):
+        x = jnp.asarray(x)
+        if x.shape[2] < r_rect:
+            pad = [(0, 0)] * x.ndim
+            pad[2] = (0, r_rect - x.shape[2])
+            return jnp.pad(x, pad)
+        return x
+
+    block_count, block_offset, column_count, column_index = (
+        pad_r(block_count), pad_r(block_offset), pad_r(column_count),
+        pad_r(column_index))
 
     qr = to_rect(q, cu_q, q_lens)
     kr = to_rect(k, cu_k, k_lens)

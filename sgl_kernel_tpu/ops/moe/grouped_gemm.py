@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...utils import dividing_tile, pallas_interpret
-from ..gemm.w4a16 import GROUPS_PER_KTILE, _decode_tile
+from ..gemm.w4a16 import GROUPS_PER_KTILE, _decode_tile, _kernel, _kernel_inner
 
 
 def ragged_grouped_mm(x_sorted, weights, group_sizes):
@@ -55,6 +55,24 @@ def _bf16_kernel_stacked(expert_ids_ref, lid_ref, a_ref, w_ref, o_ref, acc_ref, 
     _bf16_kernel(expert_ids_ref, a_ref, w_ref, o_ref, acc_ref, n_k=n_k)
 
 
+def pick_bf16_group_tiles(n: int, k: int, bm: int, budget: int = 12 * 2**20):
+    """(bn, bk) for the bf16 grouped kernel: biggest VMEM-fitting weight
+    tiles so the per-grid-step pipeline cost (~0.5us, docs/PERF.md MLA
+    page finding) amortizes over large DMA blocks — the kernel is
+    weight-stream-bound at MoE decode batch sizes."""
+
+    def vmem(bn, bk):
+        return bk * bn * 2 * 2 + bm * bk * 2 * 2 + bm * bn * 2 * 2 + bm * bn * 4
+
+    bns = [d for d in range(n - n % 128, 0, -128) if n % d == 0] or [n]
+    bks = [d for d in range(min(k, 2048) - min(k, 2048) % 8, 0, -8) if k % d == 0] or [k]
+    for bn in bns:
+        for bk in bks:
+            if vmem(bn, bk) <= budget:
+                return bn, bk
+    return bns[-1], bks[-1]
+
+
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype"))
 def bf16_grouped_mm(
     x_sorted,
@@ -63,8 +81,8 @@ def bf16_grouped_mm(
     layer_id=None,
     *,
     bm: int = 128,
-    bn: int = 1024,
-    bk: int = 1024,
+    bn: Optional[int] = None,
+    bk: Optional[int] = None,
     out_dtype=None,
 ):
     """Block-aligned grouped BF16 GEMM with scalar-prefetched expert (and
@@ -90,9 +108,11 @@ def bf16_grouped_mm(
     n = w.shape[-1]
     assert w.shape[-2] == k, (w.shape, k)
     assert cap % bm == 0
+    if bn is None and bk is None:
+        bn, bk = pick_bf16_group_tiles(n, k, bm)
     # non-power-of-two model dims (gpt-oss 2880/5760) need dividing tiles
-    bn = dividing_tile(n, bn, 128)
-    bk = dividing_tile(k, bk, 8)
+    bn = dividing_tile(n, bn or 1024, 128)
+    bk = dividing_tile(k, bk or 1024, 8)
     assert n % bn == 0 and k % bk == 0, (n, k, bn, bk)
     out_dtype = out_dtype or x_sorted.dtype
     n_k = k // bk
@@ -138,48 +158,49 @@ def bf16_grouped_mm(
     )(*scalar_args, x_sorted, w)
 
 
-def _w4_kernel(
-    expert_ids_ref,  # [n_blocks] scalar prefetch
-    a_ref,  # [bm, bk]  (after the optional layer-id scalar ref)
-    w_ref,  # [1, bk//2, bn] packed
-    s_ref,  # [1, ngb, bn]
-    z_ref,  # [1, ngb, bn] or None
-    o_ref,  # [bm, bn]
-    acc_ref,
-    *,
-    fmt,
-    group_size,
-    ngb,
-    n_k,
-):
-    kk = pl.program_id(2)
-    g0 = group_size
+def pick_group_tiles(n: int, k: int, group_size: int, bm: int, out_itemsize: int = 2, budget: int = 13 * 2**20, fixed_bk: Optional[int] = None):
+    """(bn, bk) for the grouped W4A16 kernel, by the dense kernel's
+    group-dot-count law (docs/PERF.md round 3): the decode residual scales
+    with (N/bn) * (K/G) per expert, NOT with DMA bytes, so bn goes as big
+    as VMEM allows (whole-N preferred) and bk rides big k-tiles so the
+    pipeline has few, large DMA blocks.  The round-4 form clamped bn to a
+    dividing tile <= 1024 (V2-Lite gate_up N=2816 -> bn=256, 176 dots) and
+    decoded whole [bk, bn] tiles up front — the exact pathology the dense
+    kernel fixed in round 3; it measured 235 GB/s of expert bank vs the
+    dense kernel's 719-789 (VERDICT r4 #1/#2).
+    Reference contract: src/sycl/kernels/moe/xe20/w4a16/gemm_xe2.hpp:54-70."""
 
-    @pl.when(kk == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    wf = _decode_tile(w_ref.at[0], fmt)  # [bk, bn] bf16 codes
-    a = a_ref[...]
-    acc = acc_ref[...]
-    for g in range(ngb):
-        a_g = a[:, g * g0 : (g + 1) * g0]
-        part = jax.lax.dot_general(
-            a_g, wf[g * g0 : (g + 1) * g0, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    def vmem(bn, bk, ngb):
+        return (
+            bk // 2 * bn * 2        # packed weight block, double-buffered
+            + bm * bk * 2 * 2       # activation block
+            + ngb * bn * 2 * 4      # scales (+ possible zeros) blocks
+            + bm * bn * out_itemsize * 2  # out block
+            + bm * bn * 4           # f32 accumulator scratch
+            + group_size * bn * 2   # inner-gmode per-group decode temp
         )
-        acc = acc + part * s_ref[0, g, :][None, :].astype(jnp.float32)
-        if z_ref is not None:
-            asum = jnp.sum(a_g.astype(jnp.float32), axis=1, keepdims=True)
-            acc = acc - asum * z_ref[0, g, :][None, :].astype(jnp.float32)
-    acc_ref[...] = acc
 
-    @pl.when(kk == n_k - 1)
-    def _done():
-        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+    if n % 128:
+        bns = [n]  # no lane-aligned divisor: one whole-N block (Mosaic rule)
+    else:
+        bns = [d for d in range(n, 0, -128) if n % d == 0]
+    if fixed_bk is not None:
+        bks = [fixed_bk]
+    else:
+        # bk: group multiple with ngb % 8 == 0 (the per-tile scale block's
+        # sublane rule, pick_ktile) or the full K; biggest first
+        bks = sorted(
+            {c * group_size for c in (16, 8) if k % (c * group_size) == 0} | {k},
+            reverse=True,
+        )
+    for bn in bns:
+        for bk in bks:
+            if vmem(bn, bk, bk // group_size) <= budget:
+                return bn, bk
+    return bns[-1], bks[-1]
 
 
-@functools.partial(jax.jit, static_argnames=("group_size", "fmt", "bm", "bn", "bk", "out_dtype", "per_channel"))
+@functools.partial(jax.jit, static_argnames=("group_size", "fmt", "bm", "bn", "bk", "out_dtype", "per_channel", "gmode"))
 def w4a16_grouped_mm(
     x_sorted,
     w,
@@ -191,10 +212,11 @@ def w4a16_grouped_mm(
     group_size: int = 128,
     fmt: str = "int4",
     bm: int = 128,
-    bn: int = 1024,
+    bn: Optional[int] = None,
     bk: Optional[int] = None,
     out_dtype=None,
     per_channel: bool = False,
+    gmode: Optional[str] = None,
 ):
     """Block-aligned grouped W4A16 GEMM.
 
@@ -211,6 +233,13 @@ def w4a16_grouped_mm(
     per_channel: scales/zeros are [E, 1, N] applied to every k-tile
       (group_size must equal bk; the per-tile partials telescope to
       per-channel scaling without materializing repeated scales).
+    gmode: per-group decode strategy, same semantics as w4a16_gemm — the
+      round-5 retune runs the dense kernel's BODY (``_kernel_inner`` /
+      ``_kernel``) with expert selection living entirely in the BlockSpec
+      index maps. Default: "inner" at decode-class bm (<= 64), "loop" for
+      prefill blocks (MXU-bound, whole-tile decode amortizes over bm).
+    Tiles default to pick_group_tiles (whole-N bn when VMEM allows + big
+    bk — the group-dot-count law; docs/PERF.md round 3/5).
     Returns [cap, N].
     """
     cap, k = x_sorted.shape
@@ -218,15 +247,40 @@ def w4a16_grouped_mm(
     e = w.shape[1] if stacked else w.shape[0]
     n = w.shape[-1]
     assert cap % bm == 0
+    k_pad = w.shape[-2] * 2
+    if k_pad != k:
+        # quantize_w4 zero-padded a non-group-multiple K; pad the sorted
+        # activations to match (padded tail multiplies zero codes) — the
+        # same contract as the dense kernel (w4a16_gemm)
+        from ...utils import round_up
+
+        assert k < k_pad <= round_up(k, GROUPS_PER_KTILE * group_size), (
+            k, k_pad, group_size)
+        x_sorted = jnp.pad(x_sorted, ((0, 0), (0, k_pad - k)))
+        k = k_pad
     assert w.shape[-2] == k // 2 and w.dtype == jnp.uint8, (w.shape, w.dtype)
-    bn = min(bn, n)
-    if n % bn:
-        # N not a default-tile multiple (V2-Lite gate_up N = 2*1408):
-        # largest lane-aligned divisor of n within the requested budget
-        bn = next(
-            (c for c in range(bn - bn % 128, 0, -128) if n % c == 0),
-            next(c for c in range(min(bn, 128), 0, -1) if n % c == 0),
+    out_dtype = out_dtype or x_sorted.dtype
+    if gmode is None:
+        gmode = "inner" if bm <= 64 else "loop"
+    assert gmode in ("loop", "batched") or (
+        gmode.startswith("inner") and (gmode[5:] == "" or gmode[5:].isdigit())
+    ), f"gmode must be 'loop', 'batched', or 'inner[N]', got {gmode!r}"
+    out_isz = jnp.dtype(out_dtype).itemsize
+    if bn is None:
+        abn, abk = pick_group_tiles(
+            n, k, group_size, bm, out_isz,
+            fixed_bk=group_size if per_channel else bk,
         )
+        bn = abn
+        bk = bk or abk
+    else:
+        bn = min(bn, n)
+        if n % bn:
+            # explicit bn that doesn't divide: largest lane-aligned divisor
+            bn = next(
+                (c for c in range(bn - bn % 128, 0, -128) if n % c == 0),
+                next(c for c in range(min(bn, 128), 0, -1) if n % c == 0),
+            )
     auto_bk = bk is None
     bk = bk or min(GROUPS_PER_KTILE * group_size, k)
     if k % bk or (auto_bk and (bk // group_size) % 8 and bk != k):
@@ -238,31 +292,33 @@ def w4a16_grouped_mm(
 
         bk = pick_ktile(k, group_size)
     assert n % bn == 0 and k % bk == 0 and bk % group_size == 0
-    out_dtype = out_dtype or x_sorted.dtype
     ngb = bk // group_size
     n_k = k // bk
 
     scales_f = scales  # stored dtype (bf16 canonical); upcast per-tile in-kernel
+    # expert (and layer) dims ride None-squeezed BlockSpecs so the kernel
+    # body sees the same 2D [bk//2, bn] / [ngb, bn] tiles as the dense
+    # kernel — the bodies are SHARED with ops/gemm/w4a16.py
     if stacked:
         if per_channel:
             assert ngb == 1 and scales.shape[2] == 1
-            s_spec = pl.BlockSpec((None, 1, ngb, bn), lambda i, j, kk, eids, lid: (lid[0], eids[i], 0, j))
+            s_spec = pl.BlockSpec((None, None, ngb, bn), lambda i, j, kk, eids, lid: (lid[0], eids[i], 0, j))
         else:
-            s_spec = pl.BlockSpec((None, 1, ngb, bn), lambda i, j, kk, eids, lid: (lid[0], eids[i], kk, j))
+            s_spec = pl.BlockSpec((None, None, ngb, bn), lambda i, j, kk, eids, lid: (lid[0], eids[i], kk, j))
         in_specs = [
             pl.BlockSpec((bm, bk), lambda i, j, kk, eids, lid: (i, kk)),
-            pl.BlockSpec((None, 1, bk // 2, bn), lambda i, j, kk, eids, lid: (lid[0], eids[i], kk, j)),
+            pl.BlockSpec((None, None, bk // 2, bn), lambda i, j, kk, eids, lid: (lid[0], eids[i], kk, j)),
             s_spec,
         ]
     else:
         if per_channel:
             assert ngb == 1 and scales.shape[1] == 1
-            s_spec = pl.BlockSpec((1, ngb, bn), lambda i, j, kk, eids: (eids[i], 0, j))
+            s_spec = pl.BlockSpec((None, ngb, bn), lambda i, j, kk, eids: (eids[i], 0, j))
         else:
-            s_spec = pl.BlockSpec((1, ngb, bn), lambda i, j, kk, eids: (eids[i], kk, j))
+            s_spec = pl.BlockSpec((None, ngb, bn), lambda i, j, kk, eids: (eids[i], kk, j))
         in_specs = [
             pl.BlockSpec((bm, bk), lambda i, j, kk, eids: (i, kk)),
-            pl.BlockSpec((1, bk // 2, bn), lambda i, j, kk, eids: (eids[i], kk, j)),
+            pl.BlockSpec((None, bk // 2, bn), lambda i, j, kk, eids: (eids[i], kk, j)),
             s_spec,
         ]
     inputs = [x_sorted, w, scales_f]
@@ -278,6 +334,7 @@ def w4a16_grouped_mm(
         group_size=group_size,
         ngb=ngb,
         n_k=n_k,
+        gmode=gmode,
     )
     if stacked:
         out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk, eids, lid: (i, j))
@@ -309,7 +366,7 @@ def w4a16_grouped_mm(
     )(*scalar_args, *inputs)
 
 
-def _w4_kernel_entry(eids_ref, *refs, has_lid=False, has_zeros, fmt, group_size, ngb, n_k):
+def _w4_kernel_entry(eids_ref, *refs, has_lid=False, has_zeros, fmt, group_size, ngb, n_k, gmode="inner"):
     if has_lid:
         refs = refs[1:]  # stacked: layer-id scalar ref consumed by BlockSpecs
     a_ref, w_ref, s_ref = refs[0], refs[1], refs[2]
@@ -317,10 +374,20 @@ def _w4_kernel_entry(eids_ref, *refs, has_lid=False, has_zeros, fmt, group_size,
     z_ref = refs[idx] if has_zeros else None
     idx += int(has_zeros)
     o_ref, acc_ref = refs[idx], refs[idx + 1]
-    _w4_kernel(
-        eids_ref, a_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
-        fmt=fmt, group_size=group_size, ngb=ngb, n_k=n_k,
-    )
+    # shared bodies with the dense kernel (ops/gemm/w4a16.py): the expert /
+    # layer indexing lives entirely in the BlockSpec index maps above
+    if gmode.startswith("inner"):
+        _kernel_inner(
+            a_ref, None, w_ref, s_ref, z_ref, None, None, o_ref, acc_ref,
+            fmt=fmt, group_size=group_size, ngb=ngb, n_k=n_k,
+            has_bias=False, prologue=None, nacc=int(gmode[5:] or 1),
+        )
+    else:
+        _kernel(
+            a_ref, None, w_ref, s_ref, z_ref, None, None, o_ref, acc_ref,
+            fmt=fmt, group_size=group_size, ngb=ngb, n_k=n_k,
+            has_bias=False, prologue=None, gmode=gmode,
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype"))
@@ -334,7 +401,7 @@ def w4a8_grouped_mm(
     x_sums=None,
     *,
     bm: int = 128,
-    bn: int = 1024,
+    bn: Optional[int] = None,
     bk: Optional[int] = None,
     out_dtype=jnp.bfloat16,
 ):

@@ -531,3 +531,28 @@ def test_misc_trivial_names():
     p = jnp.asarray([[0.1, 0.2, 0.3, 0.4]])
     np.testing.assert_allclose(np.asarray(C.top_k_renorm_prob(p, 2)),
                                np.asarray(K.top_k_renorm_probs(p, 2)))
+
+
+def test_flash_mla_with_kvcache_mtp_topk_length():
+    """Multi-token (s_q>1, MTP) sparse decode with topk_length [B]: the
+    reference fixes topk_length's shape at [B] regardless of s_q — it must
+    repeat per query position, not reshape (advisor r4 medium finding)."""
+    rng = np.random.default_rng(6)
+    n_pages, page = 8, 16
+    cache4 = jnp.asarray(rng.normal(size=(n_pages, page, 1, 576)).astype(np.float32) / 8).astype(jnp.bfloat16)
+    b, s_q, h, topk = 2, 3, 4, 8
+    q = jnp.asarray(rng.normal(size=(b, s_q, h, 576)).astype(np.float32) / 8).astype(jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, n_pages * page, size=(b, s_q, topk)), jnp.int32)
+    tl = jnp.asarray([5, 8], jnp.int32)  # [B], NOT [B*s_q]
+    out, lse = C.flash_mla_with_kvcache(q, cache4, indices=idx,
+                                        softmax_scale=0.11, topk_length=tl)
+    assert out.shape == (b, s_q, h, 512) and lse.shape == (b, h, s_q)
+    # oracle on (b=1, s=2): only the first tl[1]=8 indices attend
+    pool = np.asarray(cache4, np.float32).reshape(-1, 576)
+    qv = np.asarray(q, np.float32)[1, 2]
+    kid = np.asarray(idx)[1, 2, :8]
+    logits = qv @ pool[kid].T * 0.11
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    o = p @ pool[kid, :512]
+    np.testing.assert_allclose(np.asarray(out, np.float32)[1, 2], o, atol=0.04, rtol=0.05)

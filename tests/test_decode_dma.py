@@ -282,3 +282,31 @@ class TestGatherFallback:
             return_lse=False)
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(ref, np.float32), atol=3e-2, rtol=3e-2)
+
+    def test_fallback_head_layout(self):
+        """layout='head' pools must be transposed before the gather — the
+        round-4 form read the head axis as pages (advisor medium finding)."""
+        from sgl_kernel_tpu.ops.attention.paged_decode_dma import (
+            _decode_gather_fallback, paged_attention_decode_dma)
+
+        rng = np.random.default_rng(23)
+        b, hq, hkv, d, page, blocks = 2, 4, 2, 16, 8, 3
+        n_pages = b * blocks + 1
+        kp = jnp.asarray(rng.standard_normal((n_pages, hkv, page, d)) / 8, jnp.bfloat16)
+        vp = jnp.asarray(rng.standard_normal((n_pages, hkv, page, d)) / 8, jnp.bfloat16)
+        kh = jnp.swapaxes(kp, 0, 1)  # head-major [Hkv, P, page, D]
+        vh = jnp.swapaxes(vp, 0, 1)
+        q = jnp.asarray(rng.standard_normal((b, hq, d)) / 8, jnp.bfloat16)
+        lens = jnp.asarray([20, 13], jnp.int32)
+        pt = jnp.asarray(rng.integers(1, n_pages, (b, blocks)), jnp.int32)
+
+        ref = _decode_gather_fallback(
+            q, kp, vp, lens, pt, None, None, None, None, None, None,
+            sm_scale=None, sliding_window=None, logit_soft_cap=None,
+            return_lse=False, layout="page")
+        got = _decode_gather_fallback(
+            q, kh, vh, lens, pt, None, None, None, None, None, None,
+            sm_scale=None, sliding_window=None, logit_soft_cap=None,
+            return_lse=False, layout="head")
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32), atol=1e-5, rtol=1e-5)

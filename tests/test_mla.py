@@ -141,12 +141,16 @@ class TestDmaEngineParity:
                                    np.asarray(o_b, np.float32), atol=2e-2, rtol=2e-2)
         np.testing.assert_allclose(np.asarray(l_d), np.asarray(l_b), atol=1e-4, rtol=1e-5)
 
-    def test_engines_match_stacked_fp8(self):
+    def test_engines_match_stacked(self):
+        """Layer-stacked bf16 pool: real DMA-vs-BlockSpec parity through
+        the layer_id scalar-prefetch path (itemsize >= 2, so the dma
+        engine actually runs — advisor r4: the old fp8 variant silently
+        compared blockspec against itself)."""
         rng = np.random.default_rng(8)
         b, h, page, blocks, L = 3, 8, 16, 3, 2
         n_pages = b * blocks + 1
         cache = jnp.asarray(rng.standard_normal((L, n_pages, page, 576)) / 8,
-                            jnp.float32).astype(jnp.float8_e4m3fn)
+                            jnp.bfloat16)
         qn = jnp.asarray(rng.standard_normal((b, h, 512)) / 8, jnp.bfloat16)
         qp = jnp.asarray(rng.standard_normal((b, h, 64)) / 8, jnp.bfloat16)
         lens = jnp.asarray([40, 9, 25], jnp.int32)
@@ -156,6 +160,25 @@ class TestDmaEngineParity:
         o_b = mla.mla_decode(qn, qp, cache, lens, pt, lid, sm_scale=0.1, engine="blockspec")
         np.testing.assert_allclose(np.asarray(o_d, np.float32),
                                    np.asarray(o_b, np.float32), atol=2e-2, rtol=2e-2)
+
+    def test_fp8_pool_routes_to_blockspec(self):
+        """engine='dma' on a sub-2-byte pool falls back to blockspec BY
+        DESIGN (Mosaic cannot byte-group-decode the 1152-lane u8 view —
+        docs/PERF.md round 4); pin the fallback's equality so the gate
+        is explicit, not an accident of a vacuous comparison."""
+        rng = np.random.default_rng(8)
+        b, h, page, blocks = 2, 8, 16, 3
+        n_pages = b * blocks + 1
+        cache = jnp.asarray(rng.standard_normal((n_pages, page, 576)) / 8,
+                            jnp.float32).astype(jnp.float8_e4m3fn)
+        qn = jnp.asarray(rng.standard_normal((b, h, 512)) / 8, jnp.bfloat16)
+        qp = jnp.asarray(rng.standard_normal((b, h, 64)) / 8, jnp.bfloat16)
+        lens = jnp.asarray([40, 9], jnp.int32)
+        pt = jnp.asarray(rng.integers(1, n_pages, (b, blocks)), jnp.int32)
+        o_d = mla.mla_decode(qn, qp, cache, lens, pt, sm_scale=0.1, engine="dma")
+        o_b = mla.mla_decode(qn, qp, cache, lens, pt, sm_scale=0.1, engine="blockspec")
+        np.testing.assert_array_equal(np.asarray(o_d, np.float32),
+                                      np.asarray(o_b, np.float32))
 
     def test_engines_match_splits(self):
         rng = np.random.default_rng(9)

@@ -296,3 +296,44 @@ class TestScheduleRegressions:
         for r in range(bc.shape[2]):
             n = int(cc[0, 0, r])
             assert (ci[0, 0, r, :n] >= 0).all()
+
+    def test_varlen_reference_R_contract(self, rng):
+        """Schedules built to the REFERENCE contract R = ceil(max_q/bm)
+        must work when max_seqlen_k > max_seqlen_q (the kernel rectangle
+        has more rows — the adapter zero-pads; advisor r4 finding)."""
+        h, d, bm, bn = 2, 128, 64, 64
+        q_lens, k_lens = [64, 120], [200, 96]
+        # context = max_q rounded to bm -> R_doc = 2 < R_rect = 4
+        smax_q = ((max(q_lens) + bm - 1) // bm) * bm
+        v_idx = np.stack([
+            np.stack([np.sort(rng.choice(kl, 8, replace=False)) for _ in range(h)])
+            for kl in k_lens])
+        s_idx = np.stack([
+            np.sort(rng.choice(kl, (h, 3), replace=True), axis=-1)[..., ::-1]
+            for kl in k_lens])
+        bc, bo, cc, ci = convert_vertical_slash_indexes(
+            q_lens, k_lens, v_idx, np.ascontiguousarray(s_idx), smax_q, bm, bn,
+            causal=False)
+        assert bc.shape[2] == smax_q // bm  # the documented R
+        tq, tk = sum(q_lens), sum(k_lens)
+        q = rng.standard_normal((tq, h, d)).astype(np.float32)
+        k = rng.standard_normal((tk, h, d)).astype(np.float32)
+        v = rng.standard_normal((tk, h, d)).astype(np.float32)
+        cu_q = np.concatenate([[0], np.cumsum(q_lens)])
+        cu_k = np.concatenate([[0], np.cumsum(k_lens)])
+        got = sparse_attn_varlen_func(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(bc), jnp.asarray(bo), jnp.asarray(cc), jnp.asarray(ci),
+            cu_q, cu_k, max(q_lens), max(k_lens), causal=False,
+            block_size_M=bm, block_size_N=bn)
+        sm = 1.0 / d**0.5
+        for b_, (lq, lk) in enumerate(zip(q_lens, k_lens)):
+            qb = q[cu_q[b_] : cu_q[b_ + 1]][None]
+            kb = k[cu_k[b_] : cu_k[b_ + 1]][None]
+            vb = v[cu_k[b_] : cu_k[b_ + 1]][None]
+            ref = oracle_from_schedule(
+                qb, kb, vb, bc[b_ : b_ + 1], bo[b_ : b_ + 1],
+                cc[b_ : b_ + 1], ci[b_ : b_ + 1], bm, bn, False, sm)
+            np.testing.assert_allclose(
+                np.asarray(got)[cu_q[b_] : cu_q[b_ + 1]], ref[0],
+                rtol=2e-3, atol=2e-3)
