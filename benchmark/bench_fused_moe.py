@@ -76,10 +76,14 @@ def run_config(records, rng, t, e, k, h, inter, fmt):
     # in the shipped HLO and kill the relay transport (broken pipe).
     # Only the ARRAY leaves may ride args — MoeWeights.fmt is a str and
     # jit rejects it (round-4 regen TypeError); rebuild inside the step.
+    # decode-class configs use the serving block size (models/deepseek.py
+    # runs block_size=16): small blocks shrink the aligned cap ~4x, and the
+    # align/scatter/combine glue scales with cap rows
+    bs = 16 if t <= 16 else 64
     if fmt == "bf16":
         def step(carry, w1, w2, tw=tw, tids=tids):
             ws = moe.MoeWeights(w1=w1, w2=w2, fmt="bf16")
-            o = moe.fused_experts(carry, ws, tw, tids, block_size=64)
+            o = moe.fused_experts(carry, ws, tw, tids, block_size=bs)
             return carry + o * jnp.bfloat16(1e-8)
 
         args = (weights.w1, weights.w2)
@@ -87,7 +91,7 @@ def run_config(records, rng, t, e, k, h, inter, fmt):
         def step(carry, p1, p2, s1, s2, tw=tw, tids=tids):
             ws = moe.MoeWeights(w1=p1, w2=p2, w1_scales=s1, w2_scales=s2,
                                 fmt="int4", group_size=128)
-            o = moe.fused_experts(carry, ws, tw, tids, block_size=64)
+            o = moe.fused_experts(carry, ws, tw, tids, block_size=bs)
             return carry + o * jnp.bfloat16(1e-8)
 
         args = (weights.w1, weights.w2, weights.w1_scales, weights.w2_scales)

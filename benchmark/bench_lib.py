@@ -124,7 +124,8 @@ def report(name: str, seconds: float, **extra):
     # physics guard on the caller-computed rates: a row implying > peak is
     # marked suspect and excluded from the regression baseline (an
     # unbeatable jitter row in the gate is worse than a missing row)
-    gbs = extra.get("gbs") or extra.get("kv_gbs")
+    gbs = max((v for k, v in extra.items()
+               if k.endswith("gbs") and isinstance(v, (int, float))), default=None)
     if (
         seconds <= 0
         or (gbs is not None and gbs > PEAK_GBS)

@@ -73,13 +73,16 @@ def main():
             if vtag.startswith("r4") and bn is None:
                 continue
             try:
-                def step(carry, packed, scales, x, bn=bn, bk=bk, gmode=gmode):
-                    o = w4a16_grouped_mm(x, packed, scales, eids, group_size=128,
+                # the CARRY is the activation: o depends on the previous
+                # step's output, so XLA cannot hoist the loop-invariant
+                # GEMM out of the rep loop (first sweep run measured 2us
+                # "steps" — the whole chain had been LICM'd to one call)
+                def step(carry, packed, scales, bn=bn, bk=bk, gmode=gmode):
+                    o = w4a16_grouped_mm(carry, packed, scales, eids, group_size=128,
                                          bm=bm, bn=bn, bk=bk, gmode=gmode)
                     return carry + o[:, :1] * jnp.bfloat16(1e-6)
 
-                carry = jnp.zeros((cap, 1), jnp.bfloat16)
-                sec = bench_chain(step, carry, reps=64, args=(packed, scales, x),
+                sec = bench_chain(step, x, reps=64, args=(packed, scales),
                                   bytes_per_step=bank_bytes)
                 records.append(report(
                     f"sweep_grouped:{tag}-{vtag}", sec,

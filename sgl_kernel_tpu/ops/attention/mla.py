@@ -35,6 +35,14 @@ from .paged_decode_dma import _upcast
 D_LATENT = 512
 D_ROPE = 64
 D_CKV = 576
+# 640-lane padded pool (576 data + 64 zero lanes = 5x128): every DMA slice
+# is lane-aligned, so the manual-DMA engine streams TYPED rows directly —
+# no u8-view byte-pair decode (the round-4 toolchain blocker: Mosaic
+# rejects both DMA slices of 576-lane memrefs and bitwidth-changing
+# bitcasts of the u8 view; probed 2026-08-20, benchmark/probe_mla640.py
+# confirms the 640 form lowers). Costs 11% extra pool bytes; serving
+# opts in per model (DeepseekConfig.latent_pad).
+D_CKV_PAD = 640
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LOG2E = 1.4426950408889634
@@ -151,6 +159,8 @@ def _dma_kernel(
     batch: int,
     has_lse: bool,
     kv_dtype,
+    dck: int = D_CKV,
+    typed: bool = False,
 ):
     """MLA decode on the manual-DMA engine (paged_decode_dma's design
     applied to the latent cache): many sequences fold into one grid step
@@ -208,10 +218,16 @@ def _dma_kernel(
 
     def compute(t, slot):
         i, c = seq_of(t), chunk_of(t)
-        q = q_ref[i]  # [gp, 576]
-        it = jnp.dtype(kv_dtype).itemsize
-        kv = _rows_from_bytes(kb[slot].reshape(span, D_CKV * it),
-                              kv_dtype, D_CKV).astype(q.dtype)
+        q = q_ref[i]  # [gp, dck]
+        if typed:
+            # lane-aligned pool: rows arrive typed; fp8 pools ride the
+            # bitcast fast-path upcast (Mosaic's native f8 convert is
+            # scalar-slow — paged_decode_dma._upcast)
+            kv = _upcast(kb[slot].reshape(span, dck), q.dtype)
+        else:
+            it = jnp.dtype(kv_dtype).itemsize
+            kv = _rows_from_bytes(kb[slot].reshape(span, dck * it),
+                                  kv_dtype, dck).astype(q.dtype)
         sc = jax.lax.dot_general(q, kv, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         sc = sc * sm_scale
@@ -278,8 +294,14 @@ def _mla_decode_dma(q, kv_cache, lengths, page_table, layer_id, *,
     b, gp, _ = q.shape
     nl, n_pages, page, dck = kv_cache.shape
     it = kv_cache.dtype.itemsize
-    kv_u8 = jax.lax.bitcast_convert_type(kv_cache, jnp.uint8).reshape(
-        nl, n_pages, page, dck * it)
+    typed = dck % 128 == 0
+    if typed:
+        # lane-aligned (padded) pool: DMA slices of the typed memref are
+        # legal — stream rows directly, no u8 view / byte-pair decode
+        kv_view = kv_cache
+    else:
+        kv_view = jax.lax.bitcast_convert_type(kv_cache, jnp.uint8).reshape(
+            nl, n_pages, page, dck * it)
     n_blocks = page_table.shape[1]
     cpp = min(chunk_pages, n_blocks, max(1, 1024 // page))
     if n_blocks % cpp:
@@ -300,17 +322,18 @@ def _mla_decode_dma(q, kv_cache, lengths, page_table, layer_id, *,
         functools.partial(
             _dma_entry, sm_scale=sm_scale, page=page, cpp=cpp,
             n_chunks=n_chunks, gp=gp, bb=bb, batch=b, has_lse=return_lse,
-            kv_dtype=kv_cache.dtype),
+            kv_dtype=kv_cache.dtype, dck=dck, typed=typed),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(cdiv(b, bb),),
             in_specs=[
-                pl.BlockSpec((bb, gp, D_CKV), lambda blk, lens, pt, lid: (blk, 0, 0)),
+                pl.BlockSpec((bb, gp, dck), lambda blk, lens, pt, lid: (blk, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((2, cpp, page, D_CKV * it), jnp.uint8),
+                (pltpu.VMEM((2, cpp, page, dck), kv_cache.dtype) if typed
+                 else pltpu.VMEM((2, cpp, page, dck * it), jnp.uint8)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((bb, gp, 128), jnp.float32),
                 pltpu.VMEM((bb, gp, 128), jnp.float32),
@@ -323,12 +346,12 @@ def _mla_decode_dma(q, kv_cache, lengths, page_table, layer_id, *,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * gp * n_blocks * page * (D_CKV + D_LATENT),
-            bytes_accessed=b * n_blocks * page * D_CKV * kv_cache.dtype.itemsize,
+            bytes_accessed=b * n_blocks * page * dck * kv_cache.dtype.itemsize,
             transcendentals=b * gp * n_blocks * page,
         ),
         interpret=pallas_interpret(),
     )(lengths.astype(jnp.int32), page_table.astype(jnp.int32),
-      jnp.asarray(layer_id, jnp.int32).reshape(1), q, kv_u8)
+      jnp.asarray(layer_id, jnp.int32).reshape(1), q, kv_view)
     if return_lse:
         return outs[0][:, 0], outs[1][:, 0, 0]
     return outs[0][:, 0], None
@@ -404,12 +427,15 @@ def mla_decode(
     b, h, _ = q_nope.shape
     stacked = layer_id is not None
     n_pages, page, dck = kv_cache.shape[-3:]
-    assert dck == D_CKV and q_nope.shape[2] == D_LATENT and q_pe.shape[2] == D_ROPE
+    assert dck in (D_CKV, D_CKV_PAD) and q_nope.shape[2] == D_LATENT and q_pe.shape[2] == D_ROPE
     hp = round_up(h, 8)
     sm_scale = sm_scale if sm_scale is not None else 1.0 / (D_CKV**0.5)
     n_blocks = page_table.shape[1]
 
     q = jnp.concatenate([q_nope, q_pe], axis=-1)  # [B, H, 576]
+    if dck == D_CKV_PAD:
+        # padded pool: zero q lanes 576..640 contribute nothing to the dot
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, D_CKV_PAD - D_CKV)))
     if hp != h:
         q = jnp.pad(q, ((0, 0), (0, hp - h), (0, 0)))
 
@@ -422,7 +448,7 @@ def mla_decode(
     # page=1024/2048 amortizes it with zero kernel changes (Pallas
     # pipelined copies handle 576 lanes fine). mla_decode is page-size
     # agnostic; serving configures the MLA pool page size.
-    if engine == "dma" and kv_cache.dtype.itemsize >= 2:
+    if engine == "dma" and (kv_cache.dtype.itemsize >= 2 or dck == D_CKV_PAD):
         cache4 = kv_cache if stacked else kv_cache[None]
         out, lse = _mla_decode_dma(
             q, cache4, lengths, page_table,
@@ -455,13 +481,13 @@ def mla_decode(
             grid=(b, n_blocks),
             in_specs=(
                 [
-                    pl.BlockSpec((1, hp, D_CKV), lambda bb, i, lens, pt, lid: (bb, 0, 0)),
-                    pl.BlockSpec((None, 1, page, D_CKV), lambda bb, i, lens, pt, lid: (lid[0], pt[bb, i], 0, 0)),
+                    pl.BlockSpec((1, hp, dck), lambda bb, i, lens, pt, lid: (bb, 0, 0)),
+                    pl.BlockSpec((None, 1, page, dck), lambda bb, i, lens, pt, lid: (lid[0], pt[bb, i], 0, 0)),
                 ]
                 if stacked
                 else [
-                    pl.BlockSpec((1, hp, D_CKV), lambda bb, i, lens, pt: (bb, 0, 0)),
-                    pl.BlockSpec((1, page, D_CKV), lambda bb, i, lens, pt: (pt[bb, i], 0, 0)),
+                    pl.BlockSpec((1, hp, dck), lambda bb, i, lens, pt: (bb, 0, 0)),
+                    pl.BlockSpec((1, page, dck), lambda bb, i, lens, pt: (pt[bb, i], 0, 0)),
                 ]
             ),
             out_specs=out_specs,

@@ -22,7 +22,15 @@ import jax.numpy as jnp
 from ...utils import round_up
 from ..activation import ACTIVATIONS
 from .align import MoeAlignment, apply_shuffle_mul_sum, moe_align_block_size, scatter_tokens_to_experts
-from .grouped_gemm import bf16_grouped_mm, ragged_grouped_mm, w4a16_grouped_mm
+from .grouped_gemm import bf16_group_tiles_fit, bf16_grouped_mm, ragged_grouped_mm, w4a16_grouped_mm
+
+
+def _decode_grouped_ok(w1, w2, bm):
+    """Both grouped GEMMs must have Mosaic-legal VMEM-fitting tiles (dims
+    with no 128-multiple divisor, e.g. gpt-oss 2880, force full-extent
+    blocks beyond VMEM — those stay on ragged_dot)."""
+    return (bf16_group_tiles_fit(w1.shape[-1], w1.shape[-2], bm)
+            and bf16_group_tiles_fit(w2.shape[-1], w2.shape[-2], bm))
 
 
 class MoeWeights(NamedTuple):
@@ -84,7 +92,7 @@ def _fused_experts_impl(
         else:
             a = act_fn(inter)
         out_sorted = bf16_grouped_mm(a.astype(hidden.dtype), w2, align.block_expert_ids, layer_id, bm=block_size)
-    elif fmt == "bf16" and t <= 64:
+    elif fmt == "bf16" and t <= 64 and _decode_grouped_ok(w1, w2, block_size):
         # decode-class batches: ragged_dot streams the FULL [E, K, N] bank
         # even though only ~topk*T experts are routed — at token=1 that is
         # 64 experts' weights for 8 experts' work (the reference's Arc B580

@@ -56,21 +56,47 @@ def _bf16_kernel_stacked(expert_ids_ref, lid_ref, a_ref, w_ref, o_ref, acc_ref, 
 
 
 def pick_bf16_group_tiles(n: int, k: int, bm: int, budget: int = 12 * 2**20):
-    """(bn, bk) for the bf16 grouped kernel: biggest VMEM-fitting weight
-    tiles so the per-grid-step pipeline cost (~0.5us, docs/PERF.md MLA
-    page finding) amortizes over large DMA blocks — the kernel is
-    weight-stream-bound at MoE decode batch sizes."""
+    """(bn, bk) for the bf16 grouped kernel: the VMEM-fitting tile pair
+    with the FEWEST grid steps per expert (max bn*bk product; ties to the
+    larger bn) so the per-grid-step pipeline cost (~0.5us, docs/PERF.md
+    MLA page finding) amortizes over large DMA blocks — the kernel is
+    weight-stream-bound at MoE decode batch sizes.
+
+    bk is the LANE dim of the activation block, so candidates are
+    128-multiples (or the full K) — a greedy biggest-bn-first walk once
+    picked (bn=14336, bk=64) at Mixtral dims and Mosaic rejected the
+    (bm, 64) A-block (round-5 regen)."""
 
     def vmem(bn, bk):
         return bk * bn * 2 * 2 + bm * bk * 2 * 2 + bm * bn * 2 * 2 + bm * bn * 4
 
     bns = [d for d in range(n - n % 128, 0, -128) if n % d == 0] or [n]
-    bks = [d for d in range(min(k, 2048) - min(k, 2048) % 8, 0, -8) if k % d == 0] or [k]
+    bks = [d for d in range(min(k, 2048) - min(k, 2048) % 128, 0, -128)
+           if k % d == 0] or [k]
+    best = None
     for bn in bns:
         for bk in bks:
             if vmem(bn, bk) <= budget:
-                return bn, bk
-    return bns[-1], bks[-1]
+                score = (bn * bk, bn)
+                if best is None or score > best[0]:
+                    best = (score, bn, bk)
+    if best is None:
+        # no legal-AND-fitting pair (dims with no 128-multiple divisor,
+        # e.g. gpt-oss 2880: both dims force full-extent blocks > VMEM).
+        # Fall back to the r4 dividing tiles — legal in interpret mode;
+        # real-TPU callers gate on bf16_group_tiles_fit (fused_experts
+        # keeps ragged_dot for such dims).
+        return dividing_tile(n, 1024, 128), dividing_tile(k, 1024, 8)
+    return best[1], best[2]
+
+
+def bf16_group_tiles_fit(n: int, k: int, bm: int, budget: int = 12 * 2**20) -> bool:
+    """True when pick_bf16_group_tiles found a Mosaic-legal pair within the
+    VMEM budget (i.e. the grouped kernel can run on real TPU)."""
+    bn, bk = pick_bf16_group_tiles(n, k, bm, budget)
+    legal = (bk % 128 == 0 or bk == k) and (bn % 128 == 0 or bn == n)
+    fits = bk * bn * 4 + bm * bk * 4 + bm * bn * 8 <= budget
+    return legal and fits
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype"))
@@ -156,6 +182,25 @@ def bf16_grouped_mm(
         ),
         interpret=pallas_interpret(),
     )(*scalar_args, x_sorted, w)
+
+
+# Per-(N, K) decode gmode overrides, measured on-chip
+# (benchmark/sweep_grouped_moe.py, 2026-08-20): multi-accumulator
+# epilogues beat plain "inner" on the deeper-K gate_up tiles (the dense
+# kernel's down-proj mechanism — docs/PERF.md round 4) and on the wide
+# down projections; every variant is oracle-parity-tested.
+#   v2lite gate_up (2816, 2048): inner 706 -> inner4 805 GB/s of bank
+#   dsv3  gate_up (4096, 7168): inner 695 -> inner4 712
+#   gptoss gate_up (2560, 3584): inner 616 -> inner4 678
+#   v2lite down (2048, 1408): inner 661 -> inner2 707
+#   gptoss down (3584, 1280): inner 670 -> inner2 715
+_GROUP_GMODE_TABLE = {
+    (2816, 2048): "inner4",
+    (4096, 7168): "inner4",
+    (2560, 3584): "inner4",
+    (2048, 1408): "inner2",
+    (3584, 1280): "inner2",
+}
 
 
 def pick_group_tiles(n: int, k: int, group_size: int, bm: int, out_itemsize: int = 2, budget: int = 13 * 2**20, fixed_bk: Optional[int] = None):
@@ -261,7 +306,8 @@ def w4a16_grouped_mm(
     assert w.shape[-2] == k // 2 and w.dtype == jnp.uint8, (w.shape, w.dtype)
     out_dtype = out_dtype or x_sorted.dtype
     if gmode is None:
-        gmode = "inner" if bm <= 64 else "loop"
+        gmode = (_GROUP_GMODE_TABLE.get((n, k), "inner")
+                 if bm <= 64 else "loop")
     assert gmode in ("loop", "batched") or (
         gmode.startswith("inner") and (gmode[5:] == "" or gmode[5:].isdigit())
     ), f"gmode must be 'loop', 'batched', or 'inner[N]', got {gmode!r}"

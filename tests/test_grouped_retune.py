@@ -176,11 +176,20 @@ class TestGroupedOracleProduction:
 
 class TestBf16GroupedRetune:
     def test_picker_legal(self):
-        for n, k, bm in [(2560, 3584, 16), (3584, 1280, 16), (28672, 4096, 64),
-                         (160, 72, 8), (2880, 2880, 32)]:
+        from sgl_kernel_tpu.ops.moe.grouped_gemm import bf16_group_tiles_fit
+
+        for n, k, bm in [(2560, 3584, 16), (3584, 1280, 16), (28672, 4096, 64)]:
             bn, bk = pick_bf16_group_tiles(n, k, bm)
             assert n % bn == 0 and k % bk == 0
+            # bk is the A-block LANE dim: 128-multiple or full-K (Mosaic)
+            assert bk % 128 == 0 or bk == k
             assert bk * bn * 2 * 2 + bm * bn * 6 <= 14 * 2**20
+            assert bf16_group_tiles_fit(n, k, bm)
+        # dims with no 128-multiple divisor force full-extent blocks beyond
+        # VMEM: the fit gate must say no (fused_experts keeps ragged_dot)
+        assert not bf16_group_tiles_fit(2880, 2880, 32)
+        bn, bk = pick_bf16_group_tiles(160, 72, 8)  # fallback still divides
+        assert 160 % bn == 0 and 72 % bk == 0
 
     def test_decode_cutover_matches_ragged(self, rng):
         """fused_experts bf16 at decode-class T must match the ragged_dot

@@ -209,3 +209,54 @@ class TestDmaEngineParity:
         o_b = mla.mla_decode(qn, qp, cache, lens, pt, sm_scale=0.1, engine="blockspec")
         np.testing.assert_allclose(np.asarray(o_d, np.float32),
                                    np.asarray(o_b, np.float32), atol=2e-2, rtol=2e-2)
+
+
+class TestPad640Pool:
+    """640-lane (576+64 zero) latent pool: lane-aligned DMA slices make the
+    manual-DMA engine legal on real TPU (probe_mla640.py). Both engines
+    must match the canonical 576 pool bit-for-f32-tolerance."""
+
+    def _mk(self, rng, b, h, page, blocks, L=None, dtype=jnp.bfloat16):
+        n_pages = b * blocks + 1
+        shape = (n_pages, page, 576) if L is None else (L, n_pages, page, 576)
+        cache = jnp.asarray(rng.standard_normal(shape) / 8, jnp.float32).astype(dtype)
+        qn = jnp.asarray(rng.standard_normal((b, h, 512)) / 8, jnp.bfloat16)
+        qp = jnp.asarray(rng.standard_normal((b, h, 64)) / 8, jnp.bfloat16)
+        lens = jnp.asarray(rng.integers(1, page * blocks, b), jnp.int32)
+        pt = jnp.asarray(rng.integers(1, n_pages, (b, blocks)), jnp.int32)
+        pad = [(0, 0)] * (cache.ndim - 1) + [(0, 64)]
+        return cache, jnp.pad(cache, pad), qn, qp, lens, pt
+
+    @pytest.mark.parametrize("engine", ["blockspec", "dma"])
+    def test_pad640_matches_576(self, engine):
+        rng = np.random.default_rng(31)
+        cache, cache640, qn, qp, lens, pt = self._mk(rng, 3, 16, 16, 4)
+        ref, lref = mla.mla_decode(qn, qp, cache, lens, pt, sm_scale=0.12,
+                                   return_lse=True, engine="blockspec")
+        got, lgot = mla.mla_decode(qn, qp, cache640, lens, pt, sm_scale=0.12,
+                                   return_lse=True, engine=engine)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2)
+        np.testing.assert_allclose(np.asarray(lgot), np.asarray(lref),
+                                   atol=1e-4, rtol=1e-5)
+
+    def test_pad640_fp8_dma(self):
+        """fp8 640 pools ARE dma-eligible (typed u8-aligned rows, bitcast
+        upcast) — unlike fp8 576 pools which fall back to blockspec."""
+        rng = np.random.default_rng(32)
+        cache, cache640, qn, qp, lens, pt = self._mk(
+            rng, 2, 8, 16, 3, dtype=jnp.float8_e4m3fn)
+        ref = mla.mla_decode(qn, qp, cache, lens, pt, sm_scale=0.1, engine="blockspec")
+        got = mla.mla_decode(qn, qp, cache640, lens, pt, sm_scale=0.1, engine="dma")
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32), atol=3e-2, rtol=3e-2)
+
+    def test_pad640_stacked_splits(self):
+        rng = np.random.default_rng(33)
+        cache, cache640, qn, qp, lens, pt = self._mk(rng, 2, 16, 16, 8, L=2)
+        lid = jnp.asarray([1], jnp.int32)
+        ref = mla.mla_decode(qn, qp, cache, lens, pt, lid, sm_scale=0.1)
+        got = mla.mla_decode(qn, qp, cache640, lens, pt, lid, sm_scale=0.1,
+                             engine="dma", num_splits=2)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2)
