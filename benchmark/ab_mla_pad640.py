@@ -51,7 +51,7 @@ def bench(tag, engine, page, dck, h, records):
         return time.perf_counter() - t0
 
     _ = t(1)
-    reps = 32
+    reps = 256  # sub-150us kernels: 32-rep differencing sits under the ms-scale relay jitter (docs/PERF.md round 2)
     t1 = min(t(1) for _ in range(4))
     t2 = min(t(1 + reps) for _ in range(4))
     sec = (t2 - t1) / reps

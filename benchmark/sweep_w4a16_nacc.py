@@ -27,13 +27,14 @@ G, M = 128, 16
 # HTTP-500ed the remote Mosaic compiler in round 3.
 SWEEPS = [
     (28672, 4096, 16, 7168, 1024),   # gate_up decode (current table tile)
-    (4096, 14336, 32, 4096, 1024),   # down decode (current table tile)
-    (28672, 4096, 16, 7168, 2048),   # bk=2048 retry
-    (4096, 14336, 32, 4096, 2048),
 ]
+# round-5 focus: ONLY gate_up — the grouped-kernel sweep measured inner4
+# winning every gate_up-class tile (2816x2048: 706->805; 4096x7168:
+# 695->712; 2560x3584: 616->678, sweep_grouped_moe 2026-08-20), and the
+# r4 dense confirm only ever compared inner2. 8 interleaved passes.
 # interleaved repeats: the relay's between-run jitter is +-20%, so a
 # single-pass ordering can invert (one pass read -4.1us for o/inner2)
-GMODES = ["inner", "inner2", "inner4", "inner", "inner2", "inner4"]
+GMODES = ["inner", "inner4"] * 4
 
 
 def bench(a, pk, sc, n, k, L, bn, bk, gmode):
