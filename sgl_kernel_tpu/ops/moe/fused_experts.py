@@ -86,12 +86,14 @@ def _fused_experts_impl(
         # layer-stacked bf16 banks: the Pallas grouped kernel fetches only
         # the routed experts' tiles via scalar prefetch (ragged_dot would
         # need w1[layer_id] materialized — a whole-bank HBM copy per step)
-        inter = bf16_grouped_mm(x, w1, align.block_expert_ids, layer_id, bm=block_size)
+        inter = bf16_grouped_mm(x, w1, align.block_expert_ids, layer_id,
+                                align.num_valid_blocks, bm=block_size)
         if activation in ("silu_clamp", "swiglu_gpt_oss"):
             a = act_fn(inter, gemm1_limit) if activation == "silu_clamp" else act_fn(inter, gemm1_alpha, gemm1_limit)
         else:
             a = act_fn(inter)
-        out_sorted = bf16_grouped_mm(a.astype(hidden.dtype), w2, align.block_expert_ids, layer_id, bm=block_size)
+        out_sorted = bf16_grouped_mm(a.astype(hidden.dtype), w2, align.block_expert_ids,
+                                     layer_id, align.num_valid_blocks, bm=block_size)
     elif fmt == "bf16" and t <= 64 and _decode_grouped_ok(w1, w2, block_size):
         # decode-class batches: ragged_dot streams the FULL [E, K, N] bank
         # even though only ~topk*T experts are routed — at token=1 that is
@@ -99,12 +101,14 @@ def _fused_experts_impl(
         # beat the v5e on this row, VERDICT r4 #3/#7). The grouped Pallas
         # kernel fetches ONLY the routed experts' tiles via scalar-
         # prefetched block_expert_ids: ~(topk*T/E) of the bank streamed.
-        inter = bf16_grouped_mm(x, w1, align.block_expert_ids, bm=block_size)
+        inter = bf16_grouped_mm(x, w1, align.block_expert_ids,
+                                num_valid_blocks=align.num_valid_blocks, bm=block_size)
         if activation in ("silu_clamp", "swiglu_gpt_oss"):
             a = act_fn(inter, gemm1_limit) if activation == "silu_clamp" else act_fn(inter, gemm1_alpha, gemm1_limit)
         else:
             a = act_fn(inter)
-        out_sorted = bf16_grouped_mm(a.astype(hidden.dtype), w2, align.block_expert_ids, bm=block_size)
+        out_sorted = bf16_grouped_mm(a.astype(hidden.dtype), w2, align.block_expert_ids,
+                                     num_valid_blocks=align.num_valid_blocks, bm=block_size)
     elif fmt == "bf16":
         # ragged_dot wants true group sizes over *sorted* rows; our rows are
         # block-aligned with zero pads inside each expert segment, so use the
@@ -123,7 +127,7 @@ def _fused_experts_impl(
         # materialize the whole expert bank per scan step
         inter = w4a16_grouped_mm(
             x, w1, w1_scales, align.block_expert_ids, w1_zeros, layer_id,
-            group_size=group_size, fmt=fmt, bm=block_size,
+            align.num_valid_blocks, group_size=group_size, fmt=fmt, bm=block_size,
         )
         if activation in ("silu_clamp", "swiglu_gpt_oss"):
             a = act_fn(inter, gemm1_limit) if activation == "silu_clamp" else act_fn(inter, gemm1_alpha, gemm1_limit)
@@ -131,7 +135,7 @@ def _fused_experts_impl(
             a = act_fn(inter)
         out_sorted = w4a16_grouped_mm(
             a, w2, w2_scales, align.block_expert_ids, w2_zeros, layer_id,
-            group_size=group_size, fmt=fmt, bm=block_size,
+            align.num_valid_blocks, group_size=group_size, fmt=fmt, bm=block_size,
         )
 
     return apply_shuffle_mul_sum(out_sorted, align, t)

@@ -33,7 +33,7 @@ def ragged_grouped_mm(x_sorted, weights, group_sizes):
     return jax.lax.ragged_dot(x_sorted, weights, group_sizes.astype(jnp.int32))
 
 
-def _bf16_kernel(expert_ids_ref, a_ref, w_ref, o_ref, acc_ref, *, n_k):
+def _bf16_kernel(expert_ids_ref, nv_ref, a_ref, w_ref, o_ref, acc_ref, *, n_k):
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -50,9 +50,9 @@ def _bf16_kernel(expert_ids_ref, a_ref, w_ref, o_ref, acc_ref, *, n_k):
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-def _bf16_kernel_stacked(expert_ids_ref, lid_ref, a_ref, w_ref, o_ref, acc_ref, *, n_k):
-    # the layer-id scalar ref is consumed by the BlockSpec index maps
-    _bf16_kernel(expert_ids_ref, a_ref, w_ref, o_ref, acc_ref, n_k=n_k)
+def _bf16_kernel_stacked(expert_ids_ref, nv_ref, lid_ref, a_ref, w_ref, o_ref, acc_ref, *, n_k):
+    # the layer-id / num-valid scalar refs are consumed by the index maps
+    _bf16_kernel(expert_ids_ref, nv_ref, a_ref, w_ref, o_ref, acc_ref, n_k=n_k)
 
 
 def pick_bf16_group_tiles(n: int, k: int, bm: int, budget: int = 12 * 2**20):
@@ -105,6 +105,7 @@ def bf16_grouped_mm(
     w,
     block_expert_ids,
     layer_id=None,
+    num_valid_blocks=None,
     *,
     bm: int = 128,
     bn: Optional[int] = None,
@@ -143,24 +144,29 @@ def bf16_grouped_mm(
     out_dtype = out_dtype or x_sorted.dtype
     n_k = k // bk
 
+    nv = jnp.asarray(
+        cap // bm if num_valid_blocks is None else num_valid_blocks,
+        jnp.int32).reshape(1)
+    # blocks at i >= nv clamp (kk, j) to 0 so the pinned trailing expert's
+    # weights are fetched at most once (see w4a16_grouped_mm)
     if stacked:
         in_specs = [
-            pl.BlockSpec((bm, bk), lambda i, j, kk, eids, lid: (i, kk)),
-            pl.BlockSpec((None, 1, bk, bn), lambda i, j, kk, eids, lid: (lid[0], eids[i], kk, j)),
+            pl.BlockSpec((bm, bk), lambda i, j, kk, eids, nv, lid: (i, kk * (i < nv[0]))),
+            pl.BlockSpec((None, 1, bk, bn), lambda i, j, kk, eids, nv, lid: (lid[0], eids[i], kk * (i < nv[0]), j * (i < nv[0]))),
         ]
-        out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk, eids, lid: (i, j))
-        scalar_args = (block_expert_ids, jnp.asarray(layer_id, jnp.int32).reshape(1))
+        out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk, eids, nv, lid: (i, j))
+        scalar_args = (block_expert_ids, nv, jnp.asarray(layer_id, jnp.int32).reshape(1))
         kernel = functools.partial(_bf16_kernel_stacked, n_k=n_k)
-        nsp = 2
+        nsp = 3
     else:
         in_specs = [
-            pl.BlockSpec((bm, bk), lambda i, j, kk, eids: (i, kk)),
-            pl.BlockSpec((1, bk, bn), lambda i, j, kk, eids: (eids[i], kk, j)),
+            pl.BlockSpec((bm, bk), lambda i, j, kk, eids, nv: (i, kk * (i < nv[0]))),
+            pl.BlockSpec((1, bk, bn), lambda i, j, kk, eids, nv: (eids[i], kk * (i < nv[0]), j * (i < nv[0]))),
         ]
-        out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk, eids: (i, j))
-        scalar_args = (block_expert_ids,)
+        out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk, eids, nv: (i, j))
+        scalar_args = (block_expert_ids, nv)
         kernel = functools.partial(_bf16_kernel, n_k=n_k)
-        nsp = 1
+        nsp = 2
     e = w.shape[1] if stacked else w.shape[0]
     return pl.pallas_call(
         kernel,
@@ -253,6 +259,7 @@ def w4a16_grouped_mm(
     block_expert_ids,
     zeros=None,
     layer_id=None,
+    num_valid_blocks=None,
     *,
     group_size: int = 128,
     fmt: str = "int4",
@@ -264,6 +271,11 @@ def w4a16_grouped_mm(
     gmode: Optional[str] = None,
 ):
     """Block-aligned grouped W4A16 GEMM.
+
+    num_valid_blocks: optional traced scalar — row blocks at i >= it are
+    alignment padding; their weight fetches are clamped away and their
+    output rows are UNDEFINED (the combine drops them via zero
+    pair_weight). Default: all blocks valid.
 
     x_sorted: [cap, K] activations in expert-sorted block-aligned order
       (cap multiple of bm — from moe_align_block_size(block_size=bm)).
@@ -344,27 +356,34 @@ def w4a16_grouped_mm(
     scales_f = scales  # stored dtype (bf16 canonical); upcast per-tile in-kernel
     # expert (and layer) dims ride None-squeezed BlockSpecs so the kernel
     # body sees the same 2D [bk//2, bn] / [ngb, bn] tiles as the dense
-    # kernel — the bodies are SHARED with ops/gemm/w4a16.py
+    # kernel — the bodies are SHARED with ops/gemm/w4a16.py.
+    # Blocks at i >= num_valid_blocks (the aligned cap is a STATIC worst
+    # case; typical decode routing leaves 10-30% trailing pads) clamp their
+    # (kk, j) weight indices to (0, 0): after the first trailing step the
+    # block index never changes, so Pallas fetches nothing — the unclamped
+    # form re-streamed the pinned expert's whole bank slice per trailing
+    # block (~17% of V2-Lite e2e MoE bytes, ablate_moe_glue.py). Trailing
+    # out rows are UNDEFINED; the combine drops them via zero pair_weight.
     if stacked:
         if per_channel:
             assert ngb == 1 and scales.shape[2] == 1
-            s_spec = pl.BlockSpec((None, None, ngb, bn), lambda i, j, kk, eids, lid: (lid[0], eids[i], 0, j))
+            s_spec = pl.BlockSpec((None, None, ngb, bn), lambda i, j, kk, eids, nv, lid: (lid[0], eids[i], 0, j * (i < nv[0])))
         else:
-            s_spec = pl.BlockSpec((None, None, ngb, bn), lambda i, j, kk, eids, lid: (lid[0], eids[i], kk, j))
+            s_spec = pl.BlockSpec((None, None, ngb, bn), lambda i, j, kk, eids, nv, lid: (lid[0], eids[i], kk * (i < nv[0]), j * (i < nv[0])))
         in_specs = [
-            pl.BlockSpec((bm, bk), lambda i, j, kk, eids, lid: (i, kk)),
-            pl.BlockSpec((None, None, bk // 2, bn), lambda i, j, kk, eids, lid: (lid[0], eids[i], kk, j)),
+            pl.BlockSpec((bm, bk), lambda i, j, kk, eids, nv, lid: (i, kk * (i < nv[0]))),
+            pl.BlockSpec((None, None, bk // 2, bn), lambda i, j, kk, eids, nv, lid: (lid[0], eids[i], kk * (i < nv[0]), j * (i < nv[0]))),
             s_spec,
         ]
     else:
         if per_channel:
             assert ngb == 1 and scales.shape[1] == 1
-            s_spec = pl.BlockSpec((None, ngb, bn), lambda i, j, kk, eids: (eids[i], 0, j))
+            s_spec = pl.BlockSpec((None, ngb, bn), lambda i, j, kk, eids, nv: (eids[i], 0, j * (i < nv[0])))
         else:
-            s_spec = pl.BlockSpec((None, ngb, bn), lambda i, j, kk, eids: (eids[i], kk, j))
+            s_spec = pl.BlockSpec((None, ngb, bn), lambda i, j, kk, eids, nv: (eids[i], kk * (i < nv[0]), j * (i < nv[0])))
         in_specs = [
-            pl.BlockSpec((bm, bk), lambda i, j, kk, eids: (i, kk)),
-            pl.BlockSpec((None, bk // 2, bn), lambda i, j, kk, eids: (eids[i], kk, j)),
+            pl.BlockSpec((bm, bk), lambda i, j, kk, eids, nv: (i, kk * (i < nv[0]))),
+            pl.BlockSpec((None, bk // 2, bn), lambda i, j, kk, eids, nv: (eids[i], kk * (i < nv[0]), j * (i < nv[0]))),
             s_spec,
         ]
     inputs = [x_sorted, w, scales_f]
@@ -382,14 +401,17 @@ def w4a16_grouped_mm(
         n_k=n_k,
         gmode=gmode,
     )
+    nv = jnp.asarray(
+        cap // bm if num_valid_blocks is None else num_valid_blocks,
+        jnp.int32).reshape(1)
     if stacked:
-        out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk, eids, lid: (i, j))
-        scalar_args = (block_expert_ids, jnp.asarray(layer_id, jnp.int32).reshape(1))
-        nsp = 2
+        out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk, eids, nv, lid: (i, j))
+        scalar_args = (block_expert_ids, nv, jnp.asarray(layer_id, jnp.int32).reshape(1))
+        nsp = 3
     else:
-        out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk, eids: (i, j))
-        scalar_args = (block_expert_ids,)
-        nsp = 1
+        out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk, eids, nv: (i, j))
+        scalar_args = (block_expert_ids, nv)
+        nsp = 2
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -412,7 +434,7 @@ def w4a16_grouped_mm(
     )(*scalar_args, *inputs)
 
 
-def _w4_kernel_entry(eids_ref, *refs, has_lid=False, has_zeros, fmt, group_size, ngb, n_k, gmode="inner"):
+def _w4_kernel_entry(eids_ref, nv_ref, *refs, has_lid=False, has_zeros, fmt, group_size, ngb, n_k, gmode="inner"):
     if has_lid:
         refs = refs[1:]  # stacked: layer-id scalar ref consumed by BlockSpecs
     a_ref, w_ref, s_ref = refs[0], refs[1], refs[2]

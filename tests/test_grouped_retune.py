@@ -242,3 +242,30 @@ def test_grouped_padded_k(rng):
         ref = np.asarray(x, np.float64)[rows] @ wd[int(eids[blk])].T
         rel = np.abs(out[rows] - ref).mean() / (np.abs(ref).mean() + 1e-9)
         assert rel < 2e-2, rel
+
+
+def test_num_valid_blocks_clamp(rng):
+    """Trailing (padding) blocks clamp their weight fetches: VALID rows
+    must be bit-identical to the all-valid call; trailing rows are
+    undefined (the combine drops them)."""
+    e, n, k, bm, g = 3, 256, 512, 8, 128
+    packed, scales = _quant_bank(rng, e, n, k, g)
+    nb, nv = 6, 4
+    eids = jnp.asarray([0, 2, 1, 1, 1, 1], jnp.int32)  # trailing pinned to 1
+    x = jnp.asarray(rng.standard_normal((nb * bm, k)) * 0.1, jnp.bfloat16)
+    full = w4a16_grouped_mm(x, packed, scales, eids, group_size=g, bm=bm,
+                            out_dtype=jnp.float32)
+    clamped = w4a16_grouped_mm(x, packed, scales, eids,
+                               num_valid_blocks=jnp.int32(nv), group_size=g,
+                               bm=bm, out_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(clamped)[: nv * bm],
+                                  np.asarray(full)[: nv * bm])
+
+    # bf16 kernel, same contract
+    from sgl_kernel_tpu.ops.moe.grouped_gemm import bf16_grouped_mm as bmm
+    w = jnp.asarray(rng.standard_normal((e, k, n)) * 0.05, jnp.bfloat16)
+    fullb = bmm(x, w, eids, bm=bm, out_dtype=jnp.float32)
+    clampb = bmm(x, w, eids, num_valid_blocks=jnp.int32(nv), bm=bm,
+                 out_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(clampb)[: nv * bm],
+                                  np.asarray(fullb)[: nv * bm])
