@@ -23,6 +23,7 @@ SCRIPTS = [
     "bench_quant_ops.py",
     "bench_misc_ops.py",
     "bench_kvcacheio.py",
+    "bench_grid_ext.py",
     "bench_deepseek_e2e.py",
 ]
 

@@ -188,8 +188,11 @@ def _load_a(a_ref, a2_ref, nw_ref, *, prologue, norm_eps, bk):
     return a_ref[...]
 
 
-def _kernel(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *, fmt, group_size, ngb, n_k, has_bias, prologue, gmode="loop", nw_ref=None, norm_eps=1e-5):
-    k_idx = pl.program_id(2)
+def _kernel(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *, fmt, group_size, ngb, n_k, has_bias, prologue, gmode="loop", nw_ref=None, norm_eps=1e-5, k_idx=None):
+    # k_idx passed in when the caller wraps the body in pl.when (grouped
+    # kernel's padding-block skip): pl.program_id cannot be read inside a
+    # cond region
+    k_idx = pl.program_id(2) if k_idx is None else k_idx
     g0 = group_size
 
     @pl.when(k_idx == 0)
@@ -243,7 +246,7 @@ def _kernel(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *,
         o_ref[...] = out.astype(o_ref.dtype)
 
 
-def _kernel_inner(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *, fmt, group_size, ngb, n_k, has_bias, prologue, nacc: int = 1, nw_ref=None, norm_eps=1e-5):
+def _kernel_inner(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_ref, *, fmt, group_size, ngb, n_k, has_bias, prologue, nacc: int = 1, nw_ref=None, norm_eps=1e-5, k_idx=None):
     """gmode="inner": decode each scale group's [g0, bn] weight slice right
     before its MXU dot instead of materializing the whole decoded [bk, bn]
     tile in VMEM first. The per-group VPU decode (astype) software-pipelines
@@ -254,7 +257,7 @@ def _kernel_inner(a_ref, a2_ref, w_ref, s_ref, z_ref, b_ref, r_ref, o_ref, acc_r
     independent accumulators so group g's VPU mul-add does not serialize
     behind group g-1's — the per-layer group-dot count is the measured
     decode residual (sweep_w4a16_bigbn.py)."""
-    k_idx = pl.program_id(2)
+    k_idx = pl.program_id(2) if k_idx is None else k_idx
     g0 = group_size
 
     @pl.when(k_idx == 0)

@@ -35,19 +35,23 @@ def ragged_grouped_mm(x_sorted, weights, group_sizes):
 
 def _bf16_kernel(expert_ids_ref, nv_ref, a_ref, w_ref, o_ref, acc_ref, *, n_k):
     kk = pl.program_id(2)
+    i = pl.program_id(0)
 
-    @pl.when(kk == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+    # trailing padding blocks skip fetch (index-clamped) AND compute
+    @pl.when(i < nv_ref[0])
+    def _valid():
+        @pl.when(kk == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    acc_ref[...] += jax.lax.dot_general(
-        a_ref[...], w_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        acc_ref[...] += jax.lax.dot_general(
+            a_ref[...], w_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    @pl.when(kk == n_k - 1)
-    def _done():
-        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+        @pl.when(kk == n_k - 1)
+        def _done():
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
 def _bf16_kernel_stacked(expert_ids_ref, nv_ref, lid_ref, a_ref, w_ref, o_ref, acc_ref, *, n_k):
@@ -442,20 +446,33 @@ def _w4_kernel_entry(eids_ref, nv_ref, *refs, has_lid=False, has_zeros, fmt, gro
     z_ref = refs[idx] if has_zeros else None
     idx += int(has_zeros)
     o_ref, acc_ref = refs[idx], refs[idx + 1]
-    # shared bodies with the dense kernel (ops/gemm/w4a16.py): the expert /
-    # layer indexing lives entirely in the BlockSpec index maps above
-    if gmode.startswith("inner"):
-        _kernel_inner(
-            a_ref, None, w_ref, s_ref, z_ref, None, None, o_ref, acc_ref,
-            fmt=fmt, group_size=group_size, ngb=ngb, n_k=n_k,
-            has_bias=False, prologue=None, nacc=int(gmode[5:] or 1),
-        )
-    else:
-        _kernel(
-            a_ref, None, w_ref, s_ref, z_ref, None, None, o_ref, acc_ref,
-            fmt=fmt, group_size=group_size, ngb=ngb, n_k=n_k,
-            has_bias=False, prologue=None, gmode=gmode,
-        )
+
+    # trailing (padding) blocks skip the whole body: their fetches are
+    # already index-clamped, but the dot sweep itself costs ~3us/step at
+    # decode bm (probe_stacked_grouped.py: 15 trailing blocks = +20% on
+    # the V2-Lite gate_up GEMM). Their out rows stay unwritten (undefined
+    # by contract — the combine drops them). program_id is read OUTSIDE
+    # the cond region (it cannot lower inside one) and threaded as k_idx.
+    i = pl.program_id(0)
+    kk = pl.program_id(2)
+
+    @pl.when(i < nv_ref[0])
+    def _valid():
+        # shared bodies with the dense kernel (ops/gemm/w4a16.py): expert /
+        # layer indexing lives entirely in the BlockSpec index maps above
+        if gmode.startswith("inner"):
+            _kernel_inner(
+                a_ref, None, w_ref, s_ref, z_ref, None, None, o_ref, acc_ref,
+                fmt=fmt, group_size=group_size, ngb=ngb, n_k=n_k,
+                has_bias=False, prologue=None, nacc=int(gmode[5:] or 1),
+                k_idx=kk,
+            )
+        else:
+            _kernel(
+                a_ref, None, w_ref, s_ref, z_ref, None, None, o_ref, acc_ref,
+                fmt=fmt, group_size=group_size, ngb=ngb, n_k=n_k,
+                has_bias=False, prologue=None, gmode=gmode, k_idx=kk,
+            )
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype"))
