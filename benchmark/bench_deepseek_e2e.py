@@ -128,12 +128,21 @@ def run_one(records, tag, **kv_kw):
                       args=(params,))
     tps = BATCH / sec
 
-    # roofline: all weight bytes + latent-pool reads per step (expert banks
-    # counted fully — at B=16, topk 6(+1 shared) nearly every expert is hit)
+    # roofline: weight bytes + latent-pool reads per step. Expert banks
+    # count only the EXPECTED ROUTED fraction — with uniform routing the
+    # expected distinct experts per layer is E*(1-(1-topk/E)^B) (B=16,
+    # topk=6, E=64 -> 50.7 of 64), and since round 5 the grouped kernel
+    # genuinely streams only routed experts' tiles (num_valid clamp), so
+    # a full-bank denominator overstates the floor (vs_roofline read 1.04
+    # in the round-5 regen — the giveaway).
     def nbytes(t):
         return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(t))
 
-    wbytes = nbytes(params["layers"]) + nbytes(params["lm_head"]) + BATCH * cfg.hidden_size * 2
+    e, topk = cfg.num_experts, cfg.num_experts_per_tok
+    frac = 1.0 - (1.0 - topk / e) ** BATCH
+    moe_bytes = nbytes(params["layers"]["moe_w1"]) + nbytes(params["layers"]["moe_w2"])
+    wbytes = (nbytes(params["layers"]) - moe_bytes * (1.0 - frac)
+              + nbytes(params["lm_head"]) + BATCH * cfg.hidden_size * 2)
     kv_bytes = cfg.num_layers * BATCH * CTX * D_CKV * cache.dtype.itemsize
     roof = BATCH / ((wbytes + kv_bytes) / 819e9)
     records.append(report(

@@ -44,7 +44,7 @@ def main():
         print(f"== {script} ==", flush=True)
         proc = subprocess.run(
             [sys.executable, os.path.join(here, script)],
-            capture_output=True, text=True, cwd=root, timeout=3600,
+            capture_output=True, text=True, cwd=root, timeout=7200,
         )
         print(proc.stdout)
         if proc.returncode != 0:
