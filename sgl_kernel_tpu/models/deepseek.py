@@ -249,16 +249,21 @@ def _moe_block(x, weights, lidx, cfg, tp_axis=None):
         in_range = (local >= 0) & (local < e_local)
         tids = jnp.where(in_range, local, 0)
         tw = jnp.where(in_range, tw, 0.0)
+    # decode-class steps use tiny alignment blocks (small cap -> small
+    # glue + mostly-valid blocks); prefill uses bm=128 so the grouped
+    # kernel's dots run the MXU at full sublane width (bm=64 halves MXU
+    # utilization and the t>=128 configs are compute-bound — round 5)
+    bs = 16 if x.shape[0] <= 64 else 128
     if isinstance(w1, dict):
         # stacked quantized banks: layer selected by scalar prefetch inside
         # the grouped kernel (slicing [lidx] would copy the bank per step)
         mw = MoeWeights(w1=w1["packed"], w2=w2["packed"],
                         w1_scales=w1["scales"], w2_scales=w2["scales"],
                         fmt="int4", group_size=cfg.group_size)
-        routed = fused_experts(x, mw, tw, tids, layer_id=lidx, block_size=16)
+        routed = fused_experts(x, mw, tw, tids, layer_id=lidx, block_size=bs)
     else:
         mw = MoeWeights(w1=w1, w2=w2, fmt="bf16")
-        routed = fused_experts(x, mw, tw, tids, layer_id=lidx, block_size=16)
+        routed = fused_experts(x, mw, tw, tids, layer_id=lidx, block_size=bs)
     shared = _silu_mlp(x, weights["shared_gate"], weights["shared_up"], weights["shared_down"], cfg, lidx)
     # one combined psum covers the routed partials AND the tp-sharded
     # shared-expert/dense intermediates
