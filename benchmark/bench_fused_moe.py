@@ -76,11 +76,9 @@ def run_config(records, rng, t, e, k, h, inter, fmt):
     # in the shipped HLO and kill the relay transport (broken pipe).
     # Only the ARRAY leaves may ride args — MoeWeights.fmt is a str and
     # jit rejects it (round-4 regen TypeError); rebuild inside the step.
-    # decode-class configs use the serving block size (models/deepseek.py
-    # runs block_size=16): small blocks shrink the aligned cap ~4x and the
-    # glue scales with cap rows; prefill-class uses bm=128 for full MXU
-    # sublane width (t>=128 int4 configs are compute-bound at bm=64)
-    bs = 16 if t <= 16 else 128
+    # serving block-size policy: mean rows/expert (ops/moe/align.
+    # pick_block_size — what fused_experts defaults to and the models run)
+    bs = moe.pick_block_size(t, k, e)
     if fmt == "bf16":
         def step(carry, w1, w2, tw=tw, tids=tids):
             ws = moe.MoeWeights(w1=w1, w2=w2, fmt="bf16")

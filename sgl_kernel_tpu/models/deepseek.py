@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..ops.attention.mla import D_CKV, D_LATENT, D_ROPE, mla_decode, mla_prefill
 from ..ops.kvcache import store_cache_mla
-from ..ops.moe import MoeWeights, biased_topk, fused_experts
+from ..ops.moe import MoeWeights, biased_topk, fused_experts, pick_block_size
 from ..ops.norm import rmsnorm
 from ..ops.rope import compute_cos_sin_cache, rotary_embedding
 
@@ -249,11 +249,10 @@ def _moe_block(x, weights, lidx, cfg, tp_axis=None):
         in_range = (local >= 0) & (local < e_local)
         tids = jnp.where(in_range, local, 0)
         tw = jnp.where(in_range, tw, 0.0)
-    # decode-class steps use tiny alignment blocks (small cap -> small
-    # glue + mostly-valid blocks); prefill uses bm=128 so the grouped
-    # kernel's dots run the MXU at full sublane width (bm=64 halves MXU
-    # utilization and the t>=128 configs are compute-bound — round 5)
-    bs = 16 if x.shape[0] <= 64 else 128
+    # alignment block size by mean rows/expert (ops/moe/align.pick_block_size):
+    # decode-class steps get tiny blocks (small cap -> small glue, mostly-
+    # valid blocks), dense prefill gets bm=128 for full MXU sublane width
+    bs = pick_block_size(x.shape[0], tids.shape[1], cfg.num_experts)
     if isinstance(w1, dict):
         # stacked quantized banks: layer selected by scalar prefetch inside
         # the grouped kernel (slicing [lidx] would copy the bank per step)

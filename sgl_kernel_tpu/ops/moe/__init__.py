@@ -4,6 +4,7 @@ from .align import (  # noqa: F401
     MoeAlignment,
     apply_shuffle_mul_sum,
     moe_align_block_size,
+    pick_block_size,
     scatter_tokens_to_experts,
 )
 from .fused_experts import MoeWeights, fused_experts  # noqa: F401

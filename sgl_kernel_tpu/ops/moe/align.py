@@ -26,6 +26,27 @@ import jax.numpy as jnp
 from ...utils import cdiv, round_up
 
 
+def pick_block_size(num_tokens: int, topk: int, num_experts: int,
+                    lo: int = 16, hi: int = 128) -> int:
+    """Alignment block size from the MEAN ROWS PER EXPERT, t*topk/E — not t.
+
+    The aligned row cap is ~min(t*topk, E) * block_size at sparse routing,
+    and both the scatter/combine glue and the ragged/grouped GEMM row count
+    scale with the cap. Sizing blocks by t alone over-pads sparse prefill
+    geometries: (t=128, E=64, topk=8) has 16 rows/expert, and a bm=128
+    block there is 87% padding — the round-5 regen measured the bf16 row
+    at exactly 2x the bs=64 form (docs/PERF.md round 5). Dense geometries
+    ((t=1024, E=64, topk=8): 128 rows/expert) still get bm=128 so the
+    grouped kernel's dots run the MXU at full sublane width.
+
+    Reference analog: moe_align_block_size's block_size argument is picked
+    by the caller per geometry (MoEAlign.cpp); this is the TPU-side policy.
+    """
+    rows = max(1, (num_tokens * topk) // max(1, num_experts))
+    bs = 1 << (rows - 1).bit_length()  # next pow2 >= mean rows/expert
+    return max(lo, min(hi, bs))
+
+
 class MoeAlignment(NamedTuple):
     sorted_pair_ids: jax.Array  # [cap] flat (token*K + k) pair index, sentinel = T*K
     block_expert_ids: jax.Array  # [cap // block] expert id per block (clamped)

@@ -21,7 +21,13 @@ import jax.numpy as jnp
 
 from ...utils import round_up
 from ..activation import ACTIVATIONS
-from .align import MoeAlignment, apply_shuffle_mul_sum, moe_align_block_size, scatter_tokens_to_experts
+from .align import (
+    MoeAlignment,
+    apply_shuffle_mul_sum,
+    moe_align_block_size,
+    pick_block_size,
+    scatter_tokens_to_experts,
+)
 from .grouped_gemm import bf16_group_tiles_fit, bf16_grouped_mm, ragged_grouped_mm, w4a16_grouped_mm
 
 
@@ -149,7 +155,7 @@ def fused_experts(
     layer_id=None,
     *,
     activation: str = "silu",
-    block_size: int = 128,
+    block_size: Optional[int] = None,
     gemm1_alpha: float = 1.702,
     gemm1_limit: float = 7.0,
 ):
@@ -158,7 +164,13 @@ def fused_experts(
     layer_id: quantized path only — weights carry a leading layer dim
     ([L, E, ...]) and the grouped kernel selects the layer via scalar
     prefetch (no per-scan-step expert-bank slice); bf16 stacked banks run
-    the Pallas bf16 grouped kernel, quantized banks the W4A16 one."""
+    the Pallas bf16 grouped kernel, quantized banks the W4A16 one.
+
+    block_size: alignment block size; None (default) picks by mean rows
+    per expert (align.pick_block_size — the cap/glue vs MXU-width policy)."""
+    if block_size is None:
+        block_size = pick_block_size(
+            hidden.shape[0], topk_ids.shape[1], weights.w1.shape[-3])
     return _fused_experts_impl(
         hidden,
         weights.w1,

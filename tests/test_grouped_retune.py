@@ -269,3 +269,52 @@ def test_num_valid_blocks_clamp(rng):
                  out_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(clampb)[: nv * bm],
                                   np.asarray(fullb)[: nv * bm])
+
+
+class TestPickBlockSize:
+    """The alignment block size scales with mean rows/expert, not t (the
+    round-5 regen found bs=128 at (t=128, E=64, topk=8) doubled the
+    aligned cap vs bs=64 and with it the ragged GEMM rows + glue)."""
+
+    @pytest.mark.parametrize(
+        "t,k,e,exp",
+        [
+            (1, 8, 64, 16),      # decode: sub-1 rows/expert
+            (16, 8, 64, 16),     # serving decode bucket
+            (16, 8, 256, 16),    # DSv3 routed geometry
+            (128, 8, 64, 16),    # sparse prefill: 16 rows/expert
+            (128, 2, 8, 32),     # Mixtral prefill: 32 rows/expert
+            (1024, 8, 64, 128),  # dense prefill: 128 rows/expert
+            (4096, 8, 64, 128),  # clamped at 128
+        ],
+    )
+    def test_policy(self, t, k, e, exp):
+        from sgl_kernel_tpu.ops.moe import pick_block_size
+
+        assert pick_block_size(t, k, e) == exp
+
+    def test_default_matches_explicit(self, rng):
+        """fused_experts with block_size=None equals the explicitly-picked
+        call bit-for-bit on every weight format."""
+        from sgl_kernel_tpu.ops import moe
+
+        t, e, k, h, inter, g = 8, 8, 2, 128, 128, 64
+        x = jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16)
+        gl = jnp.asarray(rng.standard_normal((t, e)), jnp.float32)
+        tw, tids = moe.topk_softmax(gl, k, renormalize=True)
+        bs = moe.pick_block_size(t, k, e)
+
+        w1 = jnp.asarray(rng.standard_normal((e, h, 2 * inter)) * 0.05, jnp.bfloat16)
+        w2 = jnp.asarray(rng.standard_normal((e, inter, h)) * 0.05, jnp.bfloat16)
+        ws = moe.MoeWeights(w1=w1, w2=w2, fmt="bf16")
+        np.testing.assert_array_equal(
+            np.asarray(moe.fused_experts(x, ws, tw, tids)),
+            np.asarray(moe.fused_experts(x, ws, tw, tids, block_size=bs)))
+
+        p1, s1 = _quant_bank(rng, e, 2 * inter, h, g)
+        p2, s2 = _quant_bank(rng, e, h, inter, g)
+        wsq = moe.MoeWeights(w1=p1, w2=p2, w1_scales=s1, w2_scales=s2,
+                             fmt="int4", group_size=g)
+        np.testing.assert_array_equal(
+            np.asarray(moe.fused_experts(x, wsq, tw, tids)),
+            np.asarray(moe.fused_experts(x, wsq, tw, tids, block_size=bs)))
