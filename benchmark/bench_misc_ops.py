@@ -286,7 +286,10 @@ def bench_spec_grammar_merge():
 
     def vstep(c):
         pred, acc, num = verify_tree_greedy(c, ridx, rnext, rsib, tgt, steps)
-        return c.at[:, 0].add(num.astype(jnp.int32) * 0)
+        # real data dependency (num % 2 keeps the carry bounded) — a *0
+        # feedback lets XLA fold the product and DCE the walk (the round-4
+        # bench_quant_gemm lesson, commit 7f885be)
+        return c.at[:, 0].add(num.astype(jnp.int32) % 2)
 
     sec = bench_chain(vstep, cand, reps=64)
     add(f"verify_tree_greedy:{b}-{nd}-{steps}", sec)

@@ -24,6 +24,7 @@ SCRIPTS = [
     "bench_misc_ops.py",
     "bench_kvcacheio.py",
     "bench_grid_ext.py",
+    "bench_grid_ext2.py",
     "bench_deepseek_e2e.py",
 ]
 
