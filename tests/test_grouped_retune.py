@@ -318,3 +318,51 @@ class TestPickBlockSize:
         np.testing.assert_array_equal(
             np.asarray(moe.fused_experts(x, wsq, tw, tids)),
             np.asarray(moe.fused_experts(x, wsq, tw, tids, block_size=bs)))
+
+
+class TestPrefillGeometry:
+    """fused_experts oracle parity at prefill-class token counts under the
+    picked block sizes (the sparse-prefill (t>=128, low rows/expert) class
+    regressed unseen in round 5 — no test drove t>64 through the quantized
+    grouped path)."""
+
+    @pytest.mark.parametrize("t,e,k,fmt", [
+        (128, 64, 8, "int4"),   # sparse prefill: 16 rows/expert -> bs=16
+        (128, 8, 2, "bf16"),    # Mixtral prefill: 32 rows/expert -> bs=32
+        (256, 8, 2, "int4"),    # dense-class: 64 rows/expert -> bs=64
+    ])
+    def test_oracle(self, rng, t, e, k, fmt):
+        from sgl_kernel_tpu.ops import moe
+
+        h, inter, g = 128, 192, 64
+        x = jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16)
+        gl = jnp.asarray(rng.standard_normal((t, e)), jnp.float32)
+        tw, tids = moe.topk_softmax(gl, k, renormalize=True)
+        if fmt == "bf16":
+            w1 = jnp.asarray(rng.standard_normal((e, h, 2 * inter)) * 0.05, jnp.bfloat16)
+            w2 = jnp.asarray(rng.standard_normal((e, inter, h)) * 0.05, jnp.bfloat16)
+            ws = moe.MoeWeights(w1=w1, w2=w2, fmt="bf16")
+            w1d = np.asarray(w1, np.float64)
+            w2d = np.asarray(w2, np.float64)
+        else:
+            p1, s1 = _quant_bank(rng, e, 2 * inter, h, g)
+            p2, s2 = _quant_bank(rng, e, h, inter, g)
+            ws = moe.MoeWeights(w1=p1, w2=p2, w1_scales=s1, w2_scales=s2,
+                                fmt="int4", group_size=g)
+            w1d = np.stack([np.asarray(gemm.dequant_w4(p1[i], s1[i], group_size=g,
+                                                       dtype=jnp.float32), np.float64).T
+                            for i in range(e)])
+            w2d = np.stack([np.asarray(gemm.dequant_w4(p2[i], s2[i], group_size=g,
+                                                       dtype=jnp.float32), np.float64).T
+                            for i in range(e)])
+        out = moe.fused_experts(x, ws, tw, tids)
+        xf = np.asarray(x, np.float64)
+        ref = np.zeros((t, h))
+        for ti in range(t):
+            for kk in range(k):
+                eid = int(tids[ti, kk])
+                io = xf[ti] @ w1d[eid]
+                a = io[:inter] / (1 + np.exp(-io[:inter])) * io[inter:]
+                ref[ti] += float(tw[ti, kk]) * (a @ w2d[eid])
+        rel = np.abs(np.asarray(out, np.float64) - ref).mean() / (np.abs(ref).mean() + 1e-9)
+        assert rel < 3e-2, rel
