@@ -36,6 +36,9 @@ CONFIGS = [
     (16, 256, 8, 7168, 2048, "int4"),
     # quantized prefill bucket
     (1024, 64, 8, 3584, 1280, "int4"),
+    # mxfp4 (the unified W4A16 kernel's second format — gpt-oss class)
+    (1, 64, 8, 3584, 1280, "mxfp4"),
+    (128, 64, 8, 3584, 1280, "mxfp4"),
 ]
 
 
@@ -50,13 +53,24 @@ def build_weights(rng, e, h, inter, fmt):
     k1, k2 = jax.random.split(key)
     w1f = jax.random.normal(k1, (2 * inter, h), jnp.bfloat16) * 0.02
     w2f = jax.random.normal(k2, (h, inter), jnp.bfloat16) * 0.02
-    p1, s1, _ = quantize_w4(w1f, group_size=128)
-    p2, s2, _ = quantize_w4(w2f, group_size=128)
+    if fmt == "mxfp4":
+        from sgl_kernel_tpu.ops.gemm.w4a16 import mxfp4_to_tpu_layout
+        from sgl_kernel_tpu.ops.quant import per_token_group_quant_fp4
+
+        q1, sc1 = per_token_group_quant_fp4(w1f.astype(jnp.float32))
+        q2, sc2 = per_token_group_quant_fp4(w2f.astype(jnp.float32))
+        p1, s1 = mxfp4_to_tpu_layout(q1, sc1)
+        p2, s2 = mxfp4_to_tpu_layout(q2, sc2)
+        g = 32
+    else:
+        p1, s1, _ = quantize_w4(w1f, group_size=128)
+        p2, s2, _ = quantize_w4(w2f, group_size=128)
+        g = 128
     return moe.MoeWeights(
         w1=jnp.tile(p1[None], (e, 1, 1)), w2=jnp.tile(p2[None], (e, 1, 1)),
         w1_scales=jnp.tile(s1[None], (e, 1, 1)),
         w2_scales=jnp.tile(s2[None], (e, 1, 1)),
-        fmt="int4", group_size=128)
+        fmt=fmt, group_size=g)
 
 
 def bank_bytes(weights):
@@ -87,9 +101,10 @@ def run_config(records, rng, t, e, k, h, inter, fmt):
 
         args = (weights.w1, weights.w2)
     else:
-        def step(carry, p1, p2, s1, s2, tw=tw, tids=tids):
+        def step(carry, p1, p2, s1, s2, tw=tw, tids=tids, fmt=fmt,
+                 g=weights.group_size):
             ws = moe.MoeWeights(w1=p1, w2=p2, w1_scales=s1, w2_scales=s2,
-                                fmt="int4", group_size=128)
+                                fmt=fmt, group_size=g)
             o = moe.fused_experts(carry, ws, tw, tids, block_size=bs)
             return carry + o * jnp.bfloat16(1e-8)
 

@@ -366,3 +366,45 @@ class TestPrefillGeometry:
                 ref[ti] += float(tw[ti, kk]) * (a @ w2d[eid])
         rel = np.abs(np.asarray(out, np.float64) - ref).mean() / (np.abs(ref).mean() + 1e-9)
         assert rel < 3e-2, rel
+
+
+def test_fused_experts_mxfp4(rng):
+    """mxfp4 expert banks through the unified grouped kernel (the reference
+    W4A16 grouped GEMM treats int4 and mxfp4 as one kernel family,
+    GroupGemmW4A16Xe20.cpp) — no test drove fmt='mxfp4' end-to-end."""
+    from sgl_kernel_tpu.ops import moe
+    from sgl_kernel_tpu.ops.gemm.w4a16 import mxfp4_to_tpu_layout
+    from sgl_kernel_tpu.ops.quant import per_token_group_quant_fp4
+
+    t, e, k, h, inter = 8, 8, 2, 128, 192
+    x = jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16)
+    gl = jnp.asarray(rng.standard_normal((t, e)), jnp.float32)
+    tw, tids = moe.topk_softmax(gl, k, renormalize=True)
+
+    p1l, s1l, p2l, s2l, w1d, w2d = [], [], [], [], [], []
+    for i in range(e):
+        wf1 = jnp.asarray(rng.standard_normal((2 * inter, h)) * 0.05, jnp.float32)
+        wf2 = jnp.asarray(rng.standard_normal((h, inter)) * 0.05, jnp.float32)
+        q1, sc1 = per_token_group_quant_fp4(wf1)
+        q2, sc2 = per_token_group_quant_fp4(wf2)
+        pk1, sb1 = mxfp4_to_tpu_layout(q1, sc1)
+        pk2, sb2 = mxfp4_to_tpu_layout(q2, sc2)
+        p1l.append(pk1); s1l.append(sb1); p2l.append(pk2); s2l.append(sb2)
+        w1d.append(np.asarray(gemm.dequant_w4(pk1, sb1, fmt="mxfp4", group_size=32,
+                                              dtype=jnp.float32), np.float64).T)
+        w2d.append(np.asarray(gemm.dequant_w4(pk2, sb2, fmt="mxfp4", group_size=32,
+                                              dtype=jnp.float32), np.float64).T)
+    ws = moe.MoeWeights(w1=jnp.stack(p1l), w2=jnp.stack(p2l),
+                        w1_scales=jnp.stack(s1l), w2_scales=jnp.stack(s2l),
+                        fmt="mxfp4", group_size=32)
+    out = moe.fused_experts(x, ws, tw, tids)
+    xf = np.asarray(x, np.float64)
+    ref = np.zeros((t, h))
+    for ti in range(t):
+        for kk in range(k):
+            eid = int(tids[ti, kk])
+            io = xf[ti] @ w1d[eid]
+            a = io[:inter] / (1 + np.exp(-io[:inter])) * io[inter:]
+            ref[ti] += float(tw[ti, kk]) * (a @ w2d[eid])
+    rel = np.abs(np.asarray(out, np.float64) - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert rel < 6e-2, rel
