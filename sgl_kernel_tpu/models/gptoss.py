@@ -54,7 +54,8 @@ def init_weights(cfg: GptOssConfig, key) -> Dict[str, Any]:
 def _moe(h2, lw, lidx, cfg: GptOssConfig):
     logits = jnp.dot(h2.astype(jnp.float32), lw["router"][lidx].astype(jnp.float32).T)
     tw, tids = topk_softmax(logits, cfg.top_k, renormalize=True)
-    w = MoeWeights(w1=lw["moe_w1"], w2=lw["moe_w2"], fmt="bf16")
+    # gpt-oss ships MXFP4 expert banks (quant="mxfp4"); bf16 otherwise
+    w = mixtral.moe_weights_for(lw, cfg)
     return fused_experts(
         h2, w, tw, tids, layer_id=lidx, activation="swiglu_gpt_oss",
         gemm1_alpha=cfg.swiglu_alpha, gemm1_limit=cfg.swiglu_limit,

@@ -86,29 +86,51 @@ def init_weights(cfg: MixtralConfig, key) -> Dict[str, Any]:
         for name in ("q", "k", "v", "o"):
             lw[name] = qz(lw[name])
         params["lm_head"] = llama._quantize_matrix(params["lm_head"], cfg)
+    elif cfg.quant == "mxfp4":
+        # the gpt-oss checkpoint format: MoE expert banks in MXFP4
+        # (E2M1 codes + UE8M0 group-32 scales), attention linears and
+        # lm_head in bf16 (reference: the unified W4A16 grouped kernel's
+        # mxfp4 mode, GroupGemmW4A16Xe20.cpp + mxfp4_utils.py)
+        from ..ops.gemm.w4a16 import mxfp4_to_tpu_layout
+        from ..ops.quant import per_token_group_quant_fp4
+
+        def qexp4(w_le):  # [L, E, K, N] -> packed [L, E, K//2, N], bf16 scales
+            def one(m):
+                q, s = per_token_group_quant_fp4(m.T.astype(jnp.float32))
+                return mxfp4_to_tpu_layout(q, s)
+            return jax.vmap(jax.vmap(one))(w_le)
+
+        w1p, w1s = qexp4(moe_w1)
+        w2p, w2s = qexp4(moe_w2)
+        lw["moe_w1"] = {"packed": w1p, "scales": w1s}
+        lw["moe_w2"] = {"packed": w2p, "scales": w2s}
     else:
         lw["moe_w1"] = moe_w1
         lw["moe_w2"] = moe_w2
     return params
 
 
+def moe_weights_for(lw, cfg) -> MoeWeights:
+    """MoeWeights view over the (possibly quantized) stacked expert banks;
+    fmt/group_size derive from cfg.quant (static), so the same call site
+    serves bf16, int4 and mxfp4 checkpoints."""
+    w1, w2 = lw["moe_w1"], lw["moe_w2"]
+    if isinstance(w1, dict):
+        fmt = "mxfp4" if cfg.quant == "mxfp4" else "int4"
+        g = 32 if fmt == "mxfp4" else cfg.group_size
+        return MoeWeights(w1=w1["packed"], w2=w2["packed"],
+                          w1_scales=w1["scales"], w2_scales=w2["scales"],
+                          fmt=fmt, group_size=g)
+    return MoeWeights(w1=w1, w2=w2, fmt="bf16")
+
+
 def _moe_mlp(h2, lw, lidx, cfg: MixtralConfig):
     logits = jnp.dot(h2.astype(jnp.float32), lw["router"][lidx].astype(jnp.float32).T)
     tw, tids = topk_softmax(logits, cfg.top_k, renormalize=True)
-    w1, w2 = lw["moe_w1"], lw["moe_w2"]
-    if isinstance(w1, dict):
-        # quantized: the STACKED banks go to the kernel whole; the layer is
-        # scalar-prefetched (slicing [lidx] here would copy the entire
-        # expert bank out of HBM every scan step — docs/PERF.md trap)
-        w = MoeWeights(
-            w1=w1["packed"], w2=w2["packed"],
-            w1_scales=w1["scales"], w2_scales=w2["scales"],
-            fmt="int4", group_size=cfg.group_size,
-        )
-        return fused_experts(h2, w, tw, tids, layer_id=lidx).astype(cfg.dtype)
-    # bf16 stacked banks also ride scalar-prefetched layer_id (Pallas
-    # bf16 grouped kernel) — w1[lidx] would copy ~GB per scan step
-    w = MoeWeights(w1=w1, w2=w2, fmt="bf16")
+    # quantized or bf16, the STACKED banks go to the kernel whole; the
+    # layer is scalar-prefetched (slicing [lidx] here would copy the
+    # entire expert bank out of HBM every scan step — docs/PERF.md trap)
+    w = moe_weights_for(lw, cfg)
     return fused_experts(h2, w, tw, tids, layer_id=lidx).astype(cfg.dtype)
 
 

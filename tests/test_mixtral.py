@@ -124,3 +124,63 @@ class TestMixtralW4A16:
                 ref[i] += float(tw[i, j]) * (act @ w2d[eid].T)
         rel = np.abs(np.asarray(out, np.float64) - ref).mean() / (np.abs(ref).mean() + 1e-9)
         assert rel < 5e-2, rel
+
+
+class TestMixtralMxfp4:
+    """quant="mxfp4": the gpt-oss checkpoint format — MoE expert banks in
+    E2M1+UE8M0, attention/lm_head bf16 (unified grouped-kernel mxfp4 mode,
+    reference GroupGemmW4A16Xe20.cpp + mxfp4_utils.py)."""
+
+    def test_moe_matches_dequant_oracle(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from sgl_kernel_tpu.ops.gemm.w4a16 import dequant_w4
+
+        cfg = mixtral.MixtralConfig.tiny(quant="mxfp4")
+        params = mixtral.init_weights(cfg, jax.random.PRNGKey(1))
+        lw = params["layers"]
+        assert isinstance(lw["moe_w1"], dict)
+        assert not isinstance(lw["q"], dict)  # attention stays bf16
+        t = 8
+        h2 = jnp.asarray(rng.standard_normal((t, cfg.hidden_size)), jnp.float32)
+        out = mixtral._moe_mlp(h2, lw, 0, cfg)
+        w1p, w1s = lw["moe_w1"]["packed"][0], lw["moe_w1"]["scales"][0]
+        w2p, w2s = lw["moe_w2"]["packed"][0], lw["moe_w2"]["scales"][0]
+        e = cfg.num_experts
+        w1d = np.stack([np.asarray(dequant_w4(w1p[i], w1s[i], fmt="mxfp4",
+                                              group_size=32, dtype=jnp.float32), np.float64)
+                        for i in range(e)])
+        w2d = np.stack([np.asarray(dequant_w4(w2p[i], w2s[i], fmt="mxfp4",
+                                              group_size=32, dtype=jnp.float32), np.float64)
+                        for i in range(e)])
+        from sgl_kernel_tpu.ops.moe import topk_softmax
+        logits = np.asarray(h2, np.float64) @ np.asarray(lw["router"][0], np.float64).T
+        tw, tids = topk_softmax(jnp.asarray(logits, jnp.float32), cfg.top_k, renormalize=True)
+        ref = np.zeros((t, cfg.hidden_size))
+        x64 = np.asarray(h2, np.float64)
+        for i in range(t):
+            for j in range(cfg.top_k):
+                eid = int(tids[i, j])
+                gu = x64[i] @ w1d[eid].T
+                inter = w1d.shape[1] // 2
+                g, u = gu[:inter], gu[inter:]
+                act = g / (1 + np.exp(-g)) * u
+                ref[i] += float(tw[i, j]) * (act @ w2d[eid].T)
+        rel = np.abs(np.asarray(out, np.float64) - ref).mean() / (np.abs(ref).mean() + 1e-9)
+        assert rel < 8e-2, rel  # E2M1 is coarser than int4+bf16 scales
+
+    def test_gptoss_mxfp4_engine(self, rng):
+        """gpt-oss tiny with mxfp4 experts serves end-to-end."""
+        import jax
+        from sgl_kernel_tpu.models import gptoss
+        from sgl_kernel_tpu.serving import Engine
+
+        cfg = gptoss.GptOssConfig.tiny(quant="mxfp4")
+        params = gptoss.init_weights(cfg, jax.random.PRNGKey(0))
+        assert isinstance(params["layers"]["moe_w1"], dict)
+        prompt = rng.integers(0, cfg.vocab_size, 9).astype(np.int32).tolist()
+        eng = Engine(cfg, params, num_pages=32, page_size=16,
+                     prefill_bucket=16, enable_prefix_cache=False)
+        rid = eng.add_request(prompt, max_new_tokens=5)
+        eng.run_until_done()
+        assert len(eng.finished[rid].output) == 5
