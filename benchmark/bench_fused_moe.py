@@ -39,6 +39,9 @@ CONFIGS = [
     # mxfp4 (the unified W4A16 kernel's second format — gpt-oss class)
     (1, 64, 8, 3584, 1280, "mxfp4"),
     (128, 64, 8, 3584, 1280, "mxfp4"),
+    # per-expert bias variant (reference key ...-True-silu: 1-64-8-3584-
+    # 1280-bf16-True-silu = 0.358 ms on the Arc B580)
+    (1, 64, 8, 3584, 1280, "bf16-bias"),
 ]
 
 
@@ -46,10 +49,14 @@ def build_weights(rng, e, h, inter, fmt):
     """Expert banks. int4: ONE template expert quantized, tiled E times —
     distinct HBM buffers after the tile, no full-size bf16 original."""
     key = jax.random.PRNGKey(0)
-    if fmt == "bf16":
+    if fmt.startswith("bf16"):
         w1 = jax.random.normal(key, (e, h, 2 * inter), jnp.bfloat16) * 0.02
         w2 = jax.random.normal(key, (e, inter, h), jnp.bfloat16) * 0.02
-        return moe.MoeWeights(w1=w1, w2=w2, fmt="bf16")
+        bias = {}
+        if fmt == "bf16-bias":
+            bias = dict(b1=jax.random.normal(key, (e, 2 * inter), jnp.float32) * 0.01,
+                        b2=jax.random.normal(key, (e, h), jnp.float32) * 0.01)
+        return moe.MoeWeights(w1=w1, w2=w2, fmt="bf16", **bias)
     k1, k2 = jax.random.split(key)
     w1f = jax.random.normal(k1, (2 * inter, h), jnp.bfloat16) * 0.02
     w2f = jax.random.normal(k2, (h, inter), jnp.bfloat16) * 0.02
@@ -93,9 +100,11 @@ def run_config(records, rng, t, e, k, h, inter, fmt):
     # serving block-size policy: mean rows/expert (ops/moe/align.
     # pick_block_size — what fused_experts defaults to and the models run)
     bs = moe.pick_block_size(t, k, e)
-    if fmt == "bf16":
-        def step(carry, w1, w2, tw=tw, tids=tids):
-            ws = moe.MoeWeights(w1=w1, w2=w2, fmt="bf16")
+    if fmt.startswith("bf16"):
+        bias_kw = {} if weights.b1 is None else dict(b1=weights.b1, b2=weights.b2)
+
+        def step(carry, w1, w2, tw=tw, tids=tids, bias_kw=bias_kw):
+            ws = moe.MoeWeights(w1=w1, w2=w2, fmt="bf16", **bias_kw)
             o = moe.fused_experts(carry, ws, tw, tids, block_size=bs)
             return carry + o * jnp.bfloat16(1e-8)
 

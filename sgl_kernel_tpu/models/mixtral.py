@@ -115,13 +115,14 @@ def moe_weights_for(lw, cfg) -> MoeWeights:
     fmt/group_size derive from cfg.quant (static), so the same call site
     serves bf16, int4 and mxfp4 checkpoints."""
     w1, w2 = lw["moe_w1"], lw["moe_w2"]
+    b1, b2 = lw.get("moe_b1"), lw.get("moe_b2")  # gpt-oss expert biases
     if isinstance(w1, dict):
         fmt = "mxfp4" if cfg.quant == "mxfp4" else "int4"
         g = 32 if fmt == "mxfp4" else cfg.group_size
         return MoeWeights(w1=w1["packed"], w2=w2["packed"],
                           w1_scales=w1["scales"], w2_scales=w2["scales"],
-                          fmt=fmt, group_size=g)
-    return MoeWeights(w1=w1, w2=w2, fmt="bf16")
+                          b1=b1, b2=b2, fmt=fmt, group_size=g)
+    return MoeWeights(w1=w1, w2=w2, b1=b1, b2=b2, fmt="bf16")
 
 
 def _moe_mlp(h2, lw, lidx, cfg: MixtralConfig):

@@ -54,6 +54,11 @@ class MoeWeights(NamedTuple):
     w2_scales: Optional[jax.Array] = None
     w1_zeros: Optional[jax.Array] = None
     w2_zeros: Optional[jax.Array] = None
+    # per-expert biases [E, 2I] / [E, H] (reference fused_experts b1/b2,
+    # moe.py:409-410 — gpt-oss checkpoints carry them); [L, E, ...] when
+    # layer-stacked (layer_id selects)
+    b1: Optional[jax.Array] = None
+    b2: Optional[jax.Array] = None
     group_size: int = 128
     fmt: str = "bf16"  # bf16 | int4 | mxfp4
 
@@ -72,6 +77,8 @@ def _fused_experts_impl(
     w2_scales,
     w1_zeros,
     w2_zeros,
+    b1,
+    b2,
     layer_id=None,
     *,
     activation: str,
@@ -88,16 +95,31 @@ def _fused_experts_impl(
     align = moe_align_block_size(topk_ids, topk_weights, e, block_size)
     x = scatter_tokens_to_experts(hidden, align)  # [cap, H]
 
+    # per-expert bias: every row of a block belongs to one expert, so the
+    # bias is a [cap]-row gather over block_expert_ids (pad rows pick up a
+    # bias too — the combine drops them via zero pair_weight). b1 applies
+    # BEFORE the activation (reference epilogue order, moe.py:747-788).
+    row_e = jnp.repeat(align.block_expert_ids, block_size)
+
+    def _bias(y, b):
+        if b is None:
+            return y
+        bl = b[layer_id] if (layer_id is not None and b.ndim == 3) else b
+        return y + bl[row_e].astype(y.dtype)
+
+    def _act(inter):
+        inter = _bias(inter, b1)
+        if activation in ("silu_clamp", "swiglu_gpt_oss"):
+            return act_fn(inter, gemm1_limit) if activation == "silu_clamp" else act_fn(inter, gemm1_alpha, gemm1_limit)
+        return act_fn(inter)
+
     if fmt == "bf16" and layer_id is not None:
         # layer-stacked bf16 banks: the Pallas grouped kernel fetches only
         # the routed experts' tiles via scalar prefetch (ragged_dot would
         # need w1[layer_id] materialized — a whole-bank HBM copy per step)
         inter = bf16_grouped_mm(x, w1, align.block_expert_ids, layer_id,
                                 align.num_valid_blocks, bm=block_size)
-        if activation in ("silu_clamp", "swiglu_gpt_oss"):
-            a = act_fn(inter, gemm1_limit) if activation == "silu_clamp" else act_fn(inter, gemm1_alpha, gemm1_limit)
-        else:
-            a = act_fn(inter)
+        a = _act(inter)
         out_sorted = bf16_grouped_mm(a.astype(hidden.dtype), w2, align.block_expert_ids,
                                      layer_id, align.num_valid_blocks, bm=block_size)
     elif fmt == "bf16" and t <= 64 and _decode_grouped_ok(w1, w2, block_size):
@@ -109,10 +131,7 @@ def _fused_experts_impl(
         # prefetched block_expert_ids: ~(topk*T/E) of the bank streamed.
         inter = bf16_grouped_mm(x, w1, align.block_expert_ids,
                                 num_valid_blocks=align.num_valid_blocks, bm=block_size)
-        if activation in ("silu_clamp", "swiglu_gpt_oss"):
-            a = act_fn(inter, gemm1_limit) if activation == "silu_clamp" else act_fn(inter, gemm1_alpha, gemm1_limit)
-        else:
-            a = act_fn(inter)
+        a = _act(inter)
         out_sorted = bf16_grouped_mm(a.astype(hidden.dtype), w2, align.block_expert_ids,
                                      num_valid_blocks=align.num_valid_blocks, bm=block_size)
     elif fmt == "bf16":
@@ -122,10 +141,7 @@ def _fused_experts_impl(
         # that the combine drops via zero pair_weight; rows past the padded
         # total belong to no group and come out zero).
         inter = ragged_grouped_mm(x, w1, align.padded_group_sizes)  # [cap, 2I]
-        if activation in ("silu_clamp", "swiglu_gpt_oss"):
-            a = act_fn(inter, gemm1_limit) if activation == "silu_clamp" else act_fn(inter, gemm1_alpha, gemm1_limit)
-        else:
-            a = act_fn(inter)
+        a = _act(inter)
         out_sorted = ragged_grouped_mm(a, w2, align.padded_group_sizes)  # [cap, H]
     else:
         # layer_id (layer-stacked expert banks) rides scalar prefetch
@@ -135,15 +151,13 @@ def _fused_experts_impl(
             x, w1, w1_scales, align.block_expert_ids, w1_zeros, layer_id,
             align.num_valid_blocks, group_size=group_size, fmt=fmt, bm=block_size,
         )
-        if activation in ("silu_clamp", "swiglu_gpt_oss"):
-            a = act_fn(inter, gemm1_limit) if activation == "silu_clamp" else act_fn(inter, gemm1_alpha, gemm1_limit)
-        else:
-            a = act_fn(inter)
+        a = _act(inter)
         out_sorted = w4a16_grouped_mm(
             a, w2, w2_scales, align.block_expert_ids, w2_zeros, layer_id,
             align.num_valid_blocks, group_size=group_size, fmt=fmt, bm=block_size,
         )
 
+    out_sorted = _bias(out_sorted, b2)
     return apply_shuffle_mul_sum(out_sorted, align, t)
 
 
@@ -181,6 +195,8 @@ def fused_experts(
         weights.w2_scales,
         weights.w1_zeros,
         weights.w2_zeros,
+        weights.b1,
+        weights.b2,
         layer_id,
         activation=activation,
         block_size=block_size,

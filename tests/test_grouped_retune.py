@@ -408,3 +408,78 @@ def test_fused_experts_mxfp4(rng):
             ref[ti] += float(tw[ti, kk]) * (a @ w2d[eid])
     rel = np.abs(np.asarray(out, np.float64) - ref).mean() / (np.abs(ref).mean() + 1e-9)
     assert rel < 6e-2, rel
+
+
+class TestExpertBias:
+    """Per-expert b1/b2 (reference fused_experts moe.py:409-410; every
+    reference fused_moe baseline key carries a with_bias flag and gpt-oss
+    checkpoints ship expert biases). b1 applies before the activation."""
+
+    @pytest.mark.parametrize("fmt,stacked", [
+        ("bf16", False), ("bf16", True), ("int4", False), ("int4", True),
+    ])
+    def test_oracle(self, rng, fmt, stacked):
+        from sgl_kernel_tpu.ops import moe
+
+        t, e, k, h, inter, g, L = 8, 8, 2, 128, 192, 64, 3
+        lidx = 1
+        x = jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16)
+        gl = jnp.asarray(rng.standard_normal((t, e)), jnp.float32)
+        tw, tids = moe.topk_softmax(gl, k, renormalize=True)
+        b1 = jnp.asarray(rng.standard_normal((e, 2 * inter)) * 0.1, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal((e, h)) * 0.1, jnp.float32)
+
+        def maybe_stack(a):
+            return jnp.tile(a[None], (L,) + (1,) * a.ndim) if stacked else a
+
+        if fmt == "bf16":
+            w1 = jnp.asarray(rng.standard_normal((e, h, 2 * inter)) * 0.05, jnp.bfloat16)
+            w2 = jnp.asarray(rng.standard_normal((e, inter, h)) * 0.05, jnp.bfloat16)
+            ws = moe.MoeWeights(w1=maybe_stack(w1), w2=maybe_stack(w2),
+                                b1=maybe_stack(b1), b2=maybe_stack(b2), fmt="bf16")
+            w1d = np.asarray(w1, np.float64)
+            w2d = np.asarray(w2, np.float64)
+        else:
+            p1, s1 = _quant_bank(rng, e, 2 * inter, h, g)
+            p2, s2 = _quant_bank(rng, e, h, inter, g)
+            ws = moe.MoeWeights(w1=maybe_stack(p1), w2=maybe_stack(p2),
+                                w1_scales=maybe_stack(s1), w2_scales=maybe_stack(s2),
+                                b1=maybe_stack(b1), b2=maybe_stack(b2),
+                                fmt="int4", group_size=g)
+            w1d = np.stack([np.asarray(gemm.dequant_w4(p1[i], s1[i], group_size=g,
+                                                       dtype=jnp.float32), np.float64).T
+                            for i in range(e)])
+            w2d = np.stack([np.asarray(gemm.dequant_w4(p2[i], s2[i], group_size=g,
+                                                       dtype=jnp.float32), np.float64).T
+                            for i in range(e)])
+        out = moe.fused_experts(x, ws, tw, tids,
+                                layer_id=jnp.int32(lidx) if stacked else None)
+        xf = np.asarray(x, np.float64)
+        b1f, b2f = np.asarray(b1, np.float64), np.asarray(b2, np.float64)
+        ref = np.zeros((t, h))
+        for ti in range(t):
+            for kk in range(k):
+                eid = int(tids[ti, kk])
+                io = xf[ti] @ w1d[eid] + b1f[eid]
+                a = io[:inter] / (1 + np.exp(-io[:inter])) * io[inter:]
+                ref[ti] += float(tw[ti, kk]) * (a @ w2d[eid] + b2f[eid])
+        rel = np.abs(np.asarray(out, np.float64) - ref).mean() / (np.abs(ref).mean() + 1e-9)
+        assert rel < 3e-2, rel
+
+    def test_no_bias_unchanged(self, rng):
+        """b1=b2=None is bit-identical to the pre-bias behavior."""
+        from sgl_kernel_tpu.ops import moe
+
+        t, e, k, h, inter = 4, 8, 2, 128, 192
+        x = jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16)
+        gl = jnp.asarray(rng.standard_normal((t, e)), jnp.float32)
+        tw, tids = moe.topk_softmax(gl, k, renormalize=True)
+        w1 = jnp.asarray(rng.standard_normal((e, h, 2 * inter)) * 0.05, jnp.bfloat16)
+        w2 = jnp.asarray(rng.standard_normal((e, inter, h)) * 0.05, jnp.bfloat16)
+        ws = moe.MoeWeights(w1=w1, w2=w2, fmt="bf16")
+        z1 = jnp.zeros((e, 2 * inter), jnp.float32)
+        z2 = jnp.zeros((e, h), jnp.float32)
+        wsz = moe.MoeWeights(w1=w1, w2=w2, b1=z1, b2=z2, fmt="bf16")
+        np.testing.assert_array_equal(
+            np.asarray(moe.fused_experts(x, ws, tw, tids)),
+            np.asarray(moe.fused_experts(x, wsz, tw, tids)))
