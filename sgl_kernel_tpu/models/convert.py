@@ -408,3 +408,76 @@ def convert_hf_deepseek(state: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
         "lm_head": lm_head,
         "layers": layers,
     }
+
+
+def convert_hf_gptoss(state: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """Convert an HF gpt-oss state dict into the framework's layer-stacked
+    params (models/gptoss.py).
+
+    The gpt-oss release ships the MoE expert banks pre-quantized to MXFP4:
+    ``mlp.experts.{gate_up,down}_proj_blocks`` [E, N, K/32, 16] uint8 (two
+    E2M1 codes per byte, low nibble first) with ``.._scales`` [E, N, K/32]
+    uint8 raw UE8M0 exponents — exactly the byte layout
+    ops.quant.per_token_group_quant_fp4 emits, so ingestion is a reshape +
+    mxfp4_to_tpu_layout, no requantization. The gate_up output channels
+    interleave (gate, up) pairs (the official implementation splits
+    ``x[..., ::2], x[..., 1::2]``); the framework wants [gate | up] halves,
+    so rows de-interleave here once at load time. Router/expert/attention
+    biases and per-head attention sinks map onto router_bias / moe_b1/b2 /
+    qkv+o biases / sinks. Reference contracts: the unified mxfp4 grouped
+    GEMM (GroupGemmW4A16Xe20.cpp) and swiglu_alpha_limit
+    (SwigluAlphaLimit.cpp)."""
+    from ..ops.gemm.w4a16 import mxfp4_to_tpu_layout
+
+    l, e = cfg.num_layers, cfg.num_experts
+    assert cfg.quant == "mxfp4", "gpt-oss checkpoints are mxfp4 (set quant='mxfp4')"
+
+    def get(name):
+        return np.asarray(state[name])
+
+    def stack(suffix):
+        return np.stack([get(f"model.layers.{i}.{suffix}") for i in range(l)])
+
+    def deinterleave(a, axis):
+        """(gate, up) interleaved channels -> [gate | up] halves."""
+        g = np.take(a, np.arange(0, a.shape[axis], 2), axis=axis)
+        u = np.take(a, np.arange(1, a.shape[axis], 2), axis=axis)
+        return np.concatenate([g, u], axis=axis)
+
+    layers: Dict[str, Any] = {
+        "input_norm": jnp.asarray(stack("input_layernorm.weight"), cfg.dtype),
+        "post_norm": jnp.asarray(stack("post_attention_layernorm.weight"), cfg.dtype),
+        "router": jnp.asarray(stack("mlp.router.weight"), cfg.dtype),
+        "router_bias": jnp.asarray(stack("mlp.router.bias"), jnp.float32),
+        "sinks": jnp.asarray(stack("self_attn.sinks"), cfg.dtype),
+    }
+    for n in ("q", "k", "v", "o"):
+        layers[n] = jnp.asarray(stack(f"self_attn.{n}_proj.weight"), cfg.dtype)
+    for n in ("q", "k", "v"):
+        layers[f"{n}_bias"] = jnp.asarray(stack(f"self_attn.{n}_proj.bias"), cfg.dtype)
+    layers["o_bias"] = jnp.asarray(stack("self_attn.o_proj.bias"), cfg.dtype)
+
+    def experts_mxfp4(prefix, gate_up):
+        blocks = stack(f"mlp.experts.{prefix}_blocks")   # [L, E, N, K/32, 16]
+        scales = stack(f"mlp.experts.{prefix}_scales")   # [L, E, N, K/32]
+        if gate_up:
+            blocks = deinterleave(blocks, axis=2)
+            scales = deinterleave(scales, axis=2)
+        q_packed = blocks.reshape(*blocks.shape[:3], -1)  # [L, E, N, K/2]
+        pk, sc = jax.vmap(jax.vmap(lambda q, s: mxfp4_to_tpu_layout(q, s)))(
+            jnp.asarray(q_packed), jnp.asarray(scales))
+        return {"packed": pk, "scales": sc}
+
+    layers["moe_w1"] = experts_mxfp4("gate_up_proj", gate_up=True)
+    layers["moe_w2"] = experts_mxfp4("down_proj", gate_up=False)
+    b1 = stack("mlp.experts.gate_up_proj_bias")  # [L, E, 2I] interleaved
+    layers["moe_b1"] = jnp.asarray(deinterleave(b1, axis=2), jnp.float32)
+    layers["moe_b2"] = jnp.asarray(stack("mlp.experts.down_proj_bias"), jnp.float32)
+
+    lm = np.asarray(state.get("lm_head.weight", state["model.embed_tokens.weight"]))
+    return {
+        "embed": jnp.asarray(get("model.embed_tokens.weight"), cfg.dtype),
+        "final_norm": jnp.asarray(get("model.norm.weight"), cfg.dtype),
+        "lm_head": jnp.asarray(lm, cfg.dtype),
+        "layers": layers,
+    }

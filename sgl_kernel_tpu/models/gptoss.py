@@ -53,6 +53,8 @@ def init_weights(cfg: GptOssConfig, key) -> Dict[str, Any]:
 
 def _moe(h2, lw, lidx, cfg: GptOssConfig):
     logits = jnp.dot(h2.astype(jnp.float32), lw["router"][lidx].astype(jnp.float32).T)
+    if "router_bias" in lw:
+        logits = logits + lw["router_bias"][lidx].astype(jnp.float32)
     tw, tids = topk_softmax(logits, cfg.top_k, renormalize=True)
     # gpt-oss ships MXFP4 expert banks (quant="mxfp4"); bf16 otherwise
     w = mixtral.moe_weights_for(lw, cfg)
@@ -79,7 +81,7 @@ def decode_step(params, cfg: GptOssConfig, k_cache, v_cache, tokens, positions, 
                 fresh_k=k, fresh_v=v, sinks=lw["sinks"][lidx],
                 sliding_window=window,
             )
-            x = llama._linear(attn.reshape(b, -1), lw["o"], cfg, residual=x, layer_id=lidx)
+            x = llama._linear(attn.reshape(b, -1), lw["o"], cfg, residual=x, layer_id=lidx, bias=lw.get("o_bias"))
             h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
             x = x + _moe(h2, lw, lidx, cfg)
             return (x, kc, vc), (k, v)
@@ -125,7 +127,7 @@ def prefill(params, cfg: GptOssConfig, k_cache, v_cache, tokens, positions, q_le
                 q_lens, q_lens, causal=True, sinks=lw["sinks"][lidx],
                 sliding_window=window,
             ).reshape(b * s, -1)
-            x = llama._linear(attn, lw["o"], cfg, residual=x, layer_id=lidx)
+            x = llama._linear(attn, lw["o"], cfg, residual=x, layer_id=lidx, bias=lw.get("o_bias"))
             h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
             x = x + _moe(h2, lw, lidx, cfg)
             return (x, kc, vc), None
@@ -208,7 +210,7 @@ def prefill_extend(params, cfg: GptOssConfig, k_cache, v_cache, tokens,
             )
             om = apply_sinks(om, lm, lw["sinks"][lidx])
             attn = om.reshape(b * s, -1).astype(cfg.dtype)
-            x = llama._linear(attn, lw["o"], cfg, residual=x, layer_id=lidx)
+            x = llama._linear(attn, lw["o"], cfg, residual=x, layer_id=lidx, bias=lw.get("o_bias"))
             h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
             x = x + _moe(h2, lw, lidx, cfg)
             return (x, kc, vc), None
@@ -258,7 +260,7 @@ def prefill_packed(params, cfg: GptOssConfig, k_cache, v_cache, tokens,
                 blk_seq, blk_q0, seq_meta, max_kvb=max_kvb, causal=True,
                 sinks=lw["sinks"][lidx], sliding_window=window,
             ).reshape(tp, -1)
-            x = llama._linear(attn, lw["o"], cfg, residual=x, layer_id=lidx)
+            x = llama._linear(attn, lw["o"], cfg, residual=x, layer_id=lidx, bias=lw.get("o_bias"))
             h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
             x = x + _moe(h2, lw, lidx, cfg)
             return (x, kc, vc), None

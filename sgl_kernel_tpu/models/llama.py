@@ -186,7 +186,7 @@ def _w4_kernel_for(cfg, m: int):
     return w4a16_gemm
 
 
-def _linear(x, w, cfg: LlamaConfig, residual=None, layer_id=None, norm=None):
+def _linear(x, w, cfg: LlamaConfig, residual=None, layer_id=None, norm=None, bias=None):
     """layer_id: when given, w is the FULL layer-stacked weight ([L, ...])
     and the quantized kernel selects the layer via scalar-prefetch — a
     pre-sliced Pallas operand would materialize a per-layer HBM copy
@@ -205,14 +205,19 @@ def _linear(x, w, cfg: LlamaConfig, residual=None, layer_id=None, norm=None):
         norm = None
     if isinstance(w, dict):
         kw = {} if norm is None else {"norm_weight": norm, "norm_eps": cfg.rms_eps}
-        return kern(
+        out = kern(
             x, w["packed"], w["scales"], residual=residual, layer_id=layer_id,
             group_size=cfg.group_size, out_dtype=cfg.dtype, **kw,
         )
-    if layer_id is not None:
-        w = w[layer_id]  # dense bf16: XLA fuses the slice into the dot
-    out = jnp.dot(x, w.T, preferred_element_type=jnp.float32).astype(cfg.dtype)
-    return out + residual if residual is not None else out
+    else:
+        wl = w[layer_id] if layer_id is not None else w  # XLA fuses the slice
+        out = jnp.dot(x, wl.T, preferred_element_type=jnp.float32).astype(cfg.dtype)
+        if residual is not None:
+            out = out + residual
+    if bias is not None:
+        bl = bias[layer_id] if layer_id is not None and bias.ndim == 2 else bias
+        out = out + bl.astype(out.dtype)
+    return out
 
 
 def make_caches(cfg: LlamaConfig, num_pages: int, page_size: int, kv_dtype=None):

@@ -127,6 +127,8 @@ def moe_weights_for(lw, cfg) -> MoeWeights:
 
 def _moe_mlp(h2, lw, lidx, cfg: MixtralConfig):
     logits = jnp.dot(h2.astype(jnp.float32), lw["router"][lidx].astype(jnp.float32).T)
+    if "router_bias" in lw:
+        logits = logits + lw["router_bias"][lidx].astype(jnp.float32)
     tw, tids = topk_softmax(logits, cfg.top_k, renormalize=True)
     # quantized or bf16, the STACKED banks go to the kernel whole; the
     # layer is scalar-prefetched (slicing [lidx] here would copy the
@@ -149,7 +151,7 @@ def decode_step(params, cfg: MixtralConfig, k_cache, v_cache, tokens, positions,
         attn = paged_attention_decode_dma(
             q, kc, vc, lengths, page_tables, layer_id=lidx, fresh_k=k, fresh_v=v
         )
-        x = llama._linear(attn.reshape(b, -1), lw["o"], cfg, residual=x, layer_id=lidx)
+        x = llama._linear(attn.reshape(b, -1), lw["o"], cfg, residual=x, layer_id=lidx, bias=lw.get("o_bias"))
         h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
         x = x + _moe_mlp(h2, lw, lidx, cfg)
         return (x, kc, vc), (k, v)
@@ -181,7 +183,7 @@ def prefill(params, cfg: MixtralConfig, k_cache, v_cache, tokens, positions, q_l
             v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
             q_lens, q_lens, causal=True,
         ).reshape(b * s, -1)
-        x = llama._linear(attn, lw["o"], cfg, residual=x, layer_id=lidx)
+        x = llama._linear(attn, lw["o"], cfg, residual=x, layer_id=lidx, bias=lw.get("o_bias"))
         h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
         x = x + _moe_mlp(h2, lw, lidx, cfg)
         return (x, kc, vc), None
@@ -253,7 +255,7 @@ def prefill_extend(params, cfg: MixtralConfig, k_cache, v_cache, tokens,
             jnp.swapaxes(l2, 1, 2).reshape(b * s, cfg.num_heads),
         )
         attn = om.reshape(b * s, -1).astype(cfg.dtype)
-        x = llama._linear(attn, lw["o"], cfg, residual=x, layer_id=lidx)
+        x = llama._linear(attn, lw["o"], cfg, residual=x, layer_id=lidx, bias=lw.get("o_bias"))
         h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
         x = x + _moe_mlp(h2, lw, lidx, cfg)
         return (x, kc, vc), None
@@ -300,7 +302,7 @@ def prefill_packed(params, cfg: MixtralConfig, k_cache, v_cache, tokens,
             v.reshape(tp, cfg.num_kv_heads, cfg.head_dim),
             blk_seq, blk_q0, seq_meta, max_kvb=max_kvb, causal=True,
         ).reshape(tp, -1)
-        x = llama._linear(attn, lw["o"], cfg, residual=x, layer_id=lidx)
+        x = llama._linear(attn, lw["o"], cfg, residual=x, layer_id=lidx, bias=lw.get("o_bias"))
         h2 = rmsnorm(x, lw["post_norm"][lidx], cfg.rms_eps)
         x = x + _moe_mlp(h2, lw, lidx, cfg)
         return (x, kc, vc), None

@@ -247,3 +247,87 @@ class TestConvertDeepseek:
             slot_d, rope, idx_rope)
         assert logits2.shape == (b, cfg.vocab_size)
         assert bool(jnp.all(jnp.isfinite(logits2)))
+
+
+def gptoss_state(cfg, rng):
+    """Synthetic HF gpt-oss shard: mxfp4 expert blocks/scales (+ biases,
+    sinks, qkv/o biases, router bias)."""
+    l, e, h, i = cfg.num_layers, cfg.num_experts, cfg.hidden_size, cfg.intermediate_size
+    nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    s = {}
+    s["model.embed_tokens.weight"] = rng.standard_normal((cfg.vocab_size, h)).astype(np.float32) * 0.02
+    s["model.norm.weight"] = np.ones(h, np.float32)
+    s["lm_head.weight"] = rng.standard_normal((cfg.vocab_size, h)).astype(np.float32) * 0.02
+    for li in range(l):
+        p = f"model.layers.{li}."
+        s[p + "input_layernorm.weight"] = np.ones(h, np.float32)
+        s[p + "post_attention_layernorm.weight"] = np.ones(h, np.float32)
+        s[p + "self_attn.sinks"] = rng.standard_normal(nq).astype(np.float32) * 0.1
+        for n, rows in [("q", nq * d), ("k", nkv * d), ("v", nkv * d)]:
+            s[p + f"self_attn.{n}_proj.weight"] = rng.standard_normal((rows, h)).astype(np.float32) * 0.05
+            s[p + f"self_attn.{n}_proj.bias"] = rng.standard_normal(rows).astype(np.float32) * 0.02
+        s[p + "self_attn.o_proj.weight"] = rng.standard_normal((h, nq * d)).astype(np.float32) * 0.05
+        s[p + "self_attn.o_proj.bias"] = rng.standard_normal(h).astype(np.float32) * 0.02
+        s[p + "mlp.router.weight"] = rng.standard_normal((e, h)).astype(np.float32) * 0.02
+        s[p + "mlp.router.bias"] = rng.standard_normal(e).astype(np.float32) * 0.02
+        # mxfp4 banks: random nibble codes + UE8M0 exponents near 1.0
+        s[p + "mlp.experts.gate_up_proj_blocks"] = rng.integers(
+            0, 256, (e, 2 * i, h // 32, 16)).astype(np.uint8)
+        s[p + "mlp.experts.gate_up_proj_scales"] = rng.integers(
+            120, 130, (e, 2 * i, h // 32)).astype(np.uint8)
+        s[p + "mlp.experts.down_proj_blocks"] = rng.integers(
+            0, 256, (e, h, i // 32, 16)).astype(np.uint8)
+        s[p + "mlp.experts.down_proj_scales"] = rng.integers(
+            120, 130, (e, h, i // 32)).astype(np.uint8)
+        s[p + "mlp.experts.gate_up_proj_bias"] = rng.standard_normal((e, 2 * i)).astype(np.float32) * 0.02
+        s[p + "mlp.experts.down_proj_bias"] = rng.standard_normal((e, h)).astype(np.float32) * 0.02
+    return s
+
+
+class TestConvertGptOss:
+    def test_mxfp4_ingest_oracle_and_engine(self, rng):
+        """Converted expert banks must decode to the independent numpy
+        E2M1*UE8M0 oracle over the de-interleaved HF bytes, and the model
+        must serve end-to-end with sinks + biases wired."""
+        from sgl_kernel_tpu.models import gptoss
+        from sgl_kernel_tpu.ops.gemm.w4a16 import dequant_w4
+
+        cfg = gptoss.GptOssConfig.tiny(quant="mxfp4", qkv_bias=True)
+        state = gptoss_state(cfg, rng)
+        params = convert.convert_hf_gptoss(state, cfg)
+
+        # independent E2M1 decode table (OCP MX spec nibble values)
+        E2M1 = np.array([0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0,
+                         -0.0, -0.5, -1.0, -1.5, -2.0, -3.0, -4.0, -6.0])
+
+        def hf_dequant(blocks, scales):  # [N, K/32, 16]u8, [N, K/32]u8 -> [N, K]
+            lo = E2M1[blocks & 0xF]
+            hi = E2M1[blocks >> 4]
+            vals = np.stack([lo, hi], axis=-1).reshape(blocks.shape[0], -1)
+            se = np.repeat(np.exp2(scales.astype(np.float64) - 127.0), 32, axis=1)
+            return vals * se
+
+        li, ei = 1, 2
+        blocks = state[f"model.layers.{li}.mlp.experts.gate_up_proj_blocks"][ei]
+        scales = state[f"model.layers.{li}.mlp.experts.gate_up_proj_scales"][ei]
+        ref = hf_dequant(blocks.astype(np.int64), scales)
+        # de-interleave rows (gate even, up odd) to the framework order
+        i2 = ref.shape[0] // 2
+        ref = np.concatenate([ref[0::2], ref[1::2]], axis=0)
+        got = np.asarray(dequant_w4(
+            params["layers"]["moe_w1"]["packed"][li, ei],
+            params["layers"]["moe_w1"]["scales"][li, ei],
+            fmt="mxfp4", group_size=32, dtype=jnp.float32), np.float64)
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+        # structure: biases + sinks present
+        lw = params["layers"]
+        for name in ("router_bias", "o_bias", "q_bias", "moe_b1", "moe_b2", "sinks"):
+            assert name in lw, name
+
+        prompt = rng.integers(0, cfg.vocab_size, 7).astype(np.int32).tolist()
+        eng = Engine(cfg, params, num_pages=32, page_size=16,
+                     prefill_bucket=16, enable_prefix_cache=False)
+        rid = eng.add_request(prompt, max_new_tokens=4)
+        eng.run_until_done()
+        assert len(eng.finished[rid].output) == 4
