@@ -73,6 +73,19 @@ def main():
     if update:
         update_baseline(records)
         print(f"baseline.json updated with {len(records)} entries")
+        # physics audit: purge any stale row implying > chip peak so the
+        # next regen re-measures it (the report()-time guard only stops
+        # NEW impossible rows — VERDICT r4 #3)
+        import audit_physics
+
+        baseline = load_baseline()
+        bad = audit_physics.audit(baseline)
+        if bad:
+            for name, ms, why in bad:
+                print(f"PURGE impossible row {name} = {ms} ms ({why})")
+                del baseline[name]
+            with open(os.path.join(here, "baseline.json"), "w") as f:
+                json.dump(baseline, f, indent=1, sort_keys=True)
     if check:
         bad = check_regressions(records, load_baseline())
         for name, ms, base, pct in bad:
