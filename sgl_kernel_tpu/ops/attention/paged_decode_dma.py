@@ -564,6 +564,31 @@ def _decode_gather_fallback(q, k_pages, v_pages, lengths, page_table, sinks,
         pos = jnp.clip(kv_lens - 1, 0, nb * page - 1)
         kg = kg.at[jnp.arange(b), pos].set(fk[:, 0])
         vg = vg.at[jnp.arange(b), pos].set(fv[:, 0])
+    group = hq // hkv
+    if sinks is None and sliding_window is None and group > 1:
+        # fold (B, hkv) into flash's batch and the GQA group into its
+        # q-seq axis: the sq=1 form launches a [B, Hq, 1, nkv] grid of
+        # tiny programs and is per-step-pipeline-overhead bound (~1 ms at
+        # hq=64, 33 GB/s — round-5 regen row paged_decode_dma:16-1024-
+        # 64-8-64-128); group-folding cuts the grid by group x hq/hkv and
+        # feeds [group, d] x [d, bkv] dots. Per-head sinks cannot ride the
+        # folded layout (one sink scalar per flash head) and a sliding
+        # window needs every row at position kv_len-1 (folded rows span
+        # group positions), so those calls keep the unfolded form.
+        s_tot = kg.shape[1]
+        kgt = kg.swapaxes(1, 2).reshape(b * hkv, s_tot, 1, d)
+        vgt = vg.swapaxes(1, 2).reshape(b * hkv, s_tot, 1, d)
+        qg = q.reshape(b, hkv, group, d).reshape(b * hkv, group, 1, d)
+        out = flash_attention(
+            qg, kgt, vgt, jnp.full((b * hkv,), group, jnp.int32),
+            jnp.repeat(kv_lens, hkv), None,
+            causal=False, sm_scale=sm_scale, sliding_window=None,
+            logit_soft_cap=logit_soft_cap, return_lse=return_lse,
+            block_kv=2048)
+        if return_lse:
+            o, lse = out
+            return o[:, :, 0].reshape(b, hq, d), lse[:, 0].reshape(b, hq)
+        return out[:, :, 0].reshape(b, hq, d)
     out = flash_attention(
         q[:, None], kg, vg, jnp.ones((b,), jnp.int32), kv_lens, sinks,
         causal=False, sm_scale=sm_scale, sliding_window=sliding_window,

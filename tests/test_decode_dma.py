@@ -310,3 +310,39 @@ class TestGatherFallback:
             return_lse=False, layout="head")
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(ref, np.float32), atol=1e-5, rtol=1e-5)
+
+    def test_fallback_folded_lse_and_sinks_unfolded(self):
+        """Folded (group-in-sq) path: return_lse reshapes [B*hkv, 1, group]
+        back to [B, Hq] exactly like the unfolded form; sinks force the
+        unfolded path and still match the DMA kernel."""
+        from sgl_kernel_tpu.ops.attention.paged_decode_dma import (
+            _decode_gather_fallback, paged_attention_decode_dma)
+
+        rng = np.random.default_rng(24)
+        b, hq, hkv, d, page, blocks = 2, 8, 2, 64, 16, 3
+        n_pages = b * blocks + 1
+        kp = jnp.asarray(rng.standard_normal((n_pages, hkv, page, d)) / 8, jnp.bfloat16)
+        vp = jnp.asarray(rng.standard_normal((n_pages, hkv, page, d)) / 8, jnp.bfloat16)
+        q = jnp.asarray(rng.standard_normal((b, hq, d)) / 8, jnp.bfloat16)
+        lens = jnp.asarray([40, 17], jnp.int32)
+        pt = jnp.asarray(rng.integers(1, n_pages, (b, blocks)), jnp.int32)
+
+        ref, ref_lse = paged_attention_decode_dma(
+            q, kp, vp, lens, pt, return_lse=True)
+        got, got_lse = _decode_gather_fallback(
+            q, kp, vp, lens, pt, None, None, None, None, None, None,
+            sm_scale=None, sliding_window=None, logit_soft_cap=None,
+            return_lse=True)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2)
+        np.testing.assert_allclose(np.asarray(got_lse, np.float32),
+                                   np.asarray(ref_lse, np.float32), atol=2e-2, rtol=2e-2)
+
+        sinks = jnp.asarray(rng.standard_normal(hq), jnp.float32)
+        refs = paged_attention_decode_dma(q, kp, vp, lens, pt, sinks=sinks)
+        gots = _decode_gather_fallback(
+            q, kp, vp, lens, pt, sinks, None, None, None, None, None,
+            sm_scale=None, sliding_window=None, logit_soft_cap=None,
+            return_lse=False)
+        np.testing.assert_allclose(np.asarray(gots, np.float32),
+                                   np.asarray(refs, np.float32), atol=2e-2, rtol=2e-2)
