@@ -50,7 +50,12 @@ def rmsnorm(x, weight, eps: float = 1e-6, *, gemma: bool = False):
         rows *= n
     if d % 128 == 0 and rows >= 1 and weight.ndim == 1:
         x2 = x.reshape(rows, d)
-        bq = min(round_up(rows, 8), 512)
+        # row-block by a 4 MB VMEM budget: the flat 512-row cap put an
+        # 8 MB block (16+ MB with the f32 cast) on h=8192 inputs and
+        # Mosaic refused the kernel (round-5 regen, rmsnorm:1024-8192);
+        # h <= 4096 keeps the previous 512-row blocks
+        bq_max = max(8, ((4 << 20) // (d * x.dtype.itemsize)) // 8 * 8)
+        bq = min(round_up(rows, 8), 512, bq_max)
         rp = round_up(rows, bq)
         if rp != rows:
             x2 = jnp.pad(x2, ((0, rp - rows), (0, 0)))
