@@ -72,8 +72,12 @@ def _mqa_logits_kernel(
 
     def out_dma(t, slot):
         i, c = seq_of(t), chunk_of(t)
+        # 2-D [1, span] descriptors end-to-end: the 1-D [span] form fed
+        # Mosaic 1-D VMEM stores + DMAs and the kernel never lowered on
+        # real TPU (HTTP 500 at every probed shape, round-5 regen)
         return pltpu.make_async_copy(
-            ob.at[slot], out_hbm.at[i, pl.ds(c * span, span)], out_sem.at[slot]
+            ob.at[slot], out_hbm.at[pl.ds(i, 1), pl.ds(c * span, span)],
+            out_sem.at[slot]
         )
 
     T = batch * n_chunks
@@ -111,9 +115,9 @@ def _mqa_logits_kernel(
             logits = jax.lax.dot_general(
                 w_ref[i].reshape(1, -1), jnp.maximum(sc, 0.0),
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            )[0]  # [span]
+            )  # [1, span]
             if has_scale:
-                logits = logits * ksb[slot].reshape(span)
+                logits = logits * ksb[slot].reshape(1, span)
             ob[slot] = logits
             out_dma(t, slot).start()
         done = done + jnp.where(valid(t), 1, 0)
@@ -204,7 +208,7 @@ def fp8_paged_mqa_logits(q, kv_pages, weights, lengths, page_table,
             scratch_shapes=[
                 pltpu.VMEM((2, cpp, page, d), kv_pages.dtype),
                 pltpu.VMEM((2, cpp, page), jnp.float32),
-                pltpu.VMEM((2, span), jnp.float32),
+                pltpu.VMEM((2, 1, span), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, 2)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
