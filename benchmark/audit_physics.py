@@ -60,6 +60,24 @@ def implied(name: str):
         if fam == "w4a16_grouped_mm":
             # tag-cap-e-n-k; bank bytes = routed fraction unknown -> skip
             return None, None, False
+        if fam in ("rmsnorm", "rmsnorm_gemma"):
+            t, h = ints(2)
+            return None, 2 * t * h * 2, False
+        if fam == "fused_add_rmsnorm":
+            t, h = ints(2)
+            return None, 4 * t * h * 2, False
+        if fam in ("silu_and_mul", "gelu_and_mul", "gelu_tanh_and_mul",
+                   "silu_and_mul_clamp", "swiglu_alpha_limit"):
+            t, inter = ints(2)
+            return None, 3 * t * inter * 2, False
+        if fam == "l2norm":
+            t, h = ints(2)
+            return None, 2 * t * h * 2, False
+        if fam in ("mrope_rotary_embedding", "rotary_embedding_interleaved"):
+            t, hq, d = ints(3)
+            return None, 2 * t * hq * d * 2, False
+        if fam == "mla_prefill":
+            pass
     except (ValueError, IndexError):
         pass
     return None, None, False

@@ -33,24 +33,42 @@ def feed(o, carry):
 
 
 def bench_norm():
+    from benchmark.bench_lib import bench_chain_banks
     from sgl_kernel_tpu.ops.norm import fused_add_rmsnorm, rmsnorm
 
+    # elementwise working sets < 16 MB stay VMEM-RESIDENT across the
+    # fori_loop reps (the carry never round-trips HBM — rmsnorm:1024-4096
+    # measured 1.7 TB/s implied), so inputs ride L distinct banks sized
+    # past VMEM in aggregate, exactly like the GEMM benches
     for t, h in [(16, 4096), (1024, 4096), (16, 8192)]:
-        x = jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16)
         w = jnp.ones((h,), jnp.bfloat16)
-        sec = bench_chain(lambda c: feed(rmsnorm(c, w, 1e-5), c), x, reps=128)
-        add(f"rmsnorm:{t}-{h}", sec, gbs=round(2 * t * h * 2 / sec / 1e9, 1))
-    t, h = 1024, 4096
-    x = jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16)
-    r = jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16)
-    w = jnp.ones((h,), jnp.bfloat16)
+        L = max(4, (64 << 20) // (t * h * 2))
+        banks = [(jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16),)
+                 for _ in range(L)]
+        carry = jnp.zeros((8, 128), jnp.bfloat16)
 
-    def far(c):
-        o, res = fused_add_rmsnorm(c, r, w, 1e-5)
+        def nstep(c, x, w=w):
+            return feed(rmsnorm(x, w, 1e-5), c)
+
+        sec = bench_chain_banks(nstep, carry, banks, reps=8 if t * h > 2**22 else 32,
+                                bytes_per_step=2 * t * h * 2)
+        add(f"rmsnorm:{t}-{h}", sec, gbs=round(2 * t * h * 2 / sec / 1e9, 1))
+        del banks
+    t, h = 1024, 4096
+    w = jnp.ones((h,), jnp.bfloat16)
+    L = max(4, (64 << 20) // (t * h * 2))
+    fbanks = [(jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16),
+               jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16))
+              for _ in range(L)]
+    carry = jnp.zeros((8, 128), jnp.bfloat16)
+
+    def far(c, x, r, w=w):
+        o, res = fused_add_rmsnorm(x, r, w, 1e-5)
         return feed(o, c)
 
-    sec = bench_chain(far, x, reps=128)
-    add(f"fused_add_rmsnorm:{t}-{h}", sec, gbs=round(3 * t * h * 2 / sec / 1e9, 1))
+    sec = bench_chain_banks(far, carry, fbanks, reps=8,
+                            bytes_per_step=4 * t * h * 2)
+    add(f"fused_add_rmsnorm:{t}-{h}", sec, gbs=round(4 * t * h * 2 / sec / 1e9, 1))
 
 
 def bench_rope():
@@ -82,14 +100,27 @@ def bench_rope():
 
 
 def bench_activation():
+    from benchmark.bench_lib import bench_chain_banks
     from sgl_kernel_tpu.ops.activation import silu_and_mul, swiglu_alpha_limit
 
+    carry = jnp.zeros((8, 128), jnp.bfloat16)
     for t in (16, 1024):
-        x = jnp.asarray(rng.standard_normal((t, 2 * 14336)), jnp.bfloat16)
-        sec = bench_chain(lambda c: feed(silu_and_mul(c), c), x, reps=64)
+        L = max(4, (64 << 20) // (t * 2 * 14336 * 2))
+        banks = [(jnp.asarray(rng.standard_normal((t, 2 * 14336)), jnp.bfloat16),)
+                 for _ in range(L)]
+
+        def astep(c, x):
+            return feed(silu_and_mul(x), c)
+
+        sec = bench_chain_banks(astep, carry, banks, reps=8 if t > 64 else 32,
+                                bytes_per_step=3 * t * 14336 * 2)
         add(f"silu_and_mul:{t}-14336", sec, gbs=round(3 * t * 14336 * 2 / sec / 1e9, 1))
-    x = jnp.asarray(rng.standard_normal((1024, 2 * 14336)), jnp.bfloat16)
-    sec = bench_chain(lambda c: feed(swiglu_alpha_limit(c), c), x, reps=64)
+        del banks
+    L = max(4, (64 << 20) // (1024 * 2 * 14336 * 2))
+    sbanks = [(jnp.asarray(rng.standard_normal((1024, 2 * 14336)), jnp.bfloat16),)
+              for _ in range(L)]
+    sec = bench_chain_banks(lambda c, x: feed(swiglu_alpha_limit(x), c), carry,
+                            sbanks, reps=8, bytes_per_step=3 * 1024 * 14336 * 2)
     add("swiglu_alpha_limit:1024-14336", sec)
 
 
