@@ -55,6 +55,13 @@ def sub(tag, fn):
         print(f"SKIP {tag}: {type(e).__name__} {str(e)[:160]}", flush=True)
 
 
+def feed_sum(o, carry):
+    """Full-reduction feedback: elementwise ops are sliceable, so a
+    feed() of o[:1024] lets XLA dead-code 99.9% of the op (the round-5
+    swiglu row read 25 TB/s); a sum needs every element."""
+    return carry + (o.astype(jnp.float32).sum() * 1e-12).astype(carry.dtype)
+
+
 def bench_prefill_variants():
     from sgl_kernel_tpu.ops.attention import flash_attention
 
@@ -202,7 +209,7 @@ def bench_activation_grid():
                     (gelu_tanh_and_mul, "gelu_tanh_and_mul"),
                     (silu_and_mul_clamp, "silu_and_mul_clamp")]:
         def step(c, x, fn=fn):
-            return feed(fn(x), c)
+            return feed_sum(fn(x), c)
 
         sec = bench_chain_banks(step, carry, banks, reps=8,
                                 bytes_per_step=3 * t * inter * 2)
@@ -251,7 +258,7 @@ def bench_rope_norm_grid():
     gbanks = [(jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16),)
               for _ in range(L)]
     carry = jnp.zeros((8, 128), jnp.bfloat16)
-    sec = bench_chain_banks(lambda c, x: feed(rmsnorm(x, w, gemma=True), c),
+    sec = bench_chain_banks(lambda c, x: feed_sum(rmsnorm(x, w, gemma=True), c),
                             carry, gbanks, reps=16, bytes_per_step=2 * t * h * 2)
     add(f"rmsnorm_gemma:{t}-{h}", sec, gbs=round(2 * t * h * 2 / sec / 1e9, 1))
 
@@ -262,7 +269,7 @@ def bench_rope_norm_grid():
 
     def fstep(c, x, r):
         o, res = fused_add_rmsnorm(x, r, w7)
-        return feed(o, c)
+        return feed_sum(o + res, c)
 
     sec = bench_chain_banks(fstep, carry, fbanks, reps=32,
                             bytes_per_step=4 * 16 * 7168 * 2)
@@ -270,7 +277,7 @@ def bench_rope_norm_grid():
 
     lbanks = [(jnp.asarray(rng.standard_normal((4096, 128)), jnp.bfloat16),)
               for _ in range(32)]
-    sec = bench_chain_banks(lambda c, x: feed(l2norm(x), c), carry, lbanks,
+    sec = bench_chain_banks(lambda c, x: feed_sum(l2norm(x), c), carry, lbanks,
                             reps=16, bytes_per_step=2 * 4096 * 128 * 2)
     add("l2norm:4096-128", sec)
 

@@ -32,6 +32,13 @@ def feed(o, carry):
     return c.reshape(carry.shape)
 
 
+def feed_sum(o, carry):
+    """Full-reduction feedback: elementwise ops are sliceable, so a
+    feed() of o[:1024] lets XLA dead-code 99.9% of the op (the round-5
+    swiglu row read 25 TB/s); a sum needs every element."""
+    return carry + (o.astype(jnp.float32).sum() * 1e-12).astype(carry.dtype)
+
+
 def bench_norm():
     from benchmark.bench_lib import bench_chain_banks
     from sgl_kernel_tpu.ops.norm import fused_add_rmsnorm, rmsnorm
@@ -48,7 +55,7 @@ def bench_norm():
         carry = jnp.zeros((8, 128), jnp.bfloat16)
 
         def nstep(c, x, w=w):
-            return feed(rmsnorm(x, w, 1e-5), c)
+            return feed_sum(rmsnorm(x, w, 1e-5), c)
 
         sec = bench_chain_banks(nstep, carry, banks, reps=8 if t * h > 2**22 else 32,
                                 bytes_per_step=2 * t * h * 2)
@@ -64,7 +71,7 @@ def bench_norm():
 
     def far(c, x, r, w=w):
         o, res = fused_add_rmsnorm(x, r, w, 1e-5)
-        return feed(o, c)
+        return feed_sum(o + res, c)
 
     sec = bench_chain_banks(far, carry, fbanks, reps=8,
                             bytes_per_step=4 * t * h * 2)
@@ -110,7 +117,7 @@ def bench_activation():
                  for _ in range(L)]
 
         def astep(c, x):
-            return feed(silu_and_mul(x), c)
+            return feed_sum(silu_and_mul(x), c)
 
         sec = bench_chain_banks(astep, carry, banks, reps=8 if t > 64 else 32,
                                 bytes_per_step=3 * t * 14336 * 2)
@@ -119,7 +126,7 @@ def bench_activation():
     L = max(4, (64 << 20) // (1024 * 2 * 14336 * 2))
     sbanks = [(jnp.asarray(rng.standard_normal((1024, 2 * 14336)), jnp.bfloat16),)
               for _ in range(L)]
-    sec = bench_chain_banks(lambda c, x: feed(swiglu_alpha_limit(x), c), carry,
+    sec = bench_chain_banks(lambda c, x: feed_sum(swiglu_alpha_limit(x), c), carry,
                             sbanks, reps=8, bytes_per_step=3 * 1024 * 14336 * 2)
     add("swiglu_alpha_limit:1024-14336", sec)
 

@@ -172,6 +172,27 @@ def fp8_paged_mqa_logits(q, kv_pages, weights, lengths, page_table,
         weights = jnp.pad(weights, ((0, 0), (0, hp - h)))
     wf = weights.astype(jnp.float32)
 
+    if not pallas_interpret():
+        # Mosaic has never lowered the streaming kernel on real TPU (HTTP
+        # 500 at every probed shape, incl. the 2-D logits form — round-5
+        # probes); gather the used pages via XLA and run the dense relu-
+        # weighted einsum instead (the d%128 decode-fallback precedent).
+        # At decode geometry this materializes b*max_tokens*d (~33 MB at
+        # B=16 ctx=8192). The streaming kernel remains for interpret mode
+        # and future toolchains.
+        pt = jnp.clip(page_table.astype(jnp.int32), 0, n_pages - 1)
+        kg = kv_pages[pt].reshape(b, max_tokens, d)
+        if kv_pages.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+            kg = _upcast(kg, jnp.bfloat16)
+        sc = jax.lax.dot_general(
+            qf, kg.astype(qf.dtype), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [B, Hp, T]
+        logits = jnp.einsum("bh,bht->bt", wf, jnp.maximum(sc, 0.0))
+        if kv_scales is not None:
+            logits = logits * kv_scales.astype(jnp.float32)[pt].reshape(b, max_tokens)
+        pos = jnp.arange(max_tokens)[None, :]
+        return jnp.where(pos < lengths[:, None], logits, -jnp.inf)
+
     cpp = min(chunk_pages, n_blocks, max(1, 2048 // page))
     if n_blocks % cpp:
         pad = cpp - n_blocks % cpp
