@@ -48,19 +48,23 @@ def bench_norm():
     # measured 1.7 TB/s implied), so inputs ride L distinct banks sized
     # past VMEM in aggregate, exactly like the GEMM benches
     for t, h in [(16, 4096), (1024, 4096), (16, 8192)]:
-        w = jnp.ones((h,), jnp.bfloat16)
-        L = max(4, (64 << 20) // (t * h * 2))
-        banks = [(jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16),)
-                 for _ in range(L)]
-        carry = jnp.zeros((8, 128), jnp.bfloat16)
+        def one(t=t, h=h):
+            w = jnp.ones((h,), jnp.bfloat16)
+            L = max(4, (64 << 20) // (t * h * 2))
+            banks = [(jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16),)
+                     for _ in range(L)]
+            carry = jnp.zeros((8, 128), jnp.bfloat16)
 
-        def nstep(c, x, w=w):
-            return feed_sum(rmsnorm(x, w, 1e-5), c)
+            def nstep(c, x, w=w):
+                return feed_sum(rmsnorm(x, w, 1e-5), c)
 
-        sec = bench_chain_banks(nstep, carry, banks, reps=8 if t * h > 2**22 else 32,
-                                bytes_per_step=2 * t * h * 2)
-        add(f"rmsnorm:{t}-{h}", sec, gbs=round(2 * t * h * 2 / sec / 1e9, 1))
-        del banks
+            sec = bench_chain_banks(nstep, carry, banks, reps=8 if t * h > 2**22 else 32,
+                                    bytes_per_step=2 * t * h * 2)
+            add(f"rmsnorm:{t}-{h}", sec, gbs=round(2 * t * h * 2 / sec / 1e9, 1))
+        try:
+            one()
+        except Exception as e:  # noqa: BLE001 — one 500 must not kill the family
+            print(f"SKIP rmsnorm:{t}-{h}: {type(e).__name__} {str(e)[:120]}", flush=True)
     t, h = 1024, 4096
     w = jnp.ones((h,), jnp.bfloat16)
     L = max(4, (64 << 20) // (t * h * 2))
