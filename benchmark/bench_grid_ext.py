@@ -122,7 +122,11 @@ def bench_mqa_logits():
         def one(b=b, ctx=ctx, h=h, q=q, kv=kv, w=w, lengths=lengths, table=table):
             def step(c, kv, w, lengths=lengths, table=table):
                 lg = fp8_paged_mqa_logits(c, kv, w, lengths, table)
-                return c.at[:, 0, 0].add(lg[:, 0] * 1e-9)
+                # full reduce: lg[:, 0] is sliceable through the XLA fallback's
+                # einsum (a one-token logit needs one dot) and the row
+                # measured negative-jitter nothing
+                lg = jnp.where(jnp.isfinite(lg), lg, 0.0)
+                return c.at[:, 0, 0].add(lg.sum(1) * 1e-12)
 
             sec = bench_chain(step, q, reps=32, args=(kv, w),
                               bytes_per_step=b * ctx * d * 2)

@@ -176,7 +176,10 @@ def bench_nsa():
 
         def step(c, kv=kv, w=w, lengths=lengths, table=table):
             lg = fp8_paged_mqa_logits(c, kv, w, lengths, table)
-            return c.at[:, 0, 0].add(lg[:, 0] * 1e-9)
+            # full reduce: lg[:, 0] is sliceable through the XLA fallback's
+            # einsum (a one-token logit needs one dot)
+            lg = jnp.where(jnp.isfinite(lg), lg, 0.0)
+            return c.at[:, 0, 0].add(lg.sum(1) * 1e-12)
 
         try:
             sec = bench_chain(step, q, reps=16)
